@@ -1,0 +1,350 @@
+"""Plotfile-driven rendering: RunOptions, CLI parsing, and the run pipeline.
+
+The equivalent of the reference driver (``VolumeRenderer/VolumeRenderer.cpp``
+option handling + ``main.cpp``): parse the exact CLI flag surface
+(cpp:339-477), load plotfile geometry with ``convexify`` flattening
+(cpp:588-714), apply scalar-range overrides and physical colormap conversion
+(cpp:1341-1576), then render.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .api import apply_scalar_override_and_colormap, validate_camera
+from .amr import convexify
+from .camera import safe_normalize
+from .renderer import render_scene, validate_render_parameters
+from .scene import (
+    SceneBuildOptions,
+    build_scene_geometry,
+    compute_scene_histogram,
+)
+from .types import (
+    CameraParameters,
+    ColorMap,
+    RenderParameters,
+    ScalarHistogram,
+    SceneGeometry,
+    vec3,
+)
+
+USAGE = """Usage: volume_renderer [options] plotfile
+  --width W        Image width (default: 512)
+  --height H       Image height (default: 512)
+  --antialiasing A Supersampling factor (positive integer square, default: 1)
+  --box-transparency T  Transparency factor per box in [0,1] (default: 0)
+  --visibility-graph  Enable topological ordering using a visibility graph (default)
+  --no-visibility-graph  Disable topological ordering using a visibility graph
+  --write-visibility-graph  Export visibility graph DOT files (default: disabled)
+  --variable NAME  Scalar variable to render (default: first variable in plotfile)
+  --max-level L    Finest AMR level to include (default: plotfile finest level)
+  --min-level L    Coarsest AMR level to include (default: 0)
+  --up-vector X Y Z  Camera up vector components (default: 0 1 0)
+  --print-camera   Emit the camera parameters selected automatically
+  --log-scale      Apply natural log scaling before normalizing the input field
+  --output FILE    Output filename (supports .ppm or .png; default: volume-renderer.ppm)
+  -h, --help       Show this help message
+"""
+
+
+@dataclasses.dataclass
+class RunOptions:
+    """VolumeRenderer.hpp:60-72."""
+
+    parameters: RenderParameters = dataclasses.field(default_factory=RenderParameters)
+    output_filename: str = "volume-renderer.ppm"
+    plotfile_path: str = ""
+    variable_name: str = ""
+    min_level: int = 0
+    max_level: int = -1
+    log_scale_input: bool = False
+    exit_early: bool = False
+    camera: Optional[CameraParameters] = None
+    scalar_range: Optional[Tuple[float, float]] = None
+    color_map: Optional[ColorMap] = None
+
+
+def parse_options(argv: List[str]) -> RunOptions:
+    """CLI flag parsing with the reference's exact surface and validation
+    (VolumeRenderer.cpp:368-477)."""
+    parsed = RunOptions()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+
+        def require_value(flag: str) -> str:
+            nonlocal i
+            if i + 1 >= len(argv):
+                raise RuntimeError(f"missing value for {flag}")
+            i += 1
+            return argv[i]
+
+        if arg == "--width":
+            parsed.parameters.width = int(require_value(arg))
+            if parsed.parameters.width <= 0:
+                raise RuntimeError("image width must be positive")
+        elif arg == "--height":
+            parsed.parameters.height = int(require_value(arg))
+            if parsed.parameters.height <= 0:
+                raise RuntimeError("image height must be positive")
+        elif arg == "--box-transparency":
+            parsed.parameters.box_transparency = float(require_value(arg))
+            if not (0.0 <= parsed.parameters.box_transparency <= 1.0):
+                raise RuntimeError("box transparency must be between 0 and 1")
+        elif arg == "--antialiasing":
+            parsed.parameters.antialiasing = int(require_value(arg))
+            if parsed.parameters.antialiasing <= 0:
+                raise RuntimeError("antialiasing must be positive")
+        elif arg == "--visibility-graph":
+            parsed.parameters.use_visibility_graph = True
+        elif arg == "--no-visibility-graph":
+            parsed.parameters.use_visibility_graph = False
+        elif arg == "--write-visibility-graph":
+            parsed.parameters.write_visibility_graph = True
+        elif arg == "--output":
+            parsed.output_filename = require_value(arg)
+            if not parsed.output_filename:
+                raise RuntimeError("output filename must not be empty")
+        elif arg == "--variable":
+            parsed.variable_name = require_value(arg)
+            if not parsed.variable_name:
+                raise RuntimeError("variable name must not be empty")
+        elif arg == "--min-level":
+            parsed.min_level = int(require_value(arg))
+            if parsed.min_level < 0:
+                raise RuntimeError("min level must be non-negative")
+        elif arg == "--max-level":
+            parsed.max_level = int(require_value(arg))
+            if parsed.max_level < 0:
+                raise RuntimeError("max level must be non-negative")
+        elif arg == "--log-scale":
+            parsed.log_scale_input = True
+        elif arg == "--up-vector":
+            if i + 3 >= len(argv):
+                raise RuntimeError("--up-vector requires three components")
+            up = np.array(
+                [float(argv[i + 1]), float(argv[i + 2]), float(argv[i + 3])]
+            )
+            i += 3
+            length = float(np.linalg.norm(up))
+            if not (length > 0.0) or not math.isfinite(length):
+                raise RuntimeError("--up-vector must be non-zero and finite")
+            parsed.parameters.camera_up = up / length
+        elif arg == "--print-camera":
+            parsed.parameters.print_camera = True
+        elif arg == "--plotfile":
+            parsed.plotfile_path = require_value(arg)
+        elif arg in ("--help", "-h"):
+            print(USAGE, end="")
+            parsed.exit_early = True
+            return parsed
+        else:
+            if arg.startswith("-"):
+                raise RuntimeError(f"unknown option '{arg}'")
+            if parsed.plotfile_path:
+                raise RuntimeError(
+                    f"multiple plot files specified ('{parsed.plotfile_path}' "
+                    f"and '{arg}')"
+                )
+            parsed.plotfile_path = arg
+        i += 1
+
+    if not parsed.plotfile_path:
+        raise RuntimeError("plotfile path is required")
+    if parsed.max_level >= 0 and parsed.min_level > parsed.max_level:
+        raise RuntimeError("min level must not exceed max level")
+    return parsed
+
+
+def load_plotfile_geometry(
+    plotfile_path: str,
+    variable_name: str,
+    requested_min_level: int,
+    requested_max_level: int,
+    log_scale_input: bool,
+    normalize_to_data_range: bool = True,
+    verbose: bool = True,
+) -> SceneGeometry:
+    """Plotfile -> SceneGeometry (VolumeRenderer.cpp:588-714): variable
+    selection, level clamping, convexify, scene build."""
+    from .plotfile import read_plotfile_header
+
+    if not plotfile_path:
+        raise ValueError("Plotfile path must not be empty.")
+    plotfile = read_plotfile_header(plotfile_path)
+    if not plotfile.var_names:
+        raise RuntimeError("Plotfile contains no cell variables to render.")
+    component_name = variable_name or plotfile.var_names[0]
+    if component_name not in plotfile.var_names:
+        raise RuntimeError(
+            f"Variable '{component_name}' not found in plotfile "
+            f"'{plotfile_path}'."
+        )
+
+    finest = plotfile.finest_level
+    min_level = max(0, min(requested_min_level, finest))
+    max_level = requested_max_level
+    if max_level < 0 or max_level > finest:
+        max_level = finest
+    if min_level > max_level:
+        raise RuntimeError(
+            f"Minimum AMR level {min_level} exceeds available maximum level "
+            f"{max_level}."
+        )
+
+    levels = [
+        plotfile.get_level_boxes(level, component_name)
+        for level in range(max_level + 1)
+    ]
+    ratios = [(r, r, r) for r in plotfile.ref_ratios[:max_level]]
+    flattened = convexify(levels, ratios)
+
+    scene = build_scene_geometry(
+        flattened,
+        plotfile.level_geometry(max_level),
+        SceneBuildOptions(
+            min_level=min_level,
+            max_level=max_level,
+            log_scale_input=log_scale_input,
+            normalize_to_data_range=normalize_to_data_range,
+            no_data_error=(
+                "Failed to locate any volumetric data within the plotfile."
+            ),
+            invalid_scalar_error=(
+                "Failed to compute a valid scalar range from the plotfile."
+            ),
+        ),
+    )
+    if verbose:
+        included = max_level - min_level + 1
+        msg = (
+            f"Loaded plotfile '{plotfile_path}' with variable "
+            f"'{component_name}' across {included} level(s)"
+        )
+        if min_level > 0 or max_level < finest:
+            msg += f" (levels {min_level}-{max_level})"
+        if normalize_to_data_range:
+            msg += "; normalized scalar range [0, 1]"
+        else:
+            msg += (
+                f"; scalar range [{scene.processed_scalar_range[0]:g}, "
+                f"{scene.processed_scalar_range[1]:g}]"
+            )
+        if log_scale_input:
+            msg += " (log scaled)"
+        print(msg)
+    return scene
+
+
+def run_options(options: RunOptions, verbose: bool = True) -> int:
+    """VolumeRenderer::run(RunOptions) (cpp:1341-1576)."""
+    validate_render_parameters(options.parameters)
+    if not options.output_filename:
+        raise ValueError("output filename must not be empty")
+    if not options.plotfile_path:
+        raise RuntimeError("plotfile path is required")
+    if options.min_level < 0:
+        raise ValueError("min level must be non-negative")
+    if options.max_level < -1:
+        raise ValueError("max level must be non-negative or -1 for all levels")
+    if options.max_level >= 0 and options.min_level > options.max_level:
+        raise RuntimeError("min level must not exceed max level")
+    if options.scalar_range is not None:
+        lo, hi = options.scalar_range
+        if not (math.isfinite(lo) and math.isfinite(hi) and lo < hi):
+            raise ValueError(
+                "scalar range must contain two finite values with min < max"
+            )
+    if options.color_map is not None:
+        from .api import validate_color_map
+
+        validate_color_map(options.color_map)
+    validate_camera(options.camera)
+    if not os.path.exists(options.plotfile_path):
+        raise RuntimeError(
+            f"plotfile path '{options.plotfile_path}' does not exist"
+        )
+
+    has_override = options.scalar_range is not None
+    geometry = load_plotfile_geometry(
+        options.plotfile_path,
+        options.variable_name,
+        options.min_level,
+        options.max_level,
+        options.log_scale_input,
+        normalize_to_data_range=not has_override,
+        verbose=verbose,
+    )
+    normalized_color_map = apply_scalar_override_and_colormap(
+        geometry, options.scalar_range, options.color_map, options.log_scale_input
+    )
+
+    camera = options.camera
+    if camera is not None:
+        camera = CameraParameters(
+            eye=camera.eye,
+            look_at=camera.look_at,
+            up=safe_normalize(camera.up),
+            fov_y_degrees=camera.fov_y_degrees,
+            near_plane=camera.near_plane,
+            far_plane=camera.far_plane,
+        )
+
+    render_scene(
+        options.output_filename,
+        options.parameters,
+        geometry,
+        camera=camera,
+        color_map=normalized_color_map,
+        verbose=verbose,
+    )
+    return 0
+
+
+def compute_scalar_histogram(
+    plotfile_path: str,
+    variable_name: str,
+    requested_min_level: int,
+    requested_max_level: int,
+    log_scale_input: bool,
+    bin_count: int,
+    verbose: bool = False,
+) -> ScalarHistogram:
+    """VolumeRenderer::computeScalarHistogram (cpp:880-897)."""
+    if bin_count <= 0:
+        raise ValueError("binCount must be positive")
+    geometry = load_plotfile_geometry(
+        plotfile_path,
+        variable_name,
+        requested_min_level,
+        requested_max_level,
+        log_scale_input,
+        verbose=verbose,
+    )
+    return compute_scene_histogram(geometry, bin_count)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    """CLI entry point (main.cpp + VolumeRenderer::run(argc, argv))."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    try:
+        options = parse_options(argv)
+    except Exception as error:  # noqa: BLE001 - mirror reference behavior
+        print(f"Error parsing options: {error}", file=sys.stderr)
+        print("Use --help to list available options.", file=sys.stderr)
+        return 1
+    if options.exit_early:
+        return 0
+    return run_options(options)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

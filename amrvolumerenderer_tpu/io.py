@@ -1,0 +1,149 @@
+"""Image file output with byte-exact parity to the reference writers.
+
+PPM: binary P6, rows written bottom-to-top, bytes via the Mesa-compatible
+``clamp(int(c * 256))`` codec (``Common/SavePPM.cpp:17-36``,
+``Common/Color.hpp:66-91``).  PNG: 8-bit RGB (alpha discarded), same row
+order (``Common/SavePNG.cpp``), emitted with zlib directly — no external
+imaging dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Tuple
+
+import numpy as np
+
+from .image import ImageBuffer, color_to_byte
+
+
+def _rgb_bytes_bottom_up(image: ImageBuffer) -> np.ndarray:
+    """[H, W, 3] uint8 with row 0 = top of the file (image row height-1)."""
+    assert image.region_begin == 0 and image.region_end == image.width * image.height
+    w, h = image.width, image.height
+    if image.kind.name.startswith("RGBA_U8"):
+        rgb = image.pixels[:, :3].astype(np.uint8).reshape(h, w, 3)
+    else:
+        rgb = color_to_byte(image.pixels[:, :3]).reshape(h, w, 3)
+    return rgb[::-1]  # bottom-up row order (SavePPM.cpp:25)
+
+
+def _full_frame(image: ImageBuffer) -> ImageBuffer:
+    """Blend a partial-region image onto a cleared frame (SavePPM.cpp:52-64)."""
+    total = image.width * image.height
+    if image.region_begin == 0 and image.region_end == total:
+        return image
+    blank = ImageBuffer.create(image.kind, image.width, image.height)
+    blank.clear()
+    return image.blend(blank)
+
+
+def save_ppm(image: ImageBuffer, filename: str) -> bool:
+    image = _full_frame(image)
+    data = _rgb_bytes_bottom_up(image)
+    try:
+        with open(filename, "wb") as f:
+            f.write(f"P6\n{image.width} {image.height}\n255\n".encode())
+            f.write(data.tobytes())
+        return True
+    except OSError:
+        return False
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    chunk = tag + payload
+    return struct.pack(">I", len(payload)) + chunk + struct.pack(
+        ">I", zlib.crc32(chunk) & 0xFFFFFFFF
+    )
+
+
+def save_png(image: ImageBuffer, filename: str) -> bool:
+    image = _full_frame(image)
+    data = _rgb_bytes_bottom_up(image)
+    h, w, _ = data.shape
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), data.reshape(h, -1)], axis=1
+    ).tobytes()  # filter type 0 per row
+    try:
+        with open(filename, "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\n")
+            f.write(
+                _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            )
+            f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
+            f.write(_png_chunk(b"IEND", b""))
+        return True
+    except OSError:
+        return False
+
+
+def save_image(image: ImageBuffer, filename: str) -> bool:
+    """Dispatch on extension; unknown extensions default to PPM
+    (VolumeRenderer.cpp:1316-1327)."""
+    lower = filename.lower()
+    if lower.endswith(".png"):
+        return save_png(image, filename)
+    return save_ppm(image, filename)
+
+
+def load_ppm(filename: str) -> Tuple[np.ndarray, int, int]:
+    """Read a binary P6 file back into a top-origin [H, W, 3] float array in
+    [0, 1] with row 0 = image row 0 (bottom).  For tests."""
+    with open(filename, "rb") as f:
+        magic = f.readline().strip()
+        assert magic == b"P6", magic
+        line = f.readline()
+        while line.startswith(b"#"):
+            line = f.readline()
+        w, h = [int(t) for t in line.split()]
+        maxval = int(f.readline())
+        data = np.frombuffer(f.read(w * h * 3), dtype=np.uint8).reshape(h, w, 3)
+    # file rows are top-of-frame first == image row h-1 first; flip back
+    return data[::-1].astype(np.float32) / float(maxval), w, h
+
+
+def load_png(filename: str) -> Tuple[np.ndarray, int, int]:
+    """Minimal PNG reader for our own writer's output (8-bit RGB, filter 0
+    or simple filters).  For tests."""
+    with open(filename, "rb") as f:
+        sig = f.read(8)
+        assert sig == b"\x89PNG\r\n\x1a\n"
+        idat = b""
+        w = h = None
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            (length,) = struct.unpack(">I", header[:4])
+            tag = header[4:]
+            payload = f.read(length)
+            f.read(4)  # crc
+            if tag == b"IHDR":
+                w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
+                assert bit_depth == 8 and color_type == 2
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for row in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            out = line
+        elif ftype == 2:  # up
+            out = (line + prev) % 256
+        else:
+            raise NotImplementedError(f"PNG filter {ftype}")
+        rows[row] = out.astype(np.uint8)
+        prev = rows[row].astype(np.int32)
+    img = rows.reshape(h, w, 3)
+    return img[::-1].astype(np.float32) / 255.0, w, h

@@ -1,0 +1,191 @@
+"""Core plain-data scene types for the TPU-native AMR volume renderer.
+
+These mirror the POD types of the reference implementation
+(``Common/VolumeTypes.hpp:21-100`` in BenWibking/amrVolumeRenderer) but are
+re-designed for a JAX/XLA world: scene data lives in dense NumPy/JAX arrays
+(the "brick table") instead of AMReX ``MultiFab``/``Array4`` views, and all
+metadata is stored as plain dataclasses that can be flattened into static
+jit arguments or device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Vec3 = np.ndarray  # shape (3,), float64 host-side (amrex::Real equivalent)
+
+
+def vec3(x, y=None, z=None) -> Vec3:
+    """Build a float64 3-vector (``amrex::RealVect`` equivalent)."""
+    if y is None:
+        arr = np.asarray(x, dtype=np.float64)
+        if arr.shape == ():
+            return np.full(3, float(arr), dtype=np.float64)
+        assert arr.shape == (3,)
+        return arr.copy()
+    return np.array([x, y, z], dtype=np.float64)
+
+
+@dataclasses.dataclass
+class ScalarTransform:
+    """Scalar preprocessing parameters.
+
+    Mirrors ``Common/VolumeTypes.hpp:21-31``: optional natural-log scaling with
+    a positive floor, followed by optional normalization to the unit range.
+    """
+
+    log_scale_input: bool = False
+    normalize_to_unit_range: bool = False
+    positive_floor: float = 0.0
+    processed_min: float = 0.0
+    processed_max: float = 1.0
+    inverse_processed_span: float = 1.0
+    normalization_min: float = 0.0
+    normalization_max: float = 1.0
+    inverse_normalization_span: float = 1.0
+
+
+@dataclasses.dataclass
+class CameraParameters:
+    """Pinhole camera (``Common/VolumeTypes.hpp:83-90``)."""
+
+    eye: Vec3
+    look_at: Vec3
+    up: Vec3
+    fov_y_degrees: float = 45.0
+    near_plane: float = 0.1
+    far_plane: float = 1000.0
+
+    def __post_init__(self):
+        self.eye = vec3(self.eye)
+        self.look_at = vec3(self.look_at)
+        self.up = vec3(self.up)
+
+
+@dataclasses.dataclass
+class VolumeBounds:
+    """Axis-aligned world-space bounds (``Common/VolumeTypes.hpp:78-81``)."""
+
+    min_corner: Vec3
+    max_corner: Vec3
+
+    def __post_init__(self):
+        self.min_corner = vec3(self.min_corner)
+        self.max_corner = vec3(self.max_corner)
+
+
+@dataclasses.dataclass
+class ColorMapControlPoint:
+    """One colormap control point (``Common/VolumeTypes.hpp:92-98``)."""
+
+    value: float
+    red: float
+    green: float
+    blue: float
+    alpha: float
+
+
+# A ColorMap is a sequence of control points, sorted by value.
+ColorMap = List[ColorMapControlPoint]
+
+
+def color_map_from_tuples(entries: Sequence[Sequence[float]]) -> ColorMap:
+    """Convert ``[(value, r, g, b, a), ...]`` tuples into a ColorMap."""
+    return [ColorMapControlPoint(*[float(c) for c in e]) for e in entries]
+
+
+@dataclasses.dataclass
+class Brick:
+    """One axis-aligned AMR brick of cell-centered scalar data.
+
+    The TPU-native replacement for ``AmrBox`` (``Common/VolumeTypes.hpp:69-76``):
+    instead of an ``Array4`` view into a MultiFab, the data is an owned dense
+    float32 array of shape ``(nx, ny, nz)`` (C order, index ``[i, j, k]``).
+    """
+
+    data: np.ndarray  # (nx, ny, nz) float32 raw scalar values
+    min_corner: Vec3  # world-space lower corner
+    max_corner: Vec3  # world-space upper corner
+    level: int = 0
+    owner: int = 0  # logical rank/device that owns this brick
+
+    def __post_init__(self):
+        self.min_corner = vec3(self.min_corner)
+        self.max_corner = vec3(self.max_corner)
+        assert self.data.ndim == 3
+
+    @property
+    def cell_dimensions(self) -> Tuple[int, int, int]:
+        return self.data.shape
+
+    def spacing(self) -> np.ndarray:
+        span = self.max_corner - self.min_corner
+        dims = np.asarray(self.data.shape, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sp = np.where(dims > 0, span / np.maximum(dims, 1), 0.0)
+        return sp
+
+    def min_spacing(self) -> float:
+        """Smallest positive finite cell spacing (VolumePainter.cpp:586-597)."""
+        sp = self.spacing()
+        positive = sp[(sp > 0.0) & np.isfinite(sp)]
+        if positive.size == 0:
+            return float("nan")
+        return float(positive.min())
+
+
+@dataclasses.dataclass
+class SceneGeometry:
+    """Built scene: brick list plus scalar-range/transform metadata.
+
+    Mirrors ``VolumeRenderer::SceneGeometry`` (VolumeRenderer.hpp:46-58).
+    """
+
+    bricks: List[Brick] = dataclasses.field(default_factory=list)
+    explicit_bounds: Optional[VolumeBounds] = None
+    scalar_range: Tuple[float, float] = (0.0, 1.0)
+    has_scalar_range: bool = False
+    processed_scalar_range: Tuple[float, float] = (0.0, 1.0)
+    has_processed_scalar_range: bool = False
+    original_scalar_range: Tuple[float, float] = (0.0, 1.0)
+    has_original_scalar_range: bool = False
+    scalar_transform: ScalarTransform = dataclasses.field(
+        default_factory=ScalarTransform
+    )
+
+    @property
+    def has_explicit_bounds(self) -> bool:
+        return self.explicit_bounds is not None
+
+
+@dataclasses.dataclass
+class RenderParameters:
+    """Render knobs (``VolumeRenderer.hpp:33-44``)."""
+
+    width: int = 512
+    height: int = 512
+    box_transparency: float = 0.0
+    antialiasing: int = 1
+    use_visibility_graph: bool = True
+    write_visibility_graph: bool = False
+    camera_seed: int = 91021
+    camera_up: Optional[Vec3] = None  # None => default (0, 1, 0)
+    print_camera: bool = False
+
+
+@dataclasses.dataclass
+class ScalarHistogram:
+    """Histogram result (``VolumeRenderer.hpp:74-82``)."""
+
+    bin_counts: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, dtype=np.uint64)
+    )
+    normalized_range: Tuple[float, float] = (0.0, 1.0)
+    processed_range: Tuple[float, float] = (0.0, 1.0)
+    has_processed_range: bool = False
+    original_range: Tuple[float, float] = (0.0, 1.0)
+    has_original_range: bool = False
+    sample_count: int = 0

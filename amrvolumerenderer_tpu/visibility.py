@@ -1,0 +1,370 @@
+"""Camera-dependent visibility ordering of AMR boxes (host precompute).
+
+Re-implements ``Common/VisibilityOrdering.cpp:63-632`` as a pure function of
+(camera, box AABBs, owners): build clip-space depth ranges for every box,
+derive a face-adjacency visibility DAG, topologically sort it back-to-front
+with a depth-priority tie-break, detect cycles by DFS and break them by
+splitting the widest box along the dominant view axis, and finally emit the
+*rank permutation* (first-visit order of box owners).
+
+In the TPU design the permutation is a plain index array threaded into the
+compositor's blend schedule — no MPI_Group machinery.  Box counts are small,
+so this runs in NumPy on the host each frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .camera import make_perspective_matrix, make_view_matrix, safe_normalize
+from .types import CameraParameters
+
+K_DIRECTION_TOLERANCE = 1e-6
+
+
+@dataclasses.dataclass
+class _BoxInfo:
+    min_corner: np.ndarray
+    max_corner: np.ndarray
+    owner: int
+    min_depth: float = math.inf
+    max_depth: float = math.inf
+
+
+def _compute_depth_range(modelview, projection, min_corner, max_corner):
+    """Clip-space depth range over the 8 corners (VisibilityOrdering.cpp:164-207)."""
+    min_depth, max_depth = math.inf, -math.inf
+    for idx in range(8):
+        corner = np.array(
+            [
+                max_corner[0] if idx & 1 else min_corner[0],
+                max_corner[1] if idx & 2 else min_corner[1],
+                max_corner[2] if idx & 4 else min_corner[2],
+                1.0,
+            ],
+            dtype=np.float32,
+        )
+        view_space = modelview @ corner
+        clip_space = projection @ view_space
+        if clip_space[3] != 0.0:
+            nd = float(clip_space[2] / clip_space[3])
+            min_depth = min(min_depth, nd)
+            max_depth = max(max_depth, nd)
+    if not (math.isfinite(min_depth) and math.isfinite(max_depth)):
+        return math.inf, math.inf
+    return min_depth, max_depth
+
+
+def _nearly_equal(a: float, b: float) -> bool:
+    scale = max(1.0, abs(a), abs(b))
+    return abs(a - b) <= 1e-5 * scale
+
+
+def _overlaps(a_min, a_max, b_min, b_max) -> bool:
+    overlap_min = max(a_min, b_min)
+    overlap_max = min(a_max, b_max)
+    scale = max(
+        1.0,
+        abs(a_min),
+        abs(a_max),
+        abs(b_min),
+        abs(b_max),
+        abs(overlap_min),
+        abs(overlap_max),
+    )
+    return (overlap_max - overlap_min) > 1e-5 * scale
+
+
+def _rebuild_adjacency(boxes: List[_BoxInfo], view_dir: np.ndarray):
+    """Face-adjacency visibility edges (VisibilityOrdering.cpp:261-317).
+
+    Edge u -> v means u must be blended before v (u occludes from the
+    camera's perspective along the shared face)."""
+    n = len(boxes)
+    adjacency: List[List[int]] = [[] for _ in range(n)]
+    indegree = [0] * n
+
+    def add_edge(frm, to):
+        if frm == to:
+            return
+        if to not in adjacency[frm]:
+            adjacency[frm].append(to)
+            indegree[to] += 1
+
+    for i in range(n):
+        a = boxes[i]
+        for j in range(i + 1, n):
+            b = boxes[j]
+            for axis in range(3):
+                a1 = (axis + 1) % 3
+                a2 = (axis + 2) % 3
+                if not _overlaps(
+                    a.min_corner[a1], a.max_corner[a1], b.min_corner[a1], b.max_corner[a1]
+                ):
+                    continue
+                if not _overlaps(
+                    a.min_corner[a2], a.max_corner[a2], b.min_corner[a2], b.max_corner[a2]
+                ):
+                    continue
+                dir_component = view_dir[axis]
+                if _nearly_equal(a.max_corner[axis], b.min_corner[axis]):
+                    if dir_component > K_DIRECTION_TOLERANCE:
+                        add_edge(j, i)
+                    elif dir_component < -K_DIRECTION_TOLERANCE:
+                        add_edge(i, j)
+                elif _nearly_equal(b.max_corner[axis], a.min_corner[axis]):
+                    if dir_component > K_DIRECTION_TOLERANCE:
+                        add_edge(i, j)
+                    elif dir_component < -K_DIRECTION_TOLERANCE:
+                        add_edge(j, i)
+    return adjacency, indegree
+
+
+def _compare_key(boxes: List[_BoxInfo]):
+    """Sort key for the ready queue (VisibilityOrdering.cpp:238-257): finite
+    depths first, then min depth, max depth, owner, index."""
+
+    def key(idx: int):
+        b = boxes[idx]
+        finite = math.isfinite(b.min_depth)
+        return (0 if finite else 1, b.min_depth, b.max_depth, b.owner, idx)
+
+    return key
+
+
+def _topo_sort(adjacency, indegree, boxes):
+    """Kahn's algorithm with depth-priority pops (VisibilityOrdering.cpp:360-401)."""
+    n = len(boxes)
+    indeg = list(indegree)
+    ready = [i for i in range(n) if indeg[i] == 0]
+    key = _compare_key(boxes)
+    order = []
+    ready.sort(key=key)
+    while ready:
+        current = ready.pop(0)
+        order.append(current)
+        for nxt in adjacency[current]:
+            indeg[nxt] -= 1
+            if indeg[nxt] == 0:
+                ready.append(nxt)
+        ready.sort(key=key)
+    return order, indeg
+
+
+def _find_cycle(adjacency, residual_indegree):
+    """DFS cycle extraction among unresolved nodes (VisibilityOrdering.cpp:403-443)."""
+    n = len(adjacency)
+    state = [0] * n
+    parent = [-1] * n
+    cycle: List[int] = []
+
+    def dfs(node: int) -> bool:
+        stack = [(node, iter(adjacency[node]))]
+        state[node] = 1
+        while stack:
+            cur, it = stack[-1]
+            advanced = False
+            for nxt in it:
+                if state[nxt] == 0:
+                    parent[nxt] = cur
+                    state[nxt] = 1
+                    stack.append((nxt, iter(adjacency[nxt])))
+                    advanced = True
+                    break
+                if state[nxt] == 1:
+                    cycle.clear()
+                    cycle.append(nxt)
+                    walk = cur
+                    while walk != nxt and walk != -1:
+                        cycle.append(walk)
+                        walk = parent[walk]
+                    cycle.reverse()
+                    return True
+            if not advanced:
+                state[cur] = 2
+                stack.pop()
+        return False
+
+    for node in range(n):
+        if residual_indegree[node] > 0 and state[node] == 0:
+            if dfs(node):
+                break
+    return cycle
+
+
+def _break_cycle(cycle_nodes, boxes: List[_BoxInfo], view_dir, update_depth, log):
+    """Split the widest cycle box along the dominant view axis
+    (VisibilityOrdering.cpp:445-563).  Returns True on success."""
+    if len(cycle_nodes) < 2:
+        return False
+
+    chosen_axis = int(np.argmax(np.abs(view_dir)))
+    best_alignment = abs(view_dir[chosen_axis])
+
+    if best_alignment <= K_DIRECTION_TOLERANCE:
+        widest = -1.0
+        for axis in range(3):
+            for idx in cycle_nodes:
+                b = boxes[idx]
+                length = b.max_corner[axis] - b.min_corner[axis]
+                if length > widest:
+                    widest = length
+                    chosen_axis = axis
+
+    dir_component = view_dir[chosen_axis]
+    if abs(dir_component) <= K_DIRECTION_TOLERANCE:
+        return False
+
+    min_length_tol = 1e-6
+    target, target_length = cycle_nodes[0], -1.0
+    for idx in cycle_nodes:
+        b = boxes[idx]
+        length = b.max_corner[chosen_axis] - b.min_corner[chosen_axis]
+        if length > target_length and length > min_length_tol:
+            target_length = length
+            target = idx
+    if target_length <= min_length_tol:
+        return False
+
+    tb = boxes[target]
+    min_val = tb.min_corner[chosen_axis]
+    max_val = tb.max_corner[chosen_axis]
+    epsilon = max(1e-5 * (max_val - min_val), 1e-6)
+
+    candidates = []
+    for idx in cycle_nodes:
+        if idx == target:
+            continue
+        other = boxes[idx]
+        for v in (other.min_corner[chosen_axis], other.max_corner[chosen_axis]):
+            if min_val + epsilon < v < max_val - epsilon:
+                candidates.append(v)
+
+    split = 0.5 * (min_val + max_val)
+    if candidates:
+        split = max(candidates) if dir_component > 0.0 else min(candidates)
+    split = min(max(split, min_val + epsilon), max_val - epsilon)
+    if not (min_val < split < max_val):
+        return False
+
+    near = _BoxInfo(tb.min_corner.copy(), tb.max_corner.copy(), tb.owner)
+    far = _BoxInfo(tb.min_corner.copy(), tb.max_corner.copy(), tb.owner)
+    if dir_component > 0.0:
+        near.max_corner[chosen_axis] = split
+        far.min_corner[chosen_axis] = split
+    else:
+        near.min_corner[chosen_axis] = split
+        far.max_corner[chosen_axis] = split
+    update_depth(near)
+    update_depth(far)
+    boxes[target] = near
+    boxes.append(far)
+    if log:
+        print(
+            f"Split box owned by rank {tb.owner} along axis {chosen_axis} "
+            f"at {split} to break visibility cycle."
+        )
+    return True
+
+
+def _export_dot(boxes: List[_BoxInfo], adjacency, path: str) -> None:
+    """DOT export of the visibility graph (VisibilityOrdering.cpp:319-352)."""
+    lines = ["digraph VisibilityGraph {", "  rankdir=LR;"]
+    for idx, b in enumerate(boxes):
+        lines.append(
+            f'  box{idx} [label="box {idx}\\nrank {b.owner}'
+            f'\\nminDepth {b.min_depth:.6f}\\nmaxDepth {b.max_depth:.6f}"];'
+        )
+    for frm, edges in enumerate(adjacency):
+        for to in edges:
+            lines.append(f"  box{frm} -> box{to};")
+    lines.append("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+_graph_file_counter = 0
+
+
+def build_visibility_order(
+    camera: CameraParameters,
+    aspect: float,
+    box_min: np.ndarray,  # [N, 3] all boxes' lower corners (global)
+    box_max: np.ndarray,  # [N, 3]
+    owners: np.ndarray,  # [N] owning logical rank of each box
+    num_ranks: int,
+    use_visibility_graph: bool = True,
+    write_visibility_graph: bool = False,
+    log: bool = False,
+) -> np.ndarray:
+    """Compute the back-to-front rank permutation for compositing.
+
+    Returns an int array of length ``num_ranks``: a permutation where earlier
+    ranks blend *on top* (Compositor.hpp:26-29).  Falls back to identity on
+    visibility-graph failure (VisibilityOrdering.cpp:610-627).
+    """
+    global _graph_file_counter
+    default_order = np.arange(num_ranks, dtype=np.int32)
+    if not use_visibility_graph or len(box_min) == 0:
+        return default_order
+
+    modelview = make_view_matrix(camera.eye, camera.look_at, camera.up)
+    projection = make_perspective_matrix(
+        camera.fov_y_degrees, aspect, camera.near_plane, camera.far_plane
+    )
+
+    def update_depth(info: _BoxInfo):
+        info.min_depth, info.max_depth = _compute_depth_range(
+            modelview, projection, info.min_corner, info.max_corner
+        )
+
+    boxes: List[_BoxInfo] = []
+    for i in range(len(box_min)):
+        info = _BoxInfo(
+            np.asarray(box_min[i], dtype=np.float64).copy(),
+            np.asarray(box_max[i], dtype=np.float64).copy(),
+            int(owners[i]),
+        )
+        update_depth(info)
+        boxes.append(info)
+
+    view_dir = safe_normalize(camera.look_at - camera.eye)
+    max_iterations = max(len(boxes), 1) * 8 + 32
+
+    for _ in range(max_iterations):
+        adjacency, indegree = _rebuild_adjacency(boxes, view_dir)
+        if write_visibility_graph:
+            _export_dot(
+                boxes, adjacency, f"visibility_graph_{_graph_file_counter}.dot"
+            )
+            _graph_file_counter += 1
+
+        order, residual = _topo_sort(adjacency, indegree, boxes)
+        if len(order) == len(boxes):
+            visited = np.zeros(num_ranks, dtype=bool)
+            rank_order = []
+            for box_idx in order:
+                owner = boxes[box_idx].owner
+                if 0 <= owner < num_ranks and not visited[owner]:
+                    visited[owner] = True
+                    rank_order.append(owner)
+            for owner in range(num_ranks):
+                if not visited[owner]:
+                    rank_order.append(owner)
+            return np.asarray(rank_order, dtype=np.int32)
+
+        cycle = _find_cycle(adjacency, residual)
+        if not cycle:
+            break
+        if not _break_cycle(cycle, boxes, view_dir, update_depth, log):
+            break
+
+    if log:
+        print(
+            "Visibility graph ordering failed; falling back to default rank order."
+        )
+    return default_order

@@ -1,0 +1,60 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip behavior is validated without a TPU pod by forcing the host
+platform with 8 virtual devices (the same mechanism the driver uses for
+multi-chip dry runs).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(12345)
+
+
+def make_r2_scene_data(n_cells: int = 32, box_size: int = 16):
+    """The insitu_example scene (Examples/RenderFromMultiFab.cpp:17-47):
+    an n^3 domain on [0,1]^3 split into box_size^3 boxes filled with
+    x^2 + y^2 + z^2 evaluated at cell indices / (n - 1)."""
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+    coords = np.arange(n_cells) / (n_cells - 1)
+    x = coords[:, None, None]
+    y = coords[None, :, None]
+    z = coords[None, None, :]
+    field = (x * x + y * y + z * z).astype(np.float64)
+
+    boxes = []
+    for i0 in range(0, n_cells, box_size):
+        for j0 in range(0, n_cells, box_size):
+            for k0 in range(0, n_cells, box_size):
+                boxes.append(
+                    LevelBox(
+                        data=field[
+                            i0 : i0 + box_size,
+                            j0 : j0 + box_size,
+                            k0 : k0 + box_size,
+                        ],
+                        lo=np.array([i0, j0, k0]),
+                    )
+                )
+    geometry = LevelGeometry(
+        prob_lo=np.zeros(3), cell_size=np.full(3, 1.0 / n_cells)
+    )
+    return [boxes], [geometry]
+
+
+@pytest.fixture
+def r2_scene():
+    return make_r2_scene_data()
