@@ -89,8 +89,11 @@ def _composite_sorted_runs(
     folded into the total.  Static shape, no data-dependent control flow.
     """
     num_layers, num_pixels, _ = sorted_layers.shape
-    empty = jnp.zeros((num_pixels, 5), dtype=sorted_layers.dtype)
+    # derive carries from the inputs so their varying-axis types match the
+    # body outputs under shard_map (see jax shard-map scan-vma docs)
+    empty = jnp.zeros_like(sorted_layers[0])
     empty = empty.at[:, 4].set(jnp.inf)
+    start_have_total = sorted_owners[0] < jnp.int32(0)  # varying False
 
     def body(i, carry):
         run_acc, total_acc, have_total = carry
@@ -110,7 +113,7 @@ def _composite_sorted_runs(
         return run_acc, total_acc, have_total
 
     run_acc, total_acc, have_total = jax.lax.fori_loop(
-        0, num_layers, body, (empty, empty, jnp.asarray(False))
+        0, num_layers, body, (empty, empty, start_have_total)
     )
     final = jnp.where(have_total, blend_depth_sort(total_acc, run_acc), run_acc)
     return final

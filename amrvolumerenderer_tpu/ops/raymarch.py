@@ -75,19 +75,7 @@ def _slab_intersect(origin, directions, min_corner, max_corner):
     return tmin, tmax
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "width",
-        "height",
-        "num_steps",
-        "log_scale",
-        "normalize",
-        "clip_start",
-        "apply_clip",
-    ),
-)
-def render_brick_bucket(
+def render_bucket_impl(
     data: jnp.ndarray,  # [B, nx, ny, nz] float32 padded raw values
     min_corner: jnp.ndarray,  # [B, 3] float32 world lower corners
     max_corner: jnp.ndarray,  # [B, 3] float32 world upper corners
@@ -180,9 +168,12 @@ def render_brick_bucket(
             )
             return accum + contrib
 
-        accum = jax.lax.fori_loop(
-            0, num_steps, body, jnp.zeros((n, 4), dtype=jnp.float32)
-        )
+        # derive the carry from the inputs so its varying-axis type matches
+        # under shard_map (zeros built from a device-varying input stay
+        # varying; a literal jnp.zeros would not)
+        init_accum = jnp.zeros((n, 4), dtype=jnp.float32) * tmin[:, None] * 0.0
+        init_accum = jnp.where(jnp.isfinite(init_accum), init_accum, 0.0)
+        accum = jax.lax.fori_loop(0, num_steps, body, init_accum)
         accum = jnp.clip(accum, 0.0, 1.0)
 
         entry = eye[None, :] + directions * tmin[:, None]
@@ -196,6 +187,20 @@ def render_brick_bucket(
     return jax.vmap(render_one)(
         data, min_corner, max_corner, cell_dims, color_table, sample_distance
     )
+
+
+render_brick_bucket = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "height",
+        "num_steps",
+        "log_scale",
+        "normalize",
+        "clip_start",
+        "apply_clip",
+    ),
+)(render_bucket_impl)
 
 
 def max_steps_for_bucket(

@@ -1,0 +1,195 @@
+"""Multi-device sort-last compositing over a JAX device mesh.
+
+The TPU-native equivalent of the reference's MPI direct-send exchange
+(``DirectSend/Base/DirectSendBase.cpp``), mapped onto ICI collectives per
+SURVEY.md §5/§7:
+
+  * each mesh device owns a shard of the brick table and renders its local
+    bricks into full-frame layers (domain parallelism ==
+    AMReX DistributionMapping);
+  * layer depth hints are ``all_gather``-ed (the MPI_Allgatherv at
+    DirectSendBase.cpp:345-361);
+  * the framebuffer's pixel axis is sharded D ways and every device's layer
+    pixel-chunks are exchanged with one ``all_to_all`` (the Isend/Irecv
+    piece exchange at cpp:76-177, as a single bulk-synchronous collective);
+  * each device folds *all* layers for its pixel shard in the global
+    (depth, owner, local-index) order with the same run-grouped blend
+    structure as composeLayered (cpp:378-446).
+
+Everything is a single jitted ``shard_map`` program: render + exchange +
+ordered fold, with XLA scheduling the collectives on ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..compositor import _composite_sorted_runs
+from ..ops.raymarch import render_bucket_impl
+
+AXIS = "ranks"
+
+
+def make_mesh(num_devices: int | None = None) -> Mesh:
+    """A 1D device mesh over the compositing axis."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _compose_shard(
+    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
+    hints: jnp.ndarray,  # [Lmax] this device's depth hints (+inf if invalid)
+) -> jnp.ndarray:
+    """Per-device body: exchange pixel chunks, fold in global order.
+
+    Returns this device's composited pixel shard [P / D, 5].
+    """
+    num_devices = jax.lax.psum(1, AXIS)
+    lmax, num_pixels, channels = layers.shape
+    shard = num_pixels // num_devices
+
+    # pixel-piece exchange: the all_to_all counterpart of PostSends/
+    # PostReceives (DirectSendBase.cpp:76-177)
+    chunks = layers.reshape(lmax, num_devices, shard, channels).transpose(1, 0, 2, 3)
+    received = jax.lax.all_to_all(chunks, AXIS, split_axis=0, concat_axis=0)
+    # received[s] = device s's layers restricted to *my* pixel shard
+    all_layers = received.reshape(num_devices * lmax, shard, channels)
+
+    # global depth-hint gather + sort (cpp:329-388).  The flattened
+    # [device, local] layout is already (owner, local index) ordered, so a
+    # stable argsort by depth yields the exact lexicographic order.
+    all_hints = jax.lax.all_gather(hints, AXIS)  # [D, Lmax]
+    owners = jax.lax.broadcasted_iota(jnp.int32, (num_devices, lmax), 0)
+    order = jnp.argsort(all_hints.reshape(-1), stable=True)
+    sorted_layers = jnp.take(all_layers, order, axis=0)
+    sorted_owners = jnp.take(owners.reshape(-1), order)
+
+    return _composite_sorted_runs(sorted_layers, sorted_owners)
+
+
+def composite_layers_sharded(
+    mesh: Mesh,
+    layers: jnp.ndarray,  # [D * Lmax, P, 5] global, shardable on axis 0
+    hints: jnp.ndarray,  # [D * Lmax]
+) -> jnp.ndarray:
+    """Composite pre-rendered layers across the mesh.  ``P`` must be a
+    multiple of the mesh size.  Returns the full [P, 5] frame (sharded on
+    the pixel axis across devices)."""
+    num_devices = mesh.devices.size
+    assert layers.shape[1] % num_devices == 0
+
+    compose = jax.jit(
+        jax.shard_map(
+            _compose_shard,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=P(AXIS),
+        )
+    )
+    return compose(layers, hints)
+
+
+def render_and_composite_sharded(
+    mesh: Mesh,
+    data: jnp.ndarray,  # [D * Bmax, nx, ny, nz] padded brick values
+    min_corner: jnp.ndarray,  # [D * Bmax, 3]
+    max_corner: jnp.ndarray,  # [D * Bmax, 3]
+    cell_dims: jnp.ndarray,  # [D * Bmax, 3] int32
+    color_table: jnp.ndarray,  # [D * Bmax, 256, 4]
+    sample_distance: jnp.ndarray,  # [D * Bmax]
+    valid: jnp.ndarray,  # [D * Bmax] bool — padding slots are False
+    depth_hints: jnp.ndarray,  # [D * Bmax] float32 (+inf for padding)
+    camera_arrays: Tuple[jnp.ndarray, ...],  # eye, forward, right, up
+    fov_y_degrees: float,
+    range_min: float,
+    inverse_range: float,
+    transform_scalars: Tuple[float, float, float],
+    *,
+    width: int,
+    height: int,
+    num_steps: int,
+    log_scale: bool,
+    normalize: bool,
+    clip_start: float,
+    apply_clip: bool,
+):
+    """The full multi-chip frame: sharded render + exchange + ordered fold.
+
+    Brick-table arrays are sharded over the mesh on their leading axis
+    (``Bmax`` bricks per device, padded); the result is the composited
+    [width * height, 5] frame, pixel-sharded across devices.
+    """
+    eye, fwd, right, up = camera_arrays
+    positive_floor, normalization_min, inverse_normalization_span = transform_scalars
+    num_devices = mesh.devices.size
+    num_pixels = width * height
+    assert num_pixels % num_devices == 0, (
+        "width * height must be divisible by the mesh size"
+    )
+
+    def step(b_data, b_min, b_max, b_dims, b_lut, b_step, b_valid, b_hints):
+        colors, depths = render_bucket_impl(
+            b_data,
+            b_min,
+            b_max,
+            b_dims,
+            b_lut,
+            b_step,
+            eye,
+            fwd,
+            right,
+            up,
+            jnp.float32(fov_y_degrees),
+            jnp.float32(range_min),
+            jnp.float32(inverse_range),
+            jnp.float32(positive_floor),
+            jnp.float32(normalization_min),
+            jnp.float32(inverse_normalization_span),
+            width=width,
+            height=height,
+            num_steps=num_steps,
+            log_scale=log_scale,
+            normalize=normalize,
+            clip_start=clip_start,
+            apply_clip=apply_clip,
+        )
+        layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
+        # clear padding slots so they blend as identity
+        mask = b_valid[:, None, None]
+        cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
+        layers = jnp.where(mask, layers, cleared)
+        hints = jnp.where(b_valid, b_hints, jnp.inf)
+        return _compose_shard(layers, hints)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 8,
+            out_specs=P(AXIS),
+        )
+    )
+    return sharded(
+        data,
+        min_corner,
+        max_corner,
+        cell_dims,
+        color_table,
+        sample_distance,
+        valid,
+        depth_hints,
+    )
+
+
+def shard_leading(mesh: Mesh, *arrays):
+    """Place arrays with their leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(AXIS))
+    return tuple(jax.device_put(a, sharding) for a in arrays)

@@ -49,7 +49,8 @@ class LevelBox:
 
     def __post_init__(self):
         self.lo = np.asarray(self.lo, dtype=np.int64)
-        assert self.data.ndim == 3
+        # 3D scalar data, or 4D with a trailing component axis (MultiFab ncomp)
+        assert self.data.ndim in (3, 4)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,158 @@
+"""End-to-end in-situ API tests: the insitu_example scene
+(Examples/RenderFromMultiFab.cpp) rendered through api.render."""
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu import api
+from amrvolumerenderer_tpu.types import CameraParameters, color_map_from_tuples
+
+
+def make_amr_data(r2_scene):
+    levels, geoms = r2_scene
+    return api.AmrData(level_data=levels, level_geometry=geoms)
+
+
+def test_insitu_render_produces_image(tmp_path, r2_scene):
+    data = make_amr_data(r2_scene)
+    options = api.RenderOptions(
+        width=64, height=64, output_filename=str(tmp_path / "multifab-render.ppm")
+    )
+    image, timing = api.render(data, options, verbose=False)
+    assert image.width == 64 and image.height == 64
+    # something visible was rendered
+    alpha = image.pixels[:, 3]
+    assert alpha.max() > 0.1
+    assert (alpha > 0).mean() > 0.05
+    # wireframe overlay puts white-ish pixels near the box silhouette
+    assert image.pixels[:, :3].max() > 0.9
+    assert (tmp_path / "multifab-render.ppm").exists()
+    assert timing.render_seconds >= 0
+
+
+def test_insitu_render_deterministic(tmp_path, r2_scene):
+    data = make_amr_data(r2_scene)
+    opts = api.RenderOptions(
+        width=32, height=32, output_filename=str(tmp_path / "a.ppm")
+    )
+    img1, _ = api.render(data, opts, verbose=False)
+    img2, _ = api.render(data, opts, verbose=False)
+    np.testing.assert_array_equal(img1.pixels, img2.pixels)
+
+
+def test_insitu_render_explicit_camera(tmp_path, r2_scene):
+    data = make_amr_data(r2_scene)
+    options = api.RenderOptions(
+        width=32,
+        height=32,
+        output_filename=str(tmp_path / "cam.ppm"),
+        camera=CameraParameters(
+            eye=(3.0, 2.0, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+            fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+        ),
+    )
+    image, _ = api.render(data, options, verbose=False)
+    assert image.pixels[:, 3].max() > 0.1
+
+
+def test_insitu_render_with_colormap_and_range(tmp_path, r2_scene):
+    data = make_amr_data(r2_scene)
+    options = api.RenderOptions(
+        width=32,
+        height=32,
+        output_filename=str(tmp_path / "cmap.png"),
+        scalar_range=(0.5, 2.5),
+        color_map=color_map_from_tuples(
+            [(0.5, 0, 0, 1, 0.0), (1.5, 0, 1, 0, 0.4), (2.5, 1, 0, 0, 0.9)]
+        ),
+    )
+    image, _ = api.render(data, options, verbose=False)
+    assert image.pixels[:, 3].max() > 0.05
+    assert (tmp_path / "cmap.png").exists()
+
+
+def test_box_transparency_one_renders_nothing(tmp_path, r2_scene):
+    data = make_amr_data(r2_scene)
+    options = api.RenderOptions(
+        width=32, height=32, box_transparency=1.0,
+        output_filename=str(tmp_path / "t.ppm"),
+    )
+    image, _ = api.render(data, options, verbose=False)
+    # alpha scale 0 => nothing accumulated except the wireframe overlay
+    interior = image.pixels[:, 3]
+    # overlay pixels exist but volume contribution is zero => alpha only on
+    # wireframe lines
+    assert (interior > 0).mean() < 0.35
+
+
+def test_antialiasing_must_be_square(r2_scene):
+    data = make_amr_data(r2_scene)
+    with pytest.raises(ValueError, match="perfect square"):
+        api.render(data, api.RenderOptions(antialiasing=2), verbose=False)
+
+
+def test_antialiased_render(tmp_path, r2_scene):
+    data = make_amr_data(r2_scene)
+    img1, _ = api.render(
+        data,
+        api.RenderOptions(
+            width=24, height=24, antialiasing=4,
+            output_filename=str(tmp_path / "aa.ppm"),
+        ),
+        verbose=False,
+    )
+    assert img1.width == 24 and img1.height == 24
+
+
+def test_invalid_colormap_rejected(r2_scene):
+    data = make_amr_data(r2_scene)
+    with pytest.raises(ValueError, match="at least two"):
+        api.render(
+            data,
+            api.RenderOptions(color_map=color_map_from_tuples([(0, 0, 0, 0, 0)])),
+            verbose=False,
+        )
+    with pytest.raises(ValueError, match="strictly increasing"):
+        api.render(
+            data,
+            api.RenderOptions(
+                color_map=color_map_from_tuples(
+                    [(1.0, 0, 0, 0, 0), (0.5, 0, 0, 0, 0)]
+                )
+            ),
+            verbose=False,
+        )
+
+
+def test_invalid_camera_rejected(r2_scene):
+    data = make_amr_data(r2_scene)
+    with pytest.raises(ValueError, match="distinct"):
+        api.render(
+            data,
+            api.RenderOptions(
+                camera=CameraParameters(eye=(1, 1, 1), look_at=(1, 1, 1), up=(0, 1, 0))
+            ),
+            verbose=False,
+        )
+
+
+def test_histogram(r2_scene):
+    data = make_amr_data(r2_scene)
+    hist = api.compute_histogram(data, api.HistogramOptions(bin_count=32))
+    assert hist.sample_count == 32**3
+    assert hist.bin_counts.sum() == 32**3
+    assert hist.normalized_range == (0.0, 1.0)
+    # r^2 field: low values dominate (volume of small-radius shells)
+    assert hist.bin_counts[:16].sum() > hist.bin_counts[16:].sum()
+
+
+def test_histogram_log_scale(r2_scene):
+    data = make_amr_data(r2_scene)
+    # shift to strictly positive values for log
+    levels, geoms = r2_scene
+    for box in levels[0]:
+        box.data = box.data + 0.01
+    hist = api.compute_histogram(
+        data, api.HistogramOptions(bin_count=16, log_scale_input=True)
+    )
+    assert hist.bin_counts.sum() == 32**3

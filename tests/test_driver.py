@@ -1,0 +1,134 @@
+"""Driver/CLI tests: option parsing parity and plotfile-driven rendering."""
+
+import numpy as np
+import pytest
+
+import amrvolumerenderer_tpu as avr
+from amrvolumerenderer_tpu.driver import (
+    main,
+    parse_options,
+    run_options,
+    RunOptions,
+)
+from amrvolumerenderer_tpu.plotfile import write_plotfile
+from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+
+@pytest.fixture
+def plotfile(tmp_path):
+    n = 16
+    coords = np.arange(n) / (n - 1)
+    field = (
+        coords[:, None, None] ** 2
+        + coords[None, :, None] ** 2
+        + coords[None, None, :] ** 2
+    )
+    boxes = [LevelBox(field, np.zeros(3, dtype=int))]
+    geom = LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))
+    path = str(tmp_path / "plt00000")
+    write_plotfile(path, [boxes], [geom], var_names=["density"])
+    return path
+
+
+def test_parse_options_full():
+    opts = parse_options(
+        [
+            "--width", "256", "--height", "128", "--antialiasing", "4",
+            "--box-transparency", "0.5", "--no-visibility-graph",
+            "--variable", "density", "--min-level", "1", "--max-level", "2",
+            "--log-scale", "--up-vector", "0", "0", "1",
+            "--output", "out.png", "--print-camera", "plt000",
+        ]
+    )
+    assert opts.parameters.width == 256
+    assert opts.parameters.height == 128
+    assert opts.parameters.antialiasing == 4
+    assert opts.parameters.box_transparency == 0.5
+    assert not opts.parameters.use_visibility_graph
+    assert opts.variable_name == "density"
+    assert opts.min_level == 1 and opts.max_level == 2
+    assert opts.log_scale_input
+    np.testing.assert_allclose(opts.parameters.camera_up, [0, 0, 1])
+    assert opts.output_filename == "out.png"
+    assert opts.parameters.print_camera
+    assert opts.plotfile_path == "plt000"
+
+
+def test_parse_options_errors():
+    with pytest.raises(RuntimeError, match="unknown option"):
+        parse_options(["--bogus", "plt0"])
+    with pytest.raises(RuntimeError, match="plotfile path is required"):
+        parse_options(["--width", "10"])
+    with pytest.raises(RuntimeError, match="multiple plot files"):
+        parse_options(["a", "b"])
+    with pytest.raises(RuntimeError, match="min level must not exceed"):
+        parse_options(["--min-level", "3", "--max-level", "1", "p"])
+    with pytest.raises(RuntimeError, match="missing value"):
+        parse_options(["p", "--width"])
+
+
+def test_main_help(capsys):
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "Usage: volume_renderer" in out
+
+
+def test_main_bad_option(capsys):
+    assert main(["--nope"]) == 1
+    err = capsys.readouterr().err
+    assert "Error parsing options" in err
+
+
+def test_run_options_renders_plotfile(tmp_path, plotfile):
+    out = str(tmp_path / "render.ppm")
+    options = RunOptions(plotfile_path=plotfile, output_filename=out)
+    options.parameters.width = 32
+    options.parameters.height = 32
+    assert run_options(options, verbose=False) == 0
+    from amrvolumerenderer_tpu.io import load_ppm
+
+    data, w, h = load_ppm(out)
+    assert (w, h) == (32, 32)
+    assert data.max() > 0.1
+
+
+def test_python_render_kwargs(tmp_path, plotfile):
+    out = str(tmp_path / "py.ppm")
+    code = avr.render(
+        plotfile, width=32, height=32, output=out,
+        camera_eye=(3.0, 2.0, 3.0), camera_look_at=(0.5, 0.5, 0.5),
+    )
+    assert code == 0
+    from amrvolumerenderer_tpu.io import load_ppm
+
+    data, _, _ = load_ppm(out)
+    assert data.max() > 0.1
+
+
+def test_python_render_camera_requires_eye_and_lookat(plotfile):
+    with pytest.raises(ValueError, match="camera_eye and camera_look_at"):
+        avr.render(plotfile, camera_fov_y=30.0)
+
+
+def test_compute_histogram_dict(plotfile):
+    result = avr.compute_histogram(plotfile, bins=32)
+    assert len(result["counts"]) == 32
+    assert result["samples"] == 16**3
+    assert result["normalized_range"] == [0.0, 1.0]
+    assert result["processed_range"] is not None
+    assert result["original_range"] is not None
+
+
+def test_scalar_range_override(tmp_path, plotfile):
+    out = str(tmp_path / "sr.ppm")
+    assert avr.render(
+        plotfile, width=24, height=24, output=out, scalar_range=(0.5, 2.0)
+    ) == 0
+
+
+def test_color_map_kwarg(tmp_path, plotfile):
+    out = str(tmp_path / "cm.ppm")
+    assert avr.render(
+        plotfile, width=24, height=24, output=out,
+        color_map=[(0.0, 0, 0, 1, 0.1), (3.0, 1, 0, 0, 0.8)],
+    ) == 0

@@ -1,0 +1,65 @@
+"""PPM/PNG writer tests: byte parity and row order."""
+
+import numpy as np
+
+from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
+from amrvolumerenderer_tpu.io import load_png, load_ppm, save_png, save_ppm
+
+
+def checkerboard(w=8, h=6):
+    img = ImageBuffer.create(ImageKind.RGBA_F32_DEPTH_SORT, w, h)
+    for y in range(h):
+        for x in range(w):
+            v = 1.0 if (x + y) % 2 == 0 else 0.25
+            img.set_color(x, y, (v, 0.5 * v, 1.0 - v, 1.0))
+    return img
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = checkerboard()
+    path = str(tmp_path / "out.ppm")
+    assert save_ppm(img, path)
+    data, w, h = load_ppm(path)
+    assert (w, h) == (8, 6)
+    expected = img.pixels[:, :3].reshape(6, 8, 3)
+    # byte codec: int(c*256) clamp, then /255 on read
+    expected_bytes = np.clip((expected * 256).astype(int), 0, 255) / 255.0
+    np.testing.assert_allclose(data, expected_bytes, atol=1e-6)
+
+
+def test_ppm_bottom_up_rows(tmp_path):
+    # red bottom row, blue top row; the *file* must start with the top row
+    img = ImageBuffer.create(ImageKind.RGBA_F32, 2, 2)
+    img.set_color(0, 0, (1, 0, 0, 1))
+    img.set_color(1, 0, (1, 0, 0, 1))
+    img.set_color(0, 1, (0, 0, 1, 1))
+    img.set_color(1, 1, (0, 0, 1, 1))
+    path = str(tmp_path / "rows.ppm")
+    save_ppm(img, path)
+    raw = open(path, "rb").read()
+    pixels = raw.split(b"255\n", 1)[1]
+    assert pixels[:3] == bytes([0, 0, 255])  # blue (row y=1) first in file
+    assert pixels[6:9] == bytes([255, 0, 0])  # red (row y=0) last
+
+
+def test_png_roundtrip(tmp_path):
+    img = checkerboard()
+    path = str(tmp_path / "out.png")
+    assert save_png(img, path)
+    data, w, h = load_png(path)
+    assert (w, h) == (8, 6)
+    expected = np.clip((img.pixels[:, :3].reshape(6, 8, 3) * 256).astype(int), 0, 255)
+    np.testing.assert_allclose(data * 255, expected, atol=0.5)
+
+
+def test_partial_region_blended_onto_blank(tmp_path):
+    # SavePPM.cpp:52-64: a region-windowed image is composited over a
+    # cleared frame before writing
+    img = ImageBuffer.create(ImageKind.RGBA_F32, 4, 4, 4, 12)
+    img.pixels[:] = [1.0, 1.0, 1.0, 1.0]
+    path = str(tmp_path / "partial.ppm")
+    assert save_ppm(img, path)
+    data, w, h = load_ppm(path)
+    assert data[0].sum() == 0.0  # first row empty
+    assert data[1].min() == 1.0  # middle rows white
+    assert data[3].sum() == 0.0

@@ -1,0 +1,112 @@
+"""Plotfile reader/writer and convexify tests."""
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu.amr import IndexBox, box_subtract, convexify
+from amrvolumerenderer_tpu.plotfile import read_plotfile_header, write_plotfile
+from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+
+def test_box_subtract_no_overlap():
+    box = IndexBox((0, 0, 0), (7, 7, 7))
+    cut = IndexBox((10, 10, 10), (12, 12, 12))
+    assert box_subtract(box, cut) == [box]
+
+
+def test_box_subtract_center_hole():
+    box = IndexBox((0, 0, 0), (7, 7, 7))
+    cut = IndexBox((2, 2, 2), (5, 5, 5))
+    pieces = box_subtract(box, cut)
+    # complement is covered exactly once
+    total = sum(np.prod(p.shape()) for p in pieces)
+    assert total == 8**3 - 4**3
+    for p in pieces:
+        assert not p.intersect(cut).valid()
+
+
+def test_box_subtract_full_cover():
+    box = IndexBox((2, 2, 2), (5, 5, 5))
+    cut = IndexBox((0, 0, 0), (7, 7, 7))
+    assert box_subtract(box, cut) == []
+
+
+def test_convexify_two_levels():
+    coarse = LevelBox(np.arange(8**3, dtype=np.float64).reshape(8, 8, 8),
+                      np.array([0, 0, 0]))
+    fine = LevelBox(np.ones((8, 8, 8)), np.array([4, 4, 4]))  # covers coarse (2:6)^3
+    out = convexify([[coarse], [fine]], [(2, 2, 2)])
+    assert len(out[1]) == 1
+    total = sum(np.prod(b.data.shape) for b in out[0])
+    assert total == 8**3 - 4**3
+    # cropped data matches the original field
+    for b in out[0]:
+        lo = b.lo
+        np.testing.assert_array_equal(
+            b.data,
+            coarse.data[
+                lo[0] : lo[0] + b.data.shape[0],
+                lo[1] : lo[1] + b.data.shape[1],
+                lo[2] : lo[2] + b.data.shape[2],
+            ],
+        )
+
+
+def test_convexify_single_level_is_identity():
+    box = LevelBox(np.ones((4, 4, 4)), np.zeros(3, dtype=int))
+    out = convexify([[box]], [])
+    assert len(out) == 1 and len(out[0]) == 1
+    np.testing.assert_array_equal(out[0][0].data, box.data)
+
+
+def test_plotfile_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    boxes = [
+        LevelBox(rng.random((8, 8, 8)), np.array([0, 0, 0])),
+        LevelBox(rng.random((8, 8, 8)), np.array([8, 0, 0])),
+    ]
+    geom = LevelGeometry(prob_lo=np.zeros(3), cell_size=np.full(3, 1.0 / 16))
+    path = str(tmp_path / "plt00000")
+    write_plotfile(path, [boxes], [geom], var_names=["density"])
+
+    pf = read_plotfile_header(path)
+    assert pf.var_names == ["density"]
+    assert pf.finest_level == 0
+    np.testing.assert_allclose(pf.cell_sizes[0], geom.cell_size)
+    back = pf.get_level_boxes(0, "density")
+    assert len(back) == 2
+    for orig, rb in zip(boxes, back):
+        np.testing.assert_allclose(rb.data, orig.data.astype(np.float32), atol=1e-7)
+        np.testing.assert_array_equal(rb.lo, orig.lo)
+
+
+def test_plotfile_multilevel_multivar(tmp_path):
+    rng = np.random.default_rng(5)
+    coarse = [LevelBox(rng.random((8, 8, 8, 2)), np.array([0, 0, 0]))]
+    fine = [LevelBox(rng.random((8, 8, 8, 2)), np.array([4, 4, 4]))]
+    geoms = [
+        LevelGeometry(np.zeros(3), np.full(3, 1.0 / 8)),
+        LevelGeometry(np.zeros(3), np.full(3, 1.0 / 16)),
+    ]
+    path = str(tmp_path / "plt00010")
+    write_plotfile(
+        path, [coarse, fine], geoms, var_names=["density", "temperature"],
+        ref_ratios=[2],
+    )
+    pf = read_plotfile_header(path)
+    assert pf.finest_level == 1
+    assert pf.ref_ratios == [2]
+    temp = pf.get_level_boxes(1, "temperature")
+    np.testing.assert_allclose(
+        temp[0].data, fine[0].data[..., 1].astype(np.float32), atol=1e-7
+    )
+
+
+def test_plotfile_missing_variable(tmp_path):
+    boxes = [LevelBox(np.ones((4, 4, 4)), np.zeros(3, dtype=int))]
+    geom = LevelGeometry(np.zeros(3), np.full(3, 0.25))
+    path = str(tmp_path / "plt0")
+    write_plotfile(path, [boxes], [geom])
+    pf = read_plotfile_header(path)
+    with pytest.raises(ValueError, match="not found"):
+        pf.get_level_boxes(0, "pressure")
