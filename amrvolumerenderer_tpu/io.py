@@ -41,11 +41,19 @@ def _full_frame(image: ImageBuffer) -> ImageBuffer:
 
 def save_ppm(image: ImageBuffer, filename: str) -> bool:
     image = _full_frame(image)
-    data = _rgb_bytes_bottom_up(image)
+    payload = None
+    if not image.kind.name.startswith("RGBA_U8"):
+        from . import native
+
+        payload = native.encode_ppm_pixels(
+            np.asarray(image.pixels, dtype=np.float32), image.width, image.height
+        )
+    if payload is None:
+        payload = _rgb_bytes_bottom_up(image).tobytes()
     try:
         with open(filename, "wb") as f:
             f.write(f"P6\n{image.width} {image.height}\n255\n".encode())
-            f.write(data.tobytes())
+            f.write(payload)
         return True
     except OSError:
         return False

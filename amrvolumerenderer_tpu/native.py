@@ -1,0 +1,172 @@
+"""ctypes bindings for the native host-runtime library (native/avr_native.cpp).
+
+The reference's host layer is C++; this module binds the rebuild's native
+equivalents (FAB decode, PPM encode, box downsample, visibility ordering).
+The library is built on demand with ``make -C native`` and every entry point
+has a pure-Python fallback, so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libavr_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _try_build() -> bool:
+    makefile = os.path.join(_NATIVE_DIR, "Makefile")
+    if not os.path.exists(makefile):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_LIB_PATH) and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    c_double_p = ctypes.POINTER(ctypes.c_double)
+    c_int_p = ctypes.POINTER(ctypes.c_int)
+    c_u8_p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.avr_decode_fab_f64.argtypes = [
+        c_double_p, c_float_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.avr_decode_fab_f32.argtypes = [
+        c_float_p, c_float_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.avr_encode_ppm.argtypes = [
+        c_float_p, c_u8_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.avr_downsample_box.argtypes = [
+        c_float_p, c_float_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.avr_visibility_order.argtypes = [
+        c_double_p, c_double_p, c_int_p, ctypes.c_int, ctypes.c_int,
+        c_float_p, c_float_p, c_double_p, c_int_p,
+    ]
+    lib.avr_visibility_order.restype = ctypes.c_int
+    _lib = lib
+    return _lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def decode_fab(raw: bytes, shape, dtype_bytes: int, little_endian: bool) -> Optional[np.ndarray]:
+    """Fortran-order FAB payload -> C-order float32 array, or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nx, ny, nz = shape
+    out = np.empty((nx, ny, nz), dtype=np.float32)
+    import sys
+
+    host_little = sys.byteorder == "little"
+    swap = 0 if little_endian == host_little else 1
+    src = np.frombuffer(raw, dtype=np.float64 if dtype_bytes == 8 else np.float32)
+    src = np.ascontiguousarray(src)
+    if dtype_bytes == 8:
+        lib.avr_decode_fab_f64(
+            _ptr(src, ctypes.c_double), _ptr(out, ctypes.c_float),
+            nx, ny, nz, swap,
+        )
+    else:
+        lib.avr_decode_fab_f32(
+            _ptr(src.view(np.float32), ctypes.c_float), _ptr(out, ctypes.c_float),
+            nx, ny, nz, swap,
+        )
+    return out
+
+
+def encode_ppm_pixels(pixels: np.ndarray, width: int, height: int) -> Optional[bytes]:
+    """float pixel rows [H*W, stride>=3] -> raw P6 RGB bytes (bottom-up)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pixels = np.ascontiguousarray(pixels, dtype=np.float32)
+    stride = pixels.shape[1]
+    out = np.empty(width * height * 3, dtype=np.uint8)
+    lib.avr_encode_ppm(
+        _ptr(pixels, ctypes.c_float), _ptr(out, ctypes.c_uint8),
+        width, height, stride,
+    )
+    return out.tobytes()
+
+
+def downsample_box(src: np.ndarray, target_width: int, target_height: int,
+                   block: int) -> Optional[np.ndarray]:
+    """Box-average downsample of [H*W, stride] float pixels -> 4-channel."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.float32)
+    out = np.zeros((target_width * target_height, 4), dtype=np.float32)
+    lib.avr_downsample_box(
+        _ptr(src, ctypes.c_float), _ptr(out, ctypes.c_float),
+        target_width, target_height, block, src.shape[1], 4,
+    )
+    return out
+
+
+def visibility_order(
+    box_min: np.ndarray,
+    box_max: np.ndarray,
+    owners: np.ndarray,
+    num_ranks: int,
+    modelview: np.ndarray,
+    projection: np.ndarray,
+    view_dir: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Native visibility ordering; None if unavailable or on graph failure
+    (caller falls back to the Python implementation / identity order)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(box_min)
+    box_min = np.ascontiguousarray(box_min, dtype=np.float64)
+    box_max = np.ascontiguousarray(box_max, dtype=np.float64)
+    owners = np.ascontiguousarray(owners, dtype=np.int32)
+    modelview = np.ascontiguousarray(modelview, dtype=np.float32)
+    projection = np.ascontiguousarray(projection, dtype=np.float32)
+    view_dir = np.ascontiguousarray(view_dir, dtype=np.float64)
+    out = np.zeros(num_ranks, dtype=np.int32)
+    ok = lib.avr_visibility_order(
+        _ptr(box_min, ctypes.c_double), _ptr(box_max, ctypes.c_double),
+        _ptr(owners, ctypes.c_int), n, num_ranks,
+        _ptr(modelview, ctypes.c_float), _ptr(projection, ctypes.c_float),
+        _ptr(view_dir, ctypes.c_double), _ptr(out, ctypes.c_int),
+    )
+    return out if ok else None

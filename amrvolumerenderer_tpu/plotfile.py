@@ -194,9 +194,18 @@ class _FabFile:
         shape = tuple(hi[d] - lo[d] + 1 for d in range(3))
         count = shape[0] * shape[1] * shape[2]
         little = order[0] > order[-1]  # (8 7 ... 1) => little endian
-        dtype = np.dtype(("<" if little else ">") + ("f8" if nbytes == 8 else "f4"))
         f.seek(component * count * nbytes, os.SEEK_CUR)
-        raw = np.frombuffer(f.read(count * nbytes), dtype=dtype)
+        payload = f.read(count * nbytes)
+
+        # native decode path (Fortran->C transpose + byteswap in C++)
+        from . import native
+
+        decoded = native.decode_fab(payload, shape, nbytes, little)
+        if decoded is not None:
+            return decoded
+
+        dtype = np.dtype(("<" if little else ">") + ("f8" if nbytes == 8 else "f4"))
+        raw = np.frombuffer(payload, dtype=dtype)
         # FAB data is Fortran order (x fastest); expose as [i, j, k] C-indexable
         data = raw.reshape(shape, order="F")
         return np.ascontiguousarray(data, dtype=np.float32)

@@ -248,11 +248,21 @@ def downsample_image(
     block = max(sqrt_aa, 1)
     if block <= 1:
         raise ValueError("downsample expects sqrtAA > 1")
-    src = source.pixels[:, :4].reshape(source.height, source.width, 4)
-    src = src.reshape(target_height, block, target_width, block, 4)
-    avg = src.mean(axis=(1, 3)).astype(np.float32)
     out = ImageBuffer.create(ImageKind.RGBA_F32_DEPTH_SORT, target_width, target_height)
-    out.pixels[:, :4] = avg.reshape(-1, 4)
+
+    from . import native
+
+    avg = native.downsample_box(
+        np.asarray(source.pixels, dtype=np.float32),
+        target_width,
+        target_height,
+        block,
+    )
+    if avg is None:
+        src = source.pixels[:, :4].reshape(source.height, source.width, 4)
+        src = src.reshape(target_height, block, target_width, block, 4)
+        avg = src.mean(axis=(1, 3)).astype(np.float32).reshape(-1, 4)
+    out.pixels[:, :4] = avg
     out.pixels[:, 4] = np.inf
     return out
 

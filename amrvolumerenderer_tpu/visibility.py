@@ -317,6 +317,23 @@ def build_visibility_order(
         camera.fov_y_degrees, aspect, camera.near_plane, camera.far_plane
     )
 
+    # Native graph builder (same algorithm in C++; skipped when a DOT dump
+    # is requested since export happens in the Python path).
+    if not write_visibility_graph:
+        from . import native
+
+        native_order = native.visibility_order(
+            np.asarray(box_min, dtype=np.float64),
+            np.asarray(box_max, dtype=np.float64),
+            np.asarray(owners, dtype=np.int32),
+            num_ranks,
+            modelview,
+            projection,
+            safe_normalize(camera.look_at - camera.eye),
+        )
+        if native_order is not None:
+            return native_order
+
     def update_depth(info: _BoxInfo):
         info.min_depth, info.max_depth = _compute_depth_range(
             modelview, projection, info.min_corner, info.max_corner

@@ -1,0 +1,418 @@
+// Native host-runtime components for amrvolumerenderer_tpu.
+//
+// The reference implementation's host layer is C++ (plotfile FAB ingestion
+// via AMReX, PPM/PNG encode, the visibility graph builder in
+// Common/VisibilityOrdering.cpp).  This library provides the TPU-native
+// rebuild's equivalents for the host-side hot paths, exposed through a
+// plain C ABI consumed via ctypes (amrvolumerenderer_tpu/native.py):
+//
+//   avr_decode_fab_f64 / _f32 : Fortran-order FAB payload -> C-order f32
+//   avr_encode_ppm            : float RGBA rows -> P6 pixel bytes
+//                               (bottom-up rows, Mesa clamp(int(c*256)))
+//   avr_downsample_box        : supersample box-average downsample
+//   avr_visibility_order      : camera-dependent topological rank ordering
+//                               with cycle-breaking box splits
+//
+// Build: make -C native   (produces libavr_native.so)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FAB payload decode: Fortran-order (x fastest) doubles/floats, optional
+// byteswap, into a C-order [nx][ny][nz] float32 array.
+// ---------------------------------------------------------------------------
+
+static inline double bswap64(double v) {
+  uint64_t u;
+  std::memcpy(&u, &v, 8);
+  u = __builtin_bswap64(u);
+  std::memcpy(&v, &u, 8);
+  return v;
+}
+
+static inline float bswap32(float v) {
+  uint32_t u;
+  std::memcpy(&u, &v, 4);
+  u = __builtin_bswap32(u);
+  std::memcpy(&v, &u, 4);
+  return v;
+}
+
+void avr_decode_fab_f64(const double* src, float* dst, int nx, int ny, int nz,
+                        int swap) {
+  // src is Fortran order: src[i + nx*(j + ny*k)]; dst is C order
+  // dst[(i*ny + j)*nz + k]
+  for (int k = 0; k < nz; ++k) {
+    for (int j = 0; j < ny; ++j) {
+      const double* col = src + static_cast<int64_t>(nx) * (j + static_cast<int64_t>(ny) * k);
+      for (int i = 0; i < nx; ++i) {
+        double v = col[i];
+        if (swap) v = bswap64(v);
+        dst[(static_cast<int64_t>(i) * ny + j) * nz + k] = static_cast<float>(v);
+      }
+    }
+  }
+}
+
+void avr_decode_fab_f32(const float* src, float* dst, int nx, int ny, int nz,
+                        int swap) {
+  for (int k = 0; k < nz; ++k) {
+    for (int j = 0; j < ny; ++j) {
+      const float* col = src + static_cast<int64_t>(nx) * (j + static_cast<int64_t>(ny) * k);
+      for (int i = 0; i < nx; ++i) {
+        float v = col[i];
+        if (swap) v = bswap32(v);
+        dst[(static_cast<int64_t>(i) * ny + j) * nz + k] = v;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PPM pixel encode: float RGBA [height][width][stride] -> RGB bytes with
+// bottom-to-top row order and the Mesa-compatible clamp(int(c * 256))
+// byte conversion (reference Common/Color.hpp:66-91, SavePPM.cpp:25).
+// ---------------------------------------------------------------------------
+
+void avr_encode_ppm(const float* pixels, uint8_t* out, int width, int height,
+                    int stride) {
+  int64_t pos = 0;
+  for (int y = height - 1; y >= 0; --y) {
+    const float* row = pixels + static_cast<int64_t>(y) * width * stride;
+    for (int x = 0; x < width; ++x) {
+      const float* px = row + static_cast<int64_t>(x) * stride;
+      for (int c = 0; c < 3; ++c) {
+        int tv = static_cast<int>(px[c] * 256.0f);
+        tv = tv < 0 ? 0 : (tv > 255 ? 255 : tv);
+        out[pos++] = static_cast<uint8_t>(tv);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Supersample box-average downsample (VolumeRenderer.cpp:479-528): average
+// block x block source pixels per output pixel over 4 channels.
+// ---------------------------------------------------------------------------
+
+void avr_downsample_box(const float* src, float* dst, int target_width,
+                        int target_height, int block, int src_stride,
+                        int dst_stride) {
+  const int src_width = target_width * block;
+  const float inv = 1.0f / static_cast<float>(block * block);
+  for (int y = 0; y < target_height; ++y) {
+    for (int x = 0; x < target_width; ++x) {
+      float sum[4] = {0, 0, 0, 0};
+      for (int dy = 0; dy < block; ++dy) {
+        const float* row =
+            src + (static_cast<int64_t>(y) * block + dy) * src_width * src_stride;
+        for (int dx = 0; dx < block; ++dx) {
+          const float* px = row + (static_cast<int64_t>(x) * block + dx) * src_stride;
+          for (int c = 0; c < 4; ++c) sum[c] += px[c];
+        }
+      }
+      float* opx =
+          dst + (static_cast<int64_t>(y) * target_width + x) * dst_stride;
+      for (int c = 0; c < 4; ++c) opx[c] = sum[c] * inv;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Visibility ordering (reference Common/VisibilityOrdering.cpp:63-632):
+// clip-space depth ranges per box, face-adjacency DAG, Kahn topological sort
+// with depth-priority tie-break, DFS cycle detection, cycle-breaking splits
+// along the dominant view axis, first-visit owner permutation.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BoxInfo {
+  double mn[3];
+  double mx[3];
+  int owner;
+  float min_depth;
+  float max_depth;
+};
+
+struct VisContext {
+  const float* modelview;   // row-major 4x4
+  const float* projection;  // row-major 4x4
+  double view_dir[3];
+};
+
+void compute_depth_range(const VisContext& ctx, BoxInfo& b) {
+  float mn = std::numeric_limits<float>::infinity();
+  float mx = -std::numeric_limits<float>::infinity();
+  for (int idx = 0; idx < 8; ++idx) {
+    float corner[4] = {
+        static_cast<float>((idx & 1) ? b.mx[0] : b.mn[0]),
+        static_cast<float>((idx & 2) ? b.mx[1] : b.mn[1]),
+        static_cast<float>((idx & 4) ? b.mx[2] : b.mn[2]), 1.0f};
+    float vs[4], cs[4];
+    for (int r = 0; r < 4; ++r) {
+      vs[r] = 0.0f;
+      for (int c = 0; c < 4; ++c) vs[r] += ctx.modelview[r * 4 + c] * corner[c];
+    }
+    for (int r = 0; r < 4; ++r) {
+      cs[r] = 0.0f;
+      for (int c = 0; c < 4; ++c) cs[r] += ctx.projection[r * 4 + c] * vs[c];
+    }
+    if (cs[3] != 0.0f) {
+      float nd = cs[2] / cs[3];
+      mn = std::min(mn, nd);
+      mx = std::max(mx, nd);
+    }
+  }
+  if (!std::isfinite(mn) || !std::isfinite(mx)) {
+    mn = std::numeric_limits<float>::infinity();
+    mx = std::numeric_limits<float>::infinity();
+  }
+  b.min_depth = mn;
+  b.max_depth = mx;
+}
+
+inline bool nearly_equal(double a, double b) {
+  double scale = std::max({1.0, std::fabs(a), std::fabs(b)});
+  return std::fabs(a - b) <= 1e-5 * scale;
+}
+
+inline bool overlaps(double a_min, double a_max, double b_min, double b_max) {
+  double lo = std::max(a_min, b_min);
+  double hi = std::min(a_max, b_max);
+  double scale = std::max({1.0, std::fabs(a_min), std::fabs(a_max),
+                           std::fabs(b_min), std::fabs(b_max), std::fabs(lo),
+                           std::fabs(hi)});
+  return (hi - lo) > 1e-5 * scale;
+}
+
+constexpr double kDirTol = 1e-6;
+
+void rebuild_adjacency(const std::vector<BoxInfo>& boxes,
+                       const double view_dir[3],
+                       std::vector<std::vector<int>>& adjacency,
+                       std::vector<int>& indegree) {
+  const int n = static_cast<int>(boxes.size());
+  adjacency.assign(n, {});
+  indegree.assign(n, 0);
+  auto add_edge = [&](int from, int to) {
+    if (from == to) return;
+    auto& e = adjacency[from];
+    if (std::find(e.begin(), e.end(), to) == e.end()) {
+      e.push_back(to);
+      ++indegree[to];
+    }
+  };
+  for (int i = 0; i < n; ++i) {
+    const BoxInfo& a = boxes[i];
+    for (int j = i + 1; j < n; ++j) {
+      const BoxInfo& b = boxes[j];
+      for (int axis = 0; axis < 3; ++axis) {
+        int a1 = (axis + 1) % 3, a2 = (axis + 2) % 3;
+        if (!overlaps(a.mn[a1], a.mx[a1], b.mn[a1], b.mx[a1])) continue;
+        if (!overlaps(a.mn[a2], a.mx[a2], b.mn[a2], b.mx[a2])) continue;
+        double d = view_dir[axis];
+        if (nearly_equal(a.mx[axis], b.mn[axis])) {
+          if (d > kDirTol)
+            add_edge(j, i);
+          else if (d < -kDirTol)
+            add_edge(i, j);
+        } else if (nearly_equal(b.mx[axis], a.mn[axis])) {
+          if (d > kDirTol)
+            add_edge(i, j);
+          else if (d < -kDirTol)
+            add_edge(j, i);
+        }
+      }
+    }
+  }
+}
+
+bool compare_boxes(const std::vector<BoxInfo>& boxes, int lhs, int rhs) {
+  const BoxInfo& a = boxes[lhs];
+  const BoxInfo& b = boxes[rhs];
+  bool af = std::isfinite(a.min_depth), bf = std::isfinite(b.min_depth);
+  if (af != bf) return af && !bf;
+  if (a.min_depth == b.min_depth) {
+    if (a.max_depth == b.max_depth) {
+      if (a.owner == b.owner) return lhs < rhs;
+      return a.owner < b.owner;
+    }
+    return a.max_depth < b.max_depth;
+  }
+  return a.min_depth < b.min_depth;
+}
+
+}  // namespace
+
+// Returns 1 on success (order_out filled, length num_ranks), 0 on failure
+// (caller should fall back to identity order).
+int avr_visibility_order(const double* box_min,  // [n][3]
+                         const double* box_max,  // [n][3]
+                         const int* owners,      // [n]
+                         int num_boxes, int num_ranks,
+                         const float* modelview,   // row-major 4x4
+                         const float* projection,  // row-major 4x4
+                         const double* view_dir,   // [3]
+                         int* order_out) {
+  VisContext ctx{modelview, projection,
+                 {view_dir[0], view_dir[1], view_dir[2]}};
+
+  std::vector<BoxInfo> boxes(num_boxes);
+  for (int i = 0; i < num_boxes; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      boxes[i].mn[d] = box_min[i * 3 + d];
+      boxes[i].mx[d] = box_max[i * 3 + d];
+    }
+    boxes[i].owner = owners[i];
+    compute_depth_range(ctx, boxes[i]);
+  }
+
+  const int max_iterations = std::max(num_boxes, 1) * 8 + 32;
+  std::vector<std::vector<int>> adjacency;
+  std::vector<int> indegree;
+
+  for (int iteration = 0; iteration < max_iterations; ++iteration) {
+    rebuild_adjacency(boxes, ctx.view_dir, adjacency, indegree);
+
+    // Kahn with depth-priority pops
+    const int n = static_cast<int>(boxes.size());
+    std::vector<int> indeg = indegree;
+    std::vector<int> ready;
+    for (int i = 0; i < n; ++i)
+      if (indeg[i] == 0) ready.push_back(i);
+    auto cmp = [&](int l, int r) { return compare_boxes(boxes, l, r); };
+    std::sort(ready.begin(), ready.end(), cmp);
+    std::vector<int> order;
+    order.reserve(n);
+    while (!ready.empty()) {
+      int cur = ready.front();
+      ready.erase(ready.begin());
+      order.push_back(cur);
+      for (int nxt : adjacency[cur]) {
+        if (--indeg[nxt] == 0) ready.push_back(nxt);
+      }
+      std::sort(ready.begin(), ready.end(), cmp);
+    }
+
+    if (static_cast<int>(order.size()) == n) {
+      std::vector<int> visited(num_ranks, 0);
+      int pos = 0;
+      for (int bi : order) {
+        int o = boxes[bi].owner;
+        if (o >= 0 && o < num_ranks && !visited[o]) {
+          visited[o] = 1;
+          order_out[pos++] = o;
+        }
+      }
+      for (int o = 0; o < num_ranks; ++o)
+        if (!visited[o]) order_out[pos++] = o;
+      return 1;
+    }
+
+    // find a cycle among unresolved nodes (iterative DFS)
+    std::vector<int> state(n, 0), parent(n, -1), cycle;
+    for (int start = 0; start < n && cycle.empty(); ++start) {
+      if (indeg[start] <= 0 || state[start] != 0) continue;
+      std::vector<std::pair<int, size_t>> stack{{start, 0}};
+      state[start] = 1;
+      while (!stack.empty() && cycle.empty()) {
+        auto& [cur, edge_idx] = stack.back();
+        if (edge_idx < adjacency[cur].size()) {
+          int nxt = adjacency[cur][edge_idx++];
+          if (state[nxt] == 0) {
+            parent[nxt] = cur;
+            state[nxt] = 1;
+            stack.push_back({nxt, 0});
+          } else if (state[nxt] == 1) {
+            cycle.push_back(nxt);
+            for (int w = cur; w != nxt && w != -1; w = parent[w])
+              cycle.push_back(w);
+            std::reverse(cycle.begin(), cycle.end());
+          }
+        } else {
+          state[cur] = 2;
+          stack.pop_back();
+        }
+      }
+    }
+    if (cycle.size() < 2) return 0;
+
+    // break the cycle: split the widest box along the dominant view axis
+    int chosen_axis = 0;
+    double best = std::fabs(ctx.view_dir[0]);
+    for (int axis = 1; axis < 3; ++axis) {
+      double al = std::fabs(ctx.view_dir[axis]);
+      if (al > best) {
+        best = al;
+        chosen_axis = axis;
+      }
+    }
+    if (best <= kDirTol) {
+      double widest = -1.0;
+      for (int axis = 0; axis < 3; ++axis)
+        for (int idx : cycle) {
+          double len = boxes[idx].mx[axis] - boxes[idx].mn[axis];
+          if (len > widest) {
+            widest = len;
+            chosen_axis = axis;
+          }
+        }
+    }
+    double dir_component = ctx.view_dir[chosen_axis];
+    if (std::fabs(dir_component) <= kDirTol) return 0;
+
+    const double min_len_tol = 1e-6;
+    int target = cycle.front();
+    double target_len = -1.0;
+    for (int idx : cycle) {
+      double len = boxes[idx].mx[chosen_axis] - boxes[idx].mn[chosen_axis];
+      if (len > target_len && len > min_len_tol) {
+        target_len = len;
+        target = idx;
+      }
+    }
+    if (target_len <= min_len_tol) return 0;
+
+    BoxInfo tb = boxes[target];
+    double min_val = tb.mn[chosen_axis], max_val = tb.mx[chosen_axis];
+    double epsilon = std::max(1e-5 * (max_val - min_val), 1e-6);
+    std::vector<double> candidates;
+    for (int idx : cycle) {
+      if (idx == target) continue;
+      for (double v : {boxes[idx].mn[chosen_axis], boxes[idx].mx[chosen_axis]})
+        if (v > min_val + epsilon && v < max_val - epsilon)
+          candidates.push_back(v);
+    }
+    double split = 0.5 * (min_val + max_val);
+    if (!candidates.empty())
+      split = dir_component > 0.0
+                  ? *std::max_element(candidates.begin(), candidates.end())
+                  : *std::min_element(candidates.begin(), candidates.end());
+    split = std::min(std::max(split, min_val + epsilon), max_val - epsilon);
+    if (!(split > min_val && split < max_val)) return 0;
+
+    BoxInfo near_box = tb, far_box = tb;
+    if (dir_component > 0.0) {
+      near_box.mx[chosen_axis] = split;
+      far_box.mn[chosen_axis] = split;
+    } else {
+      near_box.mn[chosen_axis] = split;
+      far_box.mx[chosen_axis] = split;
+    }
+    compute_depth_range(ctx, near_box);
+    compute_depth_range(ctx, far_box);
+    boxes[target] = near_box;
+    boxes.push_back(far_box);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,118 @@
+"""Native library tests: C++ paths must match the Python implementations."""
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu import native
+
+
+requires_native = pytest.mark.skipif(
+    native.get_lib() is None, reason="native library unavailable"
+)
+
+
+@requires_native
+def test_decode_fab_f64_roundtrip():
+    rng = np.random.default_rng(0)
+    data = rng.random((5, 7, 3))
+    raw = np.asfortranarray(data.astype("<f8")).tobytes(order="F")
+    out = native.decode_fab(raw, (5, 7, 3), 8, little_endian=True)
+    np.testing.assert_allclose(out, data.astype(np.float32))
+
+
+@requires_native
+def test_decode_fab_f64_bigendian():
+    rng = np.random.default_rng(1)
+    data = rng.random((4, 4, 4))
+    raw = np.asfortranarray(data.astype(">f8")).tobytes(order="F")
+    out = native.decode_fab(raw, (4, 4, 4), 8, little_endian=False)
+    np.testing.assert_allclose(out, data.astype(np.float32))
+
+
+@requires_native
+def test_decode_fab_f32():
+    rng = np.random.default_rng(2)
+    data = rng.random((3, 6, 2)).astype(np.float32)
+    raw = np.asfortranarray(data).tobytes(order="F")
+    out = native.decode_fab(raw, (3, 6, 2), 4, little_endian=True)
+    np.testing.assert_array_equal(out, data)
+
+
+@requires_native
+def test_encode_ppm_matches_python():
+    from amrvolumerenderer_tpu.image import color_to_byte
+
+    rng = np.random.default_rng(3)
+    w, h = 7, 5
+    pixels = rng.random((w * h, 5)).astype(np.float32) * 1.2 - 0.1
+    got = native.encode_ppm_pixels(pixels, w, h)
+    expected = color_to_byte(pixels[:, :3].reshape(h, w, 3))[::-1].tobytes()
+    assert got == expected
+
+
+@requires_native
+def test_downsample_matches_python():
+    rng = np.random.default_rng(4)
+    tw, th, block = 6, 4, 2
+    src = rng.random((tw * block * th * block, 5)).astype(np.float32)
+    got = native.downsample_box(src, tw, th, block)
+    ref = (
+        src[:, :4]
+        .reshape(th, block, tw, block, 4)
+        .mean(axis=(1, 3))
+        .astype(np.float32)
+        .reshape(-1, 4)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@requires_native
+def test_native_visibility_matches_python():
+    from amrvolumerenderer_tpu.camera import (
+        make_perspective_matrix,
+        make_view_matrix,
+        safe_normalize,
+    )
+    from amrvolumerenderer_tpu.types import CameraParameters
+    from amrvolumerenderer_tpu import visibility as vis
+
+    rng = np.random.default_rng(5)
+    # grid of boxes with random owners
+    mins, maxs = [], []
+    for i in range(3):
+        for j in range(2):
+            for k in range(3):
+                mins.append([i, j, k])
+                maxs.append([i + 1, j + 1, k + 1])
+    box_min = np.array(mins, dtype=np.float64)
+    box_max = np.array(maxs, dtype=np.float64)
+    owners = rng.integers(0, 6, len(mins)).astype(np.int32)
+
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        eye = r.uniform(-8, 8, 3) + np.array([1.5, 1.0, 1.5])
+        cam = CameraParameters(
+            eye=eye, look_at=(1.5, 1.0, 1.5), up=(0, 1, 0),
+            fov_y_degrees=45.0, near_plane=0.1, far_plane=100.0,
+        )
+        modelview = make_view_matrix(cam.eye, cam.look_at, cam.up)
+        projection = make_perspective_matrix(45.0, 1.0, 0.1, 100.0)
+        got = native.visibility_order(
+            box_min, box_max, owners, 6, modelview, projection,
+            safe_normalize(cam.look_at - cam.eye),
+        )
+        assert got is not None
+        # python reference (force the pure-python path via DOT-less direct
+        # call on a copy of the module internals)
+        import amrvolumerenderer_tpu.native as native_mod
+
+        lib = native_mod._lib
+        native_mod._lib = None
+        native_mod._load_attempted = True
+        try:
+            expected = vis.build_visibility_order(
+                cam, 1.0, box_min, box_max, owners, 6
+            )
+        finally:
+            native_mod._lib = lib
+        np.testing.assert_array_equal(got, expected)
