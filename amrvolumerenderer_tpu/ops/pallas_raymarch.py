@@ -201,7 +201,7 @@ def _kernel(
 
     out = jnp.stack([acc_r, acc_g, acc_b, acc_a], axis=-1)  # [S, L, 4]
     color_ref[0] = out.reshape(TILE_P, 4)
-    depth_ref[0] = depth.reshape(TILE_P)
+    depth_ref[0] = depth  # [SUBLANES, LANES]
 
 
 @functools.partial(
@@ -258,7 +258,7 @@ def pallas_render_bucket(
         out_specs=[
             pl.BlockSpec((1, TILE_P, 4), lambda b, t, *_: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_P), lambda b, t, *_: (b, t),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda b, t, *_: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -268,11 +268,13 @@ def pallas_render_bucket(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_bricks, num_pixels, 4), jnp.float32),
-            jax.ShapeDtypeStruct((num_bricks, num_pixels), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_pixels // LANES, LANES), jnp.float32
+            ),
         ],
         interpret=interpret,
     )(cam, meta, dims, data, lut)
-    return colors, depths
+    return colors, depths.reshape(num_bricks, num_pixels)
 
 
 def pack_camera(

@@ -1,0 +1,498 @@
+"""Slice-marching Pallas renderer: the TPU-native fast path.
+
+The reference ray-marcher takes fixed world-space steps along each ray with
+nearest-cell sampling (Common/VolumePainter.cpp:837-900).  A literal port
+needs an arbitrary 3D gather per sample, which TPUs do not have: Mosaic
+only supports same-shape [8, 128] vreg gathers (``take_along_axis``), and
+XLA's general gather executes near-scalar rates (~0.07 Gsamples/s measured).
+
+This kernel re-derives the integrator around that constraint:
+
+  * **March along the dominant view axis, slice by slice.**  For slice k
+    (cell-centered plane z_k), every ray samples the slice where it crosses
+    the plane: t_k = (z_k - eye_a) / d_a.  One loop iteration touches ONE
+    brick slice.
+  * **A slice is one vreg.**  Bricks are pre-split so a slice has at most
+    1024 cells; the slice lives in VMEM as an [8, 128] tile.  The arbitrary
+    2D sample gather decomposes into 8 sublane broadcasts + lane gathers +
+    selects — all native vreg ops (~8 Gsamples/s measured pattern rate).
+  * **Per-ray opacity correction.**  Between slices a ray advances
+    dt = cell_a / |d_a| (constant per ray).  The LUT stores
+    L = log(1 - alpha_ref) and the kernel applies the step-normalized
+    opacity  alpha = 1 - exp(L * dt / reference_distance)  — the same
+    normalization law as the reference (VolumePainter.cpp:107-125) with a
+    per-ray instead of per-brick step ratio.
+  * Rays whose march-axis direction component is negative iterate slices
+    in reverse; the kernel loads both candidate slices and selects, so
+    mixed-sign tiles stay correct.
+
+Results agree with the reference integrator to the pixel-parity tolerance
+on smooth fields (integration abscissae differ; both converge to the same
+volume-rendering integral as the step shrinks).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+TILE_P = LANES * SUBLANES  # pixels per program instance
+SLICE_CELLS = LANES * SUBLANES  # max cells per brick slice
+
+COLOR_TABLE_SIZE = 256
+LUT_ROWS = COLOR_TABLE_SIZE // LANES  # 2
+
+
+def _gather_slice(slice_tile: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
+    """out[i,j] = slice_tile[row[i,j], col[i,j]] via 8x broadcast+lane-gather.
+
+    ``slice_tile`` [8, 128]; ``row`` in [0, 8); ``col`` in [0, 128)."""
+    out = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    for rr in range(SUBLANES):
+        bcast = jax.lax.broadcast_in_dim(slice_tile[rr, :], (SUBLANES, LANES), (1,))
+        v = jnp.take_along_axis(bcast, col, axis=1)
+        out = jnp.where(row == rr, v, out)
+    return out
+
+
+def _gather_lut(lut_tile: jnp.ndarray, idx: jnp.ndarray):
+    """out[i,j] = lut_tile.reshape(-1)[idx[i,j]] for a [LUT_ROWS, 128] table."""
+    col = idx % LANES
+    row = idx // LANES
+    out = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    for rr in range(LUT_ROWS):
+        bcast = jax.lax.broadcast_in_dim(lut_tile[rr, :], (SUBLANES, LANES), (1,))
+        v = jnp.take_along_axis(bcast, col, axis=1)
+        out = jnp.where(row == rr, v, out)
+    return out
+
+
+def _kernel(
+    cam_ref,  # [20] f32: eye(3) fwd(3) right(3) up(3) tanHalfFov aspect
+    #           range_min inverse_range ref_distance pad(3)
+    meta_ref,  # [B, 12] f32: pmin(3) pmax(3) cell(3) _pad(3)  (permuted axes)
+    dims_ref,  # [B, 8] i32: n_slices nu nv perm0 perm1 perm2 pad pad
+    vol_ref,  # [1, S_max, 8, 128] VMEM: permuted brick, slice-flattened
+    lut_ref,  # [1, 4, LUT_ROWS, 128] VMEM: r g b L channels
+    color_ref,  # [1, TILE_P, 4] out
+    depth_ref,  # [1, SUBLANES, LANES] out
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    eye_w = [cam_ref[i] for i in range(3)]
+    fwd = [cam_ref[3 + i] for i in range(3)]
+    right = [cam_ref[6 + i] for i in range(3)]
+    up = [cam_ref[9 + i] for i in range(3)]
+    tan_half_fov = cam_ref[12]
+    aspect = cam_ref[13]
+    range_min = cam_ref[14]
+    inverse_range = cam_ref[15]
+    ref_distance = cam_ref[16]
+
+    pmin = [meta_ref[b, i] for i in range(3)]
+    pmax = [meta_ref[b, 3 + i] for i in range(3)]
+    cell = [meta_ref[b, 6 + i] for i in range(3)]
+    n_slices = dims_ref[b, 0]
+    nu = dims_ref[b, 1]
+    nv = dims_ref[b, 2]
+    perm = [dims_ref[b, 3 + i] for i in range(3)]
+
+    # ---- per-tile ray setup (world space) ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    pix = t * TILE_P + sub * LANES + lane
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    ndc_x = (px + 0.5) * (2.0 / width) - 1.0
+    ndc_y = (py + 0.5) * (2.0 / height) - 1.0
+    plane_x = ndc_x * tan_half_fov * aspect
+    plane_y = ndc_y * tan_half_fov
+    d_w = [fwd[i] + plane_x * right[i] + plane_y * up[i] for i in range(3)]
+    len_sq = d_w[0] ** 2 + d_w[1] ** 2 + d_w[2] ** 2
+    inv_len = jnp.where(len_sq > 0.0, jax.lax.rsqrt(len_sq), 0.0)
+    d_w = [di * inv_len for di in d_w]
+
+    # permute ray into brick axis order (march axis first)
+    def pick(vals, p):
+        out = vals[2]
+        out = jnp.where(p == 0, vals[0], out)
+        out = jnp.where(p == 1, vals[1], out)
+        return out
+
+    def pick_vec(vecs, p):
+        out = vecs[2]
+        out = jnp.where(p == 0, vecs[0], out)
+        out = jnp.where(p == 1, vecs[1], out)
+        return out
+
+    eye = [pick(eye_w, perm[i]) for i in range(3)]
+    d = [pick_vec(d_w, perm[i]) for i in range(3)]
+
+    # slab test in permuted space for hit mask + entry depth
+    inf = jnp.float32(np.inf)
+    tmin = jnp.full((SUBLANES, LANES), -np.inf, jnp.float32)
+    tmax = jnp.full((SUBLANES, LANES), np.inf, jnp.float32)
+    for axis in range(3):
+        parallel = jnp.abs(d[axis]) < 1e-8
+        safe = jnp.where(parallel, 1.0, d[axis])
+        inv = 1.0 / safe
+        t1 = (pmin[axis] - eye[axis]) * inv
+        t2 = (pmax[axis] - eye[axis]) * inv
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        inside_axis = (eye[axis] >= pmin[axis]) & (eye[axis] <= pmax[axis])
+        lo = jnp.where(parallel, jnp.where(inside_axis, -inf, inf), lo)
+        hi = jnp.where(parallel, jnp.where(inside_axis, inf, -inf), hi)
+        tmin = jnp.maximum(tmin, lo)
+        tmax = jnp.minimum(tmax, hi)
+    hit = (tmax >= tmin) & (tmax > 0.0)
+
+    # per-ray march quantities along the dominant axis
+    d_a = d[0]
+    marchable = jnp.abs(d_a) > 1e-8
+    safe_da = jnp.where(marchable, d_a, 1.0)
+    inv_da = 1.0 / safe_da
+    backward = d_a < 0.0
+    dt = cell[0] * jnp.abs(inv_da)  # distance along ray between slices
+    q = dt / ref_distance  # opacity normalization exponent
+
+    lut_r = lut_ref[0, 0]
+    lut_g = lut_ref[0, 1]
+    lut_b = lut_ref[0, 2]
+    lut_l = lut_ref[0, 3]
+
+    nu_f = nu.astype(jnp.float32)
+    nv_f = nv.astype(jnp.float32)
+
+    def body(k, carry):
+        acc_r, acc_g, acc_b, acc_a = carry
+        # per-ray slice index: forward rays walk k, backward rays walk from
+        # the far end
+        k_eff = jnp.where(backward, n_slices - 1 - k, k)
+        z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
+        t_k = (z_k - eye[0]) * inv_da
+
+        pos_u = eye[1] + d[1] * t_k
+        pos_v = eye[2] + d[2] * t_k
+        fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+        fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+        valid = (
+            hit
+            & marchable
+            & (k < n_slices)
+            & (t_k > 0.0)
+            & (fu >= 0.0) & (fu < nu_f)
+            & (fv >= 0.0) & (fv < nv_f)
+            & (acc_a < 1.0)
+        )
+        iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
+        iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
+        flat = iu * nv + iv
+        row = flat // LANES
+        col = flat % LANES
+
+        # dual slice load handles mixed-direction tiles
+        slice_fwd = vol_ref[0, k]
+        slice_bwd = vol_ref[0, jnp.maximum(n_slices - 1 - k, 0)]
+        s_fwd = _gather_slice(slice_fwd, row, col)
+        s_bwd = _gather_slice(slice_bwd, row, col)
+        scalar = jnp.where(backward, s_bwd, s_fwd)
+
+        normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
+        lut_idx = jnp.clip(
+            (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+            0,
+            COLOR_TABLE_SIZE - 1,
+        )
+        s_r = _gather_lut(lut_r, lut_idx)
+        s_g = _gather_lut(lut_g, lut_idx)
+        s_b = _gather_lut(lut_b, lut_idx)
+        s_l = _gather_lut(lut_l, lut_idx)
+
+        # step-normalized opacity: 1 - (1 - a)^(dt/ref) = 1 - exp(q * L)
+        sample_a = 1.0 - jnp.exp(q * s_l)
+        alpha = jnp.where(valid, sample_a * (1.0 - acc_a), 0.0)
+        return (
+            acc_r + s_r * alpha,
+            acc_g + s_g * alpha,
+            acc_b + s_b * alpha,
+            acc_a + alpha,
+        )
+
+    zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    acc_r, acc_g, acc_b, acc_a = jax.lax.fori_loop(
+        0, max_slices, body, (zero, zero, zero, zero)
+    )
+    acc_r = jnp.clip(acc_r, 0.0, 1.0)
+    acc_g = jnp.clip(acc_g, 0.0, 1.0)
+    acc_b = jnp.clip(acc_b, 0.0, 1.0)
+    acc_a = jnp.clip(acc_a, 0.0, 1.0)
+
+    entry_depth = tmin * (d_w[0] * fwd[0] + d_w[1] * fwd[1] + d_w[2] * fwd[2])
+    depth = jnp.where(
+        hit & (acc_a > 0.0) & jnp.isfinite(entry_depth), entry_depth, inf
+    )
+
+    out = jnp.stack([acc_r, acc_g, acc_b, acc_a], axis=-1)
+    color_ref[0] = out.reshape(TILE_P, 4)
+    depth_ref[0] = depth
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_slices", "interpret")
+)
+def slicemarch_render(
+    vol: jnp.ndarray,  # [B, S_max, 8, 128] f32 permuted slice-flattened bricks
+    meta: jnp.ndarray,  # [B, 12] f32
+    dims: jnp.ndarray,  # [B, 8] i32
+    lut: jnp.ndarray,  # [B, 4, LUT_ROWS, 128] f32
+    cam: jnp.ndarray,  # [20] f32
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    num_bricks = vol.shape[0]
+    num_pixels = width * height
+    assert num_pixels % TILE_P == 0
+    num_tiles = num_pixels // TILE_P
+
+    kernel = functools.partial(
+        _kernel, width=width, height=height, max_slices=max_slices
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_bricks, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + vol.shape[1:], lambda b, t, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, LUT_ROWS, LANES), lambda b, t, *_: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_P, 4), lambda b, t, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda b, t, *_: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    colors, depths = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_bricks, num_pixels, 4), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_pixels // LANES, LANES), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(cam, meta, dims, vol, lut)
+    return colors, depths.reshape(num_bricks, num_pixels)
+
+
+# ---------------------------------------------------------------------------
+# Host-side preparation
+# ---------------------------------------------------------------------------
+
+
+def choose_march_axis(view_dir: np.ndarray) -> int:
+    """Dominant world axis of the view direction (global per frame)."""
+    return int(np.argmax(np.abs(view_dir)))
+
+
+def split_brick_for_slices(
+    data: np.ndarray, min_corner: np.ndarray, max_corner: np.ndarray, axis: int
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Split a brick along the non-march axes until a slice fits one vreg.
+
+    Returns [(data, min_corner, max_corner), ...]; metadata-only split —
+    pieces view into the original array.
+    """
+    axes = [axis] + [a for a in range(3) if a != axis]
+    nu_axis, nv_axis = axes[1], axes[2]
+    pieces = [(data, np.asarray(min_corner, float), np.asarray(max_corner, float))]
+    # split the larger transverse axis in half until the slice fits
+    while True:
+        next_pieces = []
+        done = True
+        for d, mn, mx in pieces:
+            nu, nv = d.shape[nu_axis], d.shape[nv_axis]
+            if nu * nv <= SLICE_CELLS:
+                next_pieces.append((d, mn, mx))
+                continue
+            done = False
+            split_axis = nu_axis if nu >= nv else nv_axis
+            n = d.shape[split_axis]
+            half = n // 2
+            cell = (mx[split_axis] - mn[split_axis]) / n
+            sl_lo = [slice(None)] * 3
+            sl_hi = [slice(None)] * 3
+            sl_lo[split_axis] = slice(0, half)
+            sl_hi[split_axis] = slice(half, n)
+            mn_hi = mn.copy()
+            mx_lo = mx.copy()
+            mx_lo[split_axis] = mn[split_axis] + half * cell
+            mn_hi[split_axis] = mx_lo[split_axis]
+            next_pieces.append((d[tuple(sl_lo)], mn, mx_lo))
+            next_pieces.append((d[tuple(sl_hi)], mn_hi, mx))
+        pieces = next_pieces
+        if done:
+            return pieces
+
+
+def pack_slice_volume(data: np.ndarray, axis: int) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Permute so the march axis is first and flatten slices into [8, 128]
+    tiles (row-major over (u, v), zero padded)."""
+    axes = [axis] + [a for a in range(3) if a != axis]
+    vol = np.transpose(np.asarray(data, np.float32), axes)
+    ns, nu, nv = vol.shape
+    assert nu * nv <= SLICE_CELLS, (nu, nv)
+    flat = np.zeros((ns, SLICE_CELLS), dtype=np.float32)
+    flat[:, : nu * nv] = vol.reshape(ns, nu * nv)
+    return flat.reshape(ns, SUBLANES, LANES), (ns, nu, nv)
+
+
+def build_log_lut(color_table: np.ndarray) -> np.ndarray:
+    """Convert a (256, 4) rgba LUT (alpha at the reference step, i.e.
+    normalization factor 1) into the kernel's [4, LUT_ROWS, 128] layout with
+    channel 3 = log(1 - alpha)."""
+    rgb = color_table[:, :3]
+    alpha = np.clip(color_table[:, 3], 0.0, 1.0)
+    with np.errstate(divide="ignore"):
+        log_term = np.log1p(-alpha)  # -inf at alpha == 1 (=> opaque)
+    packed = np.stack(
+        [rgb[:, 0], rgb[:, 1], rgb[:, 2], log_term], axis=0
+    ).astype(np.float32)
+    return packed.reshape(4, LUT_ROWS, LANES)
+
+
+def pack_camera(
+    eye, forward, right, up, fov_y_degrees, aspect, range_min, inverse_range,
+    ref_distance,
+) -> np.ndarray:
+    cam = np.zeros(20, dtype=np.float32)
+    cam[0:3] = eye
+    cam[3:6] = forward
+    cam[6:9] = right
+    cam[9:12] = up
+    cam[12] = math.tan(fov_y_degrees * 0.5 * math.pi / 180.0)
+    cam[13] = aspect
+    cam[14] = range_min
+    cam[15] = inverse_range
+    cam[16] = ref_distance
+    return cam
+
+
+# ---------------------------------------------------------------------------
+# NumPy reference of the slice-march integrator (test oracle)
+# ---------------------------------------------------------------------------
+
+
+def slicemarch_reference(
+    data: np.ndarray,  # [nx, ny, nz] pre-transformed scalars
+    min_corner: np.ndarray,
+    max_corner: np.ndarray,
+    axis: int,
+    color_table: np.ndarray,  # [256, 4] alpha at reference step
+    ref_distance: float,
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    width: int,
+    height: int,
+    range_min: float = 0.0,
+    inverse_range: float = 1.0,
+):
+    """Scalar NumPy implementation of the exact kernel semantics."""
+    axes = [axis] + [a for a in range(3) if a != axis]
+    vol = np.transpose(np.asarray(data, np.float64), axes)
+    pmin = np.asarray(min_corner, float)[axes]
+    pmax = np.asarray(max_corner, float)[axes]
+    ns, nu, nv = vol.shape
+    cell = (pmax - pmin) / np.array([ns, nu, nv])
+    aspect = width / max(height, 1)
+    thf = math.tan(fov_y_degrees * 0.5 * math.pi / 180.0)
+
+    colors = np.zeros((height * width, 4), np.float32)
+    depths = np.full(height * width, np.inf, np.float32)
+    alpha_tab = np.clip(color_table[:, 3], 0.0, 1.0)
+
+    for p in range(height * width):
+        x = p % width
+        y = p // width
+        ndc_x = (x + 0.5) / width * 2 - 1
+        ndc_y = (y + 0.5) / height * 2 - 1
+        d_world = forward + ndc_x * thf * aspect * right + ndc_y * thf * up
+        d_world = d_world / np.linalg.norm(d_world)
+        d = d_world[axes]
+        e = np.asarray(eye, float)[axes]
+
+        # slab in permuted space
+        tmin, tmax = -np.inf, np.inf
+        ok = True
+        for a3 in range(3):
+            if abs(d[a3]) < 1e-8:
+                if e[a3] < pmin[a3] or e[a3] > pmax[a3]:
+                    ok = False
+                continue
+            t1 = (pmin[a3] - e[a3]) / d[a3]
+            t2 = (pmax[a3] - e[a3]) / d[a3]
+            if t1 > t2:
+                t1, t2 = t2, t1
+            tmin = max(tmin, t1)
+            tmax = min(tmax, t2)
+        hit = ok and tmax >= tmin and tmax > 0
+        if not hit or abs(d[0]) < 1e-8:
+            continue
+
+        dt = cell[0] / abs(d[0])
+        qq = dt / ref_distance
+        ks = range(ns) if d[0] > 0 else range(ns - 1, -1, -1)
+        acc = np.zeros(4)
+        for k in ks:
+            if acc[3] >= 1.0:
+                break
+            z_k = pmin[0] + (k + 0.5) * cell[0]
+            t_k = (z_k - e[0]) / d[0]
+            if t_k <= 0:
+                continue
+            pu = e[1] + d[1] * t_k
+            pv = e[2] + d[2] * t_k
+            fu = math.floor((pu - pmin[1]) / cell[1])
+            fv = math.floor((pv - pmin[2]) / cell[2])
+            if not (0 <= fu < nu and 0 <= fv < nv):
+                continue
+            scalar = vol[k, int(fu), int(fv)]
+            normalized = min(max((scalar - range_min) * inverse_range, 0.0), 1.0)
+            idx = min(max(int(normalized * 255), 0), 255)
+            a_ref = alpha_tab[idx]
+            a = 1.0 - (1.0 - a_ref) ** qq if a_ref < 1.0 else 1.0
+            contrib = a * (1.0 - acc[3])
+            acc[:3] += color_table[idx, :3] * contrib
+            acc[3] += contrib
+        acc = np.clip(acc, 0, 1)
+        colors[p] = acc
+        if acc[3] > 0:
+            depths[p] = tmin * float(np.dot(d_world, forward))
+    return colors, depths

@@ -1,0 +1,191 @@
+"""Slice-march kernel tests: Pallas (interpret) vs the NumPy reference,
+and convergence toward the reference ray-march integrator."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu.camera import camera_basis
+from amrvolumerenderer_tpu.ops import slicemarch as sm
+from amrvolumerenderer_tpu.types import CameraParameters
+
+
+@pytest.fixture
+def camera():
+    return CameraParameters(
+        eye=(0.5, 0.5, 3.0), look_at=(0.5, 0.5, 0.5), up=(0.0, 1.0, 0.0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=10.0,
+    )
+
+
+def make_lut():
+    lut = np.zeros((256, 4), dtype=np.float32)
+    lut[:, 0] = np.linspace(0, 1, 256)
+    lut[:, 1] = 0.5
+    lut[:, 2] = np.linspace(1, 0, 256)
+    lut[:, 3] = np.linspace(0.05, 0.6, 256)
+    return lut
+
+
+def run_kernel(data, bmin, bmax, axis, lut, ref_distance, camera, width, height):
+    forward, right, up = camera_basis(camera)
+    vol, (ns, nu, nv) = sm.pack_slice_volume(data, axis)
+    axes = [axis] + [a for a in range(3) if a != axis]
+    pmin = np.asarray(bmin, float)[axes]
+    pmax = np.asarray(bmax, float)[axes]
+    cell = (pmax - pmin) / np.array([ns, nu, nv])
+    meta = np.zeros((1, 12), np.float32)
+    meta[0, 0:3] = pmin
+    meta[0, 3:6] = pmax
+    meta[0, 6:9] = cell
+    dims = np.zeros((1, 8), np.int32)
+    dims[0, :3] = (ns, nu, nv)
+    dims[0, 3:6] = axes
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        width / height, 0.0, 1.0, ref_distance,
+    )
+    packed_lut = sm.build_log_lut(lut)[None]
+    colors, depths = sm.slicemarch_render(
+        jnp.asarray(vol[None]),
+        jnp.asarray(meta),
+        jnp.asarray(dims),
+        jnp.asarray(packed_lut),
+        jnp.asarray(cam),
+        width=width,
+        height=height,
+        max_slices=ns,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return np.asarray(colors[0]), np.asarray(depths[0])
+
+
+@pytest.mark.parametrize("axis_eye", [
+    (2, (0.5, 0.5, 3.0)),   # march along z
+    (0, (3.5, 0.6, 0.4)),   # march along x
+    (1, (0.4, -2.5, 0.6)),  # march along -y (backward rays)
+])
+def test_kernel_matches_numpy_reference(axis_eye):
+    axis, eye = axis_eye
+    camera = CameraParameters(
+        eye=eye, look_at=(0.5, 0.5, 0.5), up=(0.0, 1.0, 0.0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=10.0,
+    )
+    rng = np.random.default_rng(3)
+    data = rng.uniform(0, 1, (8, 8, 8)).astype(np.float32)
+    bmin, bmax = np.zeros(3), np.ones(3)
+    lut = make_lut()
+    ref_distance = 0.0625
+    width = height = 32
+    forward, right, up = camera_basis(camera)
+
+    got_c, got_d = run_kernel(
+        data, bmin, bmax, axis, lut, ref_distance, camera, width, height
+    )
+    exp_c, exp_d = sm.slicemarch_reference(
+        data, bmin, bmax, axis, lut, ref_distance,
+        np.asarray(camera.eye), forward, right, up, 45.0, width, height,
+    )
+    np.testing.assert_allclose(got_c, exp_c, atol=5e-5)
+    finite = np.isfinite(exp_d)
+    np.testing.assert_array_equal(np.isfinite(got_d), finite)
+    np.testing.assert_allclose(got_d[finite], exp_d[finite], atol=1e-4)
+
+
+def test_slicemarch_close_to_raymarch_on_smooth_field(camera):
+    """Both integrators approximate the same volume-rendering integral; on a
+    smooth field with matched reference distance they agree within the
+    pixel-parity tolerance (0.02 / 2% bad pixels, ImageFullTest.cpp:56-85)."""
+    from amrvolumerenderer_tpu.ops.raymarch import (
+        max_steps_for_bucket,
+        render_brick_bucket,
+    )
+
+    n = 16
+    coords = (np.arange(n) + 0.5) / n
+    field = (
+        coords[:, None, None] * 0.3
+        + coords[None, :, None] * 0.4
+        + coords[None, None, :] * 0.3
+    ).astype(np.float32)
+    bmin, bmax = np.zeros(3), np.ones(3)
+    lut = make_lut()
+    width = height = 32
+    step = 0.5 / n
+    forward, right, up = camera_basis(camera)
+
+    dims = np.array([[n, n, n]], np.int32)
+    oracle_c, _ = render_brick_bucket(
+        jnp.asarray(field[None]),
+        jnp.asarray(bmin[None].astype(np.float32)),
+        jnp.asarray(bmax[None].astype(np.float32)),
+        jnp.asarray(dims),
+        jnp.asarray(lut[None]),
+        jnp.asarray(np.array([step], np.float32)),
+        jnp.asarray(camera.eye, dtype=jnp.float32),
+        jnp.asarray(forward, dtype=jnp.float32),
+        jnp.asarray(right, dtype=jnp.float32),
+        jnp.asarray(up, dtype=jnp.float32),
+        jnp.float32(45.0), jnp.float32(0.0), jnp.float32(1.0),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+        width=width, height=height,
+        num_steps=max_steps_for_bucket(
+            bmin[None], bmax[None], np.array([step])
+        ),
+        log_scale=False, normalize=False, clip_start=1.0, apply_clip=False,
+    )
+    oracle_c = np.asarray(oracle_c[0])
+
+    slice_c, _ = run_kernel(
+        field, bmin, bmax, 2, lut, step, camera, width, height
+    )
+
+    diff = np.abs(slice_c - oracle_c)
+    bad = (diff > 0.02).any(axis=-1)
+    assert bad.mean() <= 0.02, f"bad pixel fraction {bad.mean():.3f}"
+
+
+def test_split_brick_for_slices():
+    data = np.arange(64 * 64 * 64, dtype=np.float32).reshape(64, 64, 64)
+    pieces = sm.split_brick_for_slices(data, np.zeros(3), np.ones(3), axis=2)
+    assert len(pieces) == 4  # 64x64 slice -> 4 pieces of 32x32
+    total = sum(p[0].size for p in pieces)
+    assert total == data.size
+    for d, mn, mx in pieces:
+        nu, nv = d.shape[0], d.shape[1]
+        assert nu * nv <= sm.SLICE_CELLS
+        np.testing.assert_allclose(
+            (mx - mn), np.asarray(d.shape) / 64.0, atol=1e-12
+        )
+
+
+def test_pack_slice_volume_roundtrip():
+    rng = np.random.default_rng(1)
+    data = rng.random((4, 8, 16)).astype(np.float32)
+    vol, (ns, nu, nv) = sm.pack_slice_volume(data, axis=0)
+    assert (ns, nu, nv) == (4, 8, 16)
+    flat = vol.reshape(ns, -1)[:, : nu * nv].reshape(ns, nu, nv)
+    np.testing.assert_array_equal(flat, data)
+
+    vol2, (ns2, nu2, nv2) = sm.pack_slice_volume(data, axis=2)
+    assert (ns2, nu2, nv2) == (16, 4, 8)
+    flat2 = vol2.reshape(ns2, -1)[:, : nu2 * nv2].reshape(ns2, nu2, nv2)
+    np.testing.assert_array_equal(flat2, np.transpose(data, (2, 0, 1)))
+
+
+def test_build_log_lut():
+    lut = make_lut()
+    packed = sm.build_log_lut(lut)
+    assert packed.shape == (4, 2, 128)
+    flat_l = packed[3].reshape(-1)
+    np.testing.assert_allclose(
+        1.0 - np.exp(flat_l), lut[:, 3], atol=1e-6
+    )
+    # opaque entries map to -inf => alpha 1 under any positive exponent
+    lut2 = lut.copy()
+    lut2[-1, 3] = 1.0
+    packed2 = sm.build_log_lut(lut2)
+    assert np.isneginf(packed2[3].reshape(-1)[-1])
