@@ -76,22 +76,24 @@ def _gather_lut(lut_tile: jnp.ndarray, idx: jnp.ndarray):
     return out
 
 
-def _kernel(
-    cam_ref,  # [20] f32: eye(3) fwd(3) right(3) up(3) tanHalfFov aspect
-    #           range_min inverse_range ref_distance pad(3)
-    meta_ref,  # [B, 12] f32: pmin(3) pmax(3) cell(3) _pad(3)  (permuted axes)
-    dims_ref,  # [B, 8] i32: n_slices nu nv perm0 perm1 perm2 pad pad
-    vol_ref,  # [1, S_max, 8, 128] VMEM: permuted brick, slice-flattened
-    lut_ref,  # [1, 4, LUT_ROWS, 128] VMEM: r g b L channels
-    color_ref,  # [1, TILE_P, 4] out
-    depth_ref,  # [1, SUBLANES, LANES] out
+def _kernel_body(
+    b,
+    t,
+    cam_ref,
+    meta_ref,
+    dims_ref,
+    vol_ref,
+    lut_ref,
+    color_ref,
+    depth_ref,
     *,
     width: int,
     height: int,
     max_slices: int,
+    tile_w: int,
+    tile_h: int,
 ):
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+    """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile."""
 
     eye_w = [cam_ref[i] for i in range(3)]
     fwd = [cam_ref[3 + i] for i in range(3)]
@@ -112,11 +114,16 @@ def _kernel(
     perm = [dims_ref[b, 3 + i] for i in range(3)]
 
     # ---- per-tile ray setup (world space) ----
+    # 2D tiles: tile t covers the pixel block
+    # [tx*tile_w, (tx+1)*tile_w) x [ty*tile_h, (ty+1)*tile_h)
+    tiles_x = width // tile_w
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
-    pix = t * TILE_P + sub * LANES + lane
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
+    flat_in_tile = sub * LANES + lane
+    tx = t % tiles_x
+    ty = t // tiles_x
+    px = (tx * tile_w + flat_in_tile % tile_w).astype(jnp.float32)
+    py = (ty * tile_h + flat_in_tile // tile_w).astype(jnp.float32)
     ndc_x = (px + 0.5) * (2.0 / width) - 1.0
     ndc_y = (py + 0.5) * (2.0 / height) - 1.0
     plane_x = ndc_x * tan_half_fov * aspect
@@ -178,64 +185,109 @@ def _kernel(
     nu_f = nu.astype(jnp.float32)
     nv_f = nv.astype(jnp.float32)
 
-    def body(k, carry):
-        acc_r, acc_g, acc_b, acc_a = carry
-        # per-ray slice index: forward rays walk k, backward rays walk from
-        # the far end
-        k_eff = jnp.where(backward, n_slices - 1 - k, k)
-        z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
-        t_k = (z_k - eye[0]) * inv_da
+    def make_body(mode):
+        """March loop body; ``mode`` in {"fwd", "bwd", "mixed"} selects the
+        per-ray slice-direction handling (uniform-sign tiles skip the dual
+        slice load)."""
 
-        pos_u = eye[1] + d[1] * t_k
-        pos_v = eye[2] + d[2] * t_k
-        fu = jnp.floor((pos_u - pmin[1]) / cell[1])
-        fv = jnp.floor((pos_v - pmin[2]) / cell[2])
-        valid = (
-            hit
-            & marchable
-            & (k < n_slices)
-            & (t_k > 0.0)
-            & (fu >= 0.0) & (fu < nu_f)
-            & (fv >= 0.0) & (fv < nv_f)
-            & (acc_a < 1.0)
-        )
-        iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
-        iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-        flat = iu * nv + iv
-        row = flat // LANES
-        col = flat % LANES
+        def body(k, carry):
+            acc_r, acc_g, acc_b, acc_a = carry
+            if mode == "fwd":
+                k_eff = k
+            elif mode == "bwd":
+                k_eff = n_slices - 1 - k
+            else:
+                k_eff = jnp.where(backward, n_slices - 1 - k, k)
+            z_k = pmin[0] + (
+                (k_eff if mode == "mixed" else jnp.full((1, 1), k_eff)).astype(
+                    jnp.float32
+                )
+                + 0.5
+            ) * cell[0]
+            t_k = (z_k - eye[0]) * inv_da
 
-        # dual slice load handles mixed-direction tiles
-        slice_fwd = vol_ref[0, k]
-        slice_bwd = vol_ref[0, jnp.maximum(n_slices - 1 - k, 0)]
-        s_fwd = _gather_slice(slice_fwd, row, col)
-        s_bwd = _gather_slice(slice_bwd, row, col)
-        scalar = jnp.where(backward, s_bwd, s_fwd)
+            pos_u = eye[1] + d[1] * t_k
+            pos_v = eye[2] + d[2] * t_k
+            fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+            fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+            valid = (
+                hit
+                & marchable
+                & (k < n_slices)
+                & (t_k > 0.0)
+                & (fu >= 0.0) & (fu < nu_f)
+                & (fv >= 0.0) & (fv < nv_f)
+                & (acc_a < 1.0)
+            )
+            iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
+            iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
+            flat = iu * nv + iv
+            row = flat // LANES
+            col = flat % LANES
 
-        normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
-        lut_idx = jnp.clip(
-            (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
-            0,
-            COLOR_TABLE_SIZE - 1,
-        )
-        s_r = _gather_lut(lut_r, lut_idx)
-        s_g = _gather_lut(lut_g, lut_idx)
-        s_b = _gather_lut(lut_b, lut_idx)
-        s_l = _gather_lut(lut_l, lut_idx)
+            if mode == "fwd":
+                scalar = _gather_slice(vol_ref[0, k], row, col)
+            elif mode == "bwd":
+                scalar = _gather_slice(
+                    vol_ref[0, jnp.maximum(n_slices - 1 - k, 0)], row, col
+                )
+            else:
+                s_fwd = _gather_slice(vol_ref[0, k], row, col)
+                s_bwd = _gather_slice(
+                    vol_ref[0, jnp.maximum(n_slices - 1 - k, 0)], row, col
+                )
+                scalar = jnp.where(backward, s_bwd, s_fwd)
 
-        # step-normalized opacity: 1 - (1 - a)^(dt/ref) = 1 - exp(q * L)
-        sample_a = 1.0 - jnp.exp(q * s_l)
-        alpha = jnp.where(valid, sample_a * (1.0 - acc_a), 0.0)
-        return (
-            acc_r + s_r * alpha,
-            acc_g + s_g * alpha,
-            acc_b + s_b * alpha,
-            acc_a + alpha,
-        )
+            normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
+            lut_idx = jnp.clip(
+                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+                0,
+                COLOR_TABLE_SIZE - 1,
+            )
+            s_r = _gather_lut(lut_r, lut_idx)
+            s_g = _gather_lut(lut_g, lut_idx)
+            s_b = _gather_lut(lut_b, lut_idx)
+            s_l = _gather_lut(lut_l, lut_idx)
+
+            # step-normalized opacity: 1 - (1 - a)^(dt/ref) = 1 - exp(q * L)
+            sample_a = 1.0 - jnp.exp(q * s_l)
+            alpha = jnp.where(valid, sample_a * (1.0 - acc_a), 0.0)
+            return (
+                acc_r + s_r * alpha,
+                acc_g + s_g * alpha,
+                acc_b + s_b * alpha,
+                acc_a + alpha,
+            )
+
+        return body
 
     zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
-    acc_r, acc_g, acc_b, acc_a = jax.lax.fori_loop(
-        0, max_slices, body, (zero, zero, zero, zero)
+    init = (zero, zero, zero, zero)
+
+    def run_loop(mode):
+        def run(_):
+            return jax.lax.fori_loop(0, max_slices, make_body(mode), init)
+
+        return run
+
+    def skip(_):
+        return init
+
+    # tile-level culling + uniform-direction dispatch
+    any_hit = jnp.any(hit & marchable)
+    any_bwd = jnp.any(backward & hit & marchable)
+    any_fwd = jnp.any(jnp.logical_not(backward) & hit & marchable)
+
+    acc_r, acc_g, acc_b, acc_a = jax.lax.cond(
+        any_hit,
+        lambda op: jax.lax.cond(
+            any_bwd,
+            lambda o: jax.lax.cond(any_fwd, run_loop("mixed"), run_loop("bwd"), o),
+            run_loop("fwd"),
+            op,
+        ),
+        skip,
+        0,
     )
     acc_r = jnp.clip(acc_r, 0.0, 1.0)
     acc_g = jnp.clip(acc_g, 0.0, 1.0)
@@ -248,8 +300,47 @@ def _kernel(
     )
 
     out = jnp.stack([acc_r, acc_g, acc_b, acc_a], axis=-1)
-    color_ref[0] = out.reshape(TILE_P, 4)
-    depth_ref[0] = depth
+    color_ref[0, 0] = out.reshape(TILE_P, 4)
+    depth_ref[0, 0] = depth
+
+
+def _kernel_dense(
+    cam_ref, meta_ref, dims_ref, vol_ref, lut_ref, color_ref, depth_ref, **kw
+):
+    _kernel_body(
+        pl.program_id(0), pl.program_id(1),
+        cam_ref, meta_ref, dims_ref, vol_ref, lut_ref, color_ref, depth_ref,
+        **kw,
+    )
+
+
+def _kernel_worklist(
+    cam_ref, meta_ref, dims_ref, wb_ref, wt_ref,
+    vol_ref, lut_ref, color_ref, depth_ref, **kw
+):
+    w = pl.program_id(0)
+    _kernel_body(
+        wb_ref[w], wt_ref[w],
+        cam_ref, meta_ref, dims_ref, vol_ref, lut_ref, color_ref, depth_ref,
+        **kw,
+    )
+
+
+def untile(colors: jnp.ndarray, depths: jnp.ndarray, width: int, height: int,
+           tile_w: int, tile_h: int):
+    """[B, T, TILE_P, 4] tile-ordered buffers -> row-major [B, H*W, ...]."""
+    num_bricks = colors.shape[0]
+    tiles_x = width // tile_w
+    tiles_y = height // tile_h
+    c = colors.reshape(num_bricks, tiles_y, tiles_x, tile_h, tile_w, 4)
+    c = c.transpose(0, 1, 3, 2, 4, 5).reshape(num_bricks, height * width, 4)
+    d = depths.reshape(num_bricks, tiles_y, tiles_x, tile_h, tile_w)
+    d = d.transpose(0, 1, 3, 2, 4).reshape(num_bricks, height * width)
+    return c, d
+
+
+TILE_W = 32
+TILE_H = 32
 
 
 @functools.partial(
@@ -267,13 +358,16 @@ def slicemarch_render(
     max_slices: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense render: every brick against every pixel tile (with in-kernel
+    tile culling).  Returns row-major ([B, H*W, 4], [B, H*W])."""
     num_bricks = vol.shape[0]
     num_pixels = width * height
-    assert num_pixels % TILE_P == 0
+    assert width % TILE_W == 0 and height % TILE_H == 0
     num_tiles = num_pixels // TILE_P
 
     kernel = functools.partial(
-        _kernel, width=width, height=height, max_slices=max_slices
+        _kernel_dense, width=width, height=height, max_slices=max_slices,
+        tile_w=TILE_W, tile_h=TILE_H,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -289,9 +383,9 @@ def slicemarch_render(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_P, 4), lambda b, t, *_: (b, t, 0),
+            pl.BlockSpec((1, 1, TILE_P, 4), lambda b, t, *_: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, LANES), lambda b, t, *_: (b, t, 0),
+            pl.BlockSpec((1, 1, SUBLANES, LANES), lambda b, t, *_: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -299,14 +393,182 @@ def slicemarch_render(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_bricks, num_pixels, 4), jnp.float32),
+            jax.ShapeDtypeStruct((num_bricks, num_tiles, TILE_P, 4), jnp.float32),
             jax.ShapeDtypeStruct(
-                (num_bricks, num_pixels // LANES, LANES), jnp.float32
+                (num_bricks, num_tiles, SUBLANES, LANES), jnp.float32
             ),
         ],
         interpret=interpret,
     )(cam, meta, dims, vol, lut)
-    return colors, depths.reshape(num_bricks, num_pixels)
+    return untile(colors, depths, width, height, TILE_W, TILE_H)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_slices", "interpret")
+)
+def slicemarch_render_worklist(
+    vol: jnp.ndarray,  # [B, S_max, 8, 128]
+    meta: jnp.ndarray,  # [B, 12]
+    dims: jnp.ndarray,  # [B, 8]
+    lut: jnp.ndarray,  # [B, 4, LUT_ROWS, 128]
+    cam: jnp.ndarray,  # [20]
+    work_bricks: jnp.ndarray,  # [W] i32 — brick per work item (sorted by brick)
+    work_tiles: jnp.ndarray,  # [W] i32 — 2D tile index per work item
+    coverage: jnp.ndarray,  # [B, T] bool — which (brick, tile) were scheduled
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Work-list render: only scheduled (brick, tile) pairs execute.
+
+    The host computes each brick's screen bounding box and emits one work
+    item per covered tile (``compute_worklist``); the scalar-prefetched
+    work arrays drive the output index maps, so culled tiles cost nothing.
+    Unscheduled output blocks are undefined and masked via ``coverage``.
+    """
+    num_bricks = vol.shape[0]
+    num_pixels = width * height
+    assert width % TILE_W == 0 and height % TILE_H == 0
+    num_tiles = num_pixels // TILE_P
+    num_work = work_bricks.shape[0]
+
+    kernel = functools.partial(
+        _kernel_worklist, width=width, height=height, max_slices=max_slices,
+        tile_w=TILE_W, tile_h=TILE_H,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + vol.shape[1:],
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, LUT_ROWS, LANES),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, TILE_P, 4),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, SUBLANES, LANES),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    colors, depths = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_bricks, num_tiles, TILE_P, 4), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_tiles, SUBLANES, LANES), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(cam, meta, dims, work_bricks, work_tiles, vol, lut)
+
+    mask = coverage[:, :, None, None]
+    colors = jnp.where(mask, colors, 0.0)
+    depths = jnp.where(mask, depths, jnp.inf)
+    return untile(colors, depths, width, height, TILE_W, TILE_H)
+
+
+def compute_worklist(
+    box_min: np.ndarray,  # [B, 3] world corners (unpermuted)
+    box_max: np.ndarray,  # [B, 3]
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    width: int,
+    height: int,
+    pad_to: int = 256,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Screen-bbox tile work list: one (brick, tile) item per 2D tile whose
+    pixel block intersects the brick's projected bounding box.
+
+    Conservative: bricks with any corner at or behind the eye plane cover
+    the whole frame.  Returns (work_bricks, work_tiles, coverage[B, T]);
+    the work list is padded to a multiple of ``pad_to`` by repeating the
+    last item (harmless re-render of a covered tile).
+    """
+    tiles_x = width // TILE_W
+    tiles_y = height // TILE_H
+    num_tiles = tiles_x * tiles_y
+    thf = math.tan(fov_y_degrees * 0.5 * math.pi / 180.0)
+    aspect = width / max(height, 1)
+
+    wb: List[int] = []
+    wt: List[int] = []
+    num_bricks = len(box_min)
+    coverage = np.zeros((num_bricks, num_tiles), dtype=bool)
+    for bidx in range(num_bricks):
+        mn, mx = box_min[bidx], box_max[bidx]
+        lo_x = lo_y = math.inf
+        hi_x = hi_y = -math.inf
+        behind = False
+        for c in range(8):
+            corner = np.array(
+                [
+                    mx[0] if c & 1 else mn[0],
+                    mx[1] if c & 2 else mn[1],
+                    mx[2] if c & 4 else mn[2],
+                ]
+            )
+            rel = corner - eye
+            depth = float(np.dot(rel, forward))
+            if depth <= 1e-9:
+                behind = True
+                break
+            ndc_x = float(np.dot(rel, right)) / (depth * thf * aspect)
+            ndc_y = float(np.dot(rel, up)) / (depth * thf)
+            sx = (ndc_x * 0.5 + 0.5) * width
+            sy = (ndc_y * 0.5 + 0.5) * height
+            lo_x = min(lo_x, sx)
+            hi_x = max(hi_x, sx)
+            lo_y = min(lo_y, sy)
+            hi_y = max(hi_y, sy)
+        if behind:
+            tx0, tx1, ty0, ty1 = 0, tiles_x - 1, 0, tiles_y - 1
+        else:
+            tx0 = max(0, int(lo_x - 1) // TILE_W)
+            tx1 = min(tiles_x - 1, int(hi_x + 1) // TILE_W)
+            ty0 = max(0, int(lo_y - 1) // TILE_H)
+            ty1 = min(tiles_y - 1, int(hi_y + 1) // TILE_H)
+            if tx1 < tx0 or ty1 < ty0:
+                continue
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                t = ty * tiles_x + tx
+                wb.append(bidx)
+                wt.append(t)
+                coverage[bidx, t] = True
+
+    if not wb:
+        wb, wt = [0], [0]
+        coverage[0, 0] = True
+    # pad by repeating the final item so compiled shapes bucket coarsely
+    target = ((len(wb) + pad_to - 1) // pad_to) * pad_to
+    while len(wb) < target:
+        wb.append(wb[-1])
+        wt.append(wt[-1])
+    return (
+        np.asarray(wb, dtype=np.int32),
+        np.asarray(wt, dtype=np.int32),
+        coverage,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -189,3 +189,69 @@ def test_build_log_lut():
     lut2[-1, 3] = 1.0
     packed2 = sm.build_log_lut(lut2)
     assert np.isneginf(packed2[3].reshape(-1)[-1])
+
+
+def test_worklist_matches_dense(camera):
+    """The work-list render with screen-bbox culling must match the dense
+    render exactly on covered pixels and produce empty pixels elsewhere."""
+    rng = np.random.default_rng(9)
+    width = height = 128
+    bricks = [
+        (rng.uniform(0, 1, (8, 8, 8)).astype(np.float32),
+         np.array([0.0, 0.0, 0.0]), np.array([0.5, 0.5, 0.5])),
+        (rng.uniform(0, 1, (8, 8, 8)).astype(np.float32),
+         np.array([0.5, 0.5, 0.5]), np.array([1.0, 1.0, 1.0])),
+    ]
+    forward, right, up = camera_basis(camera)
+    axis = sm.choose_march_axis(forward)
+    axes = [axis] + [a for a in range(3) if a != axis]
+    vols, metas, dims_list = [], [], []
+    for data, mn, mx in bricks:
+        vol, (ns, nu, nv) = sm.pack_slice_volume(data, axis)
+        pmin, pmax = mn[axes], mx[axes]
+        cell = (pmax - pmin) / np.array([ns, nu, nv])
+        m = np.zeros(12, np.float32)
+        m[0:3], m[3:6], m[6:9] = pmin, pmax, cell
+        dd = np.zeros(8, np.int32)
+        dd[:3] = (ns, nu, nv)
+        dd[3:6] = axes
+        vols.append(vol)
+        metas.append(m)
+        dims_list.append(dd)
+    vol = np.stack(vols)
+    meta = np.stack(metas)
+    dims = np.stack(dims_list)
+    lut = make_lut()
+    packed = np.tile(sm.build_log_lut(lut)[None], (2, 1, 1, 1))
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        1.0, 0.0, 1.0, 0.0625,
+    )
+    interp = jax.default_backend() == "cpu"
+
+    dense_c, dense_d = sm.slicemarch_render(
+        jnp.asarray(vol), jnp.asarray(meta), jnp.asarray(dims),
+        jnp.asarray(packed), jnp.asarray(cam),
+        width=width, height=height, max_slices=8, interpret=interp,
+    )
+
+    box_min = np.stack([b[1] for b in bricks])
+    box_max = np.stack([b[2] for b in bricks])
+    wb, wt, coverage = sm.compute_worklist(
+        box_min, box_max, np.asarray(camera.eye), forward, right, up,
+        camera.fov_y_degrees, width, height, pad_to=8,
+    )
+    # culling must actually cull something in this scene
+    assert coverage.sum() < coverage.size
+
+    wl_c, wl_d = sm.slicemarch_render_worklist(
+        jnp.asarray(vol), jnp.asarray(meta), jnp.asarray(dims),
+        jnp.asarray(packed), jnp.asarray(cam),
+        jnp.asarray(wb), jnp.asarray(wt), jnp.asarray(coverage),
+        width=width, height=height, max_slices=8, interpret=interp,
+    )
+    np.testing.assert_allclose(np.asarray(wl_c), np.asarray(dense_c), atol=1e-6)
+    got_d, exp_d = np.asarray(wl_d), np.asarray(dense_d)
+    np.testing.assert_array_equal(np.isfinite(got_d), np.isfinite(exp_d))
+    f = np.isfinite(exp_d)
+    np.testing.assert_allclose(got_d[f], exp_d[f], atol=1e-6)
