@@ -89,11 +89,17 @@ def _kernel_body(
     *,
     width: int,
     height: int,
+    logical_width: int,
+    logical_height: int,
     max_slices: int,
     tile_w: int,
     tile_h: int,
 ):
-    """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile."""
+    """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile.
+
+    ``width``/``height`` are the (tile-padded) buffer dims; NDC ray math
+    uses ``logical_width``/``logical_height`` so padded frames render the
+    same view as unpadded ones (extra pixels are cropped by the caller)."""
 
     eye_w = [cam_ref[i] for i in range(3)]
     fwd = [cam_ref[3 + i] for i in range(3)]
@@ -124,8 +130,8 @@ def _kernel_body(
     ty = t // tiles_x
     px = (tx * tile_w + flat_in_tile % tile_w).astype(jnp.float32)
     py = (ty * tile_h + flat_in_tile // tile_w).astype(jnp.float32)
-    ndc_x = (px + 0.5) * (2.0 / width) - 1.0
-    ndc_y = (py + 0.5) * (2.0 / height) - 1.0
+    ndc_x = (px + 0.5) * (2.0 / logical_width) - 1.0
+    ndc_y = (py + 0.5) * (2.0 / logical_height) - 1.0
     plane_x = ndc_x * tan_half_fov * aspect
     plane_y = ndc_y * tan_half_fov
     d_w = [fwd[i] + plane_x * right[i] + plane_y * up[i] for i in range(3)]
@@ -184,6 +190,8 @@ def _kernel_body(
 
     nu_f = nu.astype(jnp.float32)
     nv_f = nv.astype(jnp.float32)
+    t_lo = jnp.maximum(tmin, 0.0)
+    t_hi = tmax
 
     def make_body(mode):
         """March loop body; ``mode`` in {"fwd", "bwd", "mixed"} selects the
@@ -210,13 +218,20 @@ def _kernel_body(
             pos_v = eye[2] + d[2] * t_k
             fu = jnp.floor((pos_u - pmin[1]) / cell[1])
             fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+            # exact quadrature: weight = overlap of this slice's half-cell
+            # window [t_k - dt/2, t_k + dt/2] with the ray's clipped
+            # intersection interval.  Windows of consecutive slices tile the
+            # ray exactly, so grazing corner slivers are integrated instead
+            # of dropped (unlike naive plane-crossing sampling).
+            w = jnp.maximum(
+                jnp.minimum(t_k + 0.5 * dt, t_hi) - jnp.maximum(t_k - 0.5 * dt, t_lo),
+                0.0,
+            )
             valid = (
                 hit
                 & marchable
                 & (k < n_slices)
-                & (t_k > 0.0)
-                & (fu >= 0.0) & (fu < nu_f)
-                & (fv >= 0.0) & (fv < nv_f)
+                & (w > 0.0)
                 & (acc_a < 1.0)
             )
             iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
@@ -249,9 +264,12 @@ def _kernel_body(
             s_b = _gather_lut(lut_b, lut_idx)
             s_l = _gather_lut(lut_l, lut_idx)
 
-            # step-normalized opacity: 1 - (1 - a)^(dt/ref) = 1 - exp(q * L)
-            sample_a = 1.0 - jnp.exp(q * s_l)
-            alpha = jnp.where(valid, sample_a * (1.0 - acc_a), 0.0)
+            # step-normalized opacity with the per-sample segment length:
+            # 1 - (1 - a)^(w/ref) = 1 - exp((w/ref) * L).  Guarded so that
+            # w == 0 with an opaque LUT entry (L = -inf) stays 0, not NaN.
+            q_k = w / ref_distance
+            sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
+            alpha = sample_a * (1.0 - acc_a)
             return (
                 acc_r + s_r * alpha,
                 acc_g + s_g * alpha,
@@ -344,7 +362,11 @@ TILE_H = 32
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_slices", "interpret")
+    jax.jit,
+    static_argnames=(
+        "width", "height", "logical_width", "logical_height", "max_slices",
+        "interpret",
+    ),
 )
 def slicemarch_render(
     vol: jnp.ndarray,  # [B, S_max, 8, 128] f32 permuted slice-flattened bricks
@@ -356,6 +378,8 @@ def slicemarch_render(
     width: int,
     height: int,
     max_slices: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense render: every brick against every pixel tile (with in-kernel
@@ -366,8 +390,10 @@ def slicemarch_render(
     num_tiles = num_pixels // TILE_P
 
     kernel = functools.partial(
-        _kernel_dense, width=width, height=height, max_slices=max_slices,
-        tile_w=TILE_W, tile_h=TILE_H,
+        _kernel_dense, width=width, height=height,
+        logical_width=logical_width or width,
+        logical_height=logical_height or height,
+        max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -404,7 +430,11 @@ def slicemarch_render(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "max_slices", "interpret")
+    jax.jit,
+    static_argnames=(
+        "width", "height", "logical_width", "logical_height", "max_slices",
+        "interpret",
+    ),
 )
 def slicemarch_render_worklist(
     vol: jnp.ndarray,  # [B, S_max, 8, 128]
@@ -419,6 +449,8 @@ def slicemarch_render_worklist(
     width: int,
     height: int,
     max_slices: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render: only scheduled (brick, tile) pairs execute.
@@ -435,8 +467,10 @@ def slicemarch_render_worklist(
     num_work = work_bricks.shape[0]
 
     kernel = functools.partial(
-        _kernel_worklist, width=width, height=height, max_slices=max_slices,
-        tile_w=TILE_W, tile_h=TILE_H,
+        _kernel_worklist, width=width, height=height,
+        logical_width=logical_width or width,
+        logical_height=logical_height or height,
+        max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -494,6 +528,8 @@ def compute_worklist(
     fov_y_degrees: float,
     width: int,
     height: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
     pad_to: int = 256,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Screen-bbox tile work list: one (brick, tile) item per 2D tile whose
@@ -507,8 +543,10 @@ def compute_worklist(
     tiles_x = width // TILE_W
     tiles_y = height // TILE_H
     num_tiles = tiles_x * tiles_y
+    lw = logical_width or width
+    lh = logical_height or height
     thf = math.tan(fov_y_degrees * 0.5 * math.pi / 180.0)
-    aspect = width / max(height, 1)
+    aspect = lw / max(lh, 1)
 
     wb: List[int] = []
     wt: List[int] = []
@@ -534,8 +572,8 @@ def compute_worklist(
                 break
             ndc_x = float(np.dot(rel, right)) / (depth * thf * aspect)
             ndc_y = float(np.dot(rel, up)) / (depth * thf)
-            sx = (ndc_x * 0.5 + 0.5) * width
-            sy = (ndc_y * 0.5 + 0.5) * height
+            sx = (ndc_x * 0.5 + 0.5) * lw
+            sy = (ndc_y * 0.5 + 0.5) * lh
             lo_x = min(lo_x, sx)
             hi_x = max(hi_x, sx)
             lo_y = min(lo_y, sy)
@@ -729,7 +767,8 @@ def slicemarch_reference(
             continue
 
         dt = cell[0] / abs(d[0])
-        qq = dt / ref_distance
+        t_lo = max(tmin, 0.0)
+        t_hi = tmax
         ks = range(ns) if d[0] > 0 else range(ns - 1, -1, -1)
         acc = np.zeros(4)
         for k in ks:
@@ -737,18 +776,20 @@ def slicemarch_reference(
                 break
             z_k = pmin[0] + (k + 0.5) * cell[0]
             t_k = (z_k - e[0]) / d[0]
-            if t_k <= 0:
+            w = min(t_k + 0.5 * dt, t_hi) - max(t_k - 0.5 * dt, t_lo)
+            if w <= 0:
                 continue
             pu = e[1] + d[1] * t_k
             pv = e[2] + d[2] * t_k
             fu = math.floor((pu - pmin[1]) / cell[1])
             fv = math.floor((pv - pmin[2]) / cell[2])
-            if not (0 <= fu < nu and 0 <= fv < nv):
-                continue
+            fu = min(max(fu, 0), nu - 1)
+            fv = min(max(fv, 0), nv - 1)
             scalar = vol[k, int(fu), int(fv)]
             normalized = min(max((scalar - range_min) * inverse_range, 0.0), 1.0)
             idx = min(max(int(normalized * 255), 0), 255)
             a_ref = alpha_tab[idx]
+            qq = w / ref_distance
             a = 1.0 - (1.0 - a_ref) ** qq if a_ref < 1.0 else 1.0
             contrib = a * (1.0 - acc[3])
             acc[:3] += color_table[idx, :3] * contrib

@@ -284,6 +284,17 @@ def _build_camera_arrays(camera: CameraParameters):
     )
 
 
+def resolve_render_method(method: str) -> str:
+    """Resolve the render method: 'raymarch' (exact reference-semantics XLA
+    kernel), 'slicemarch' (Pallas fast path), or 'auto' (slicemarch on TPU,
+    raymarch elsewhere)."""
+    if method == "auto":
+        return "slicemarch" if jax.default_backend() == "tpu" else "raymarch"
+    if method not in ("raymarch", "slicemarch"):
+        raise ValueError(f"unknown render method '{method}'")
+    return method
+
+
 def render_layers(
     geometry: SceneGeometry,
     parameters: RenderParameters,
@@ -294,6 +305,7 @@ def render_layers(
     render_width: int,
     render_height: int,
     color_map: Optional[ColorMap],
+    method: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Render every brick into a full-frame RGBA+depth layer.
 
@@ -302,6 +314,15 @@ def render_layers(
     (VolumeRenderer.cpp:1200-1223) but batched per bucket through one
     jitted XLA program each.
     """
+    if resolve_render_method(method) == "slicemarch":
+        from .renderer_fast import render_layers_slicemarch
+
+        return render_layers_slicemarch(
+            geometry, parameters, camera, bounds, scalar_range,
+            reference_sample_distance, render_width, render_height, color_map,
+            interpret=jax.default_backend() == "cpu",
+        )
+
     bricks = geometry.bricks
     num_bricks = len(bricks)
     num_pixels = render_width * render_height
@@ -413,6 +434,7 @@ def render_single_trial(
     color_map: Optional[ColorMap],
     num_ranks: int = 1,
     verbose: bool = True,
+    method: str = "auto",
 ) -> Tuple[ImageBuffer, RenderTiming]:
     """One full render: paint layers, order, composite, downsample, overlay,
     save (VolumeRenderer.cpp:1103-1339)."""
@@ -436,6 +458,7 @@ def render_single_trial(
         render_width,
         render_height,
         color_map,
+        method=method,
     )
     timing.render_seconds = time.perf_counter() - t0
     if verbose:
@@ -518,6 +541,7 @@ def render_scene(
     color_map: Optional[ColorMap] = None,
     num_ranks: int = 1,
     verbose: bool = True,
+    method: str = "auto",
 ) -> Tuple[ImageBuffer, RenderTiming]:
     """Render with an explicit camera, or the seeded auto-orbit camera
     (VolumeRenderer.cpp:947-1101)."""
@@ -560,4 +584,5 @@ def render_scene(
         color_map,
         num_ranks=num_ranks,
         verbose=verbose,
+        method=method,
     )

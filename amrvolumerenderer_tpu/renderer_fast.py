@@ -1,0 +1,180 @@
+"""Fast render path: slice-march kernel integration for the full pipeline.
+
+Prepares the brick table for ``ops.slicemarch`` (scalar pre-transform, soft
+tail clip baked into the data, dominant-axis slice packing, vreg-sized brick
+splitting, shared log-LUT) and renders all bricks through the work-list
+culled Pallas kernel.  Produces the same per-layer outputs as
+``renderer.render_layers`` so the compositor, overlay and IO stages are
+shared.
+
+Split bricks become separate layers carrying their parent's depth hint and
+consecutive local indices, so the depth-sorted run-grouped fold merges them
+adjacently (per-pixel depth channels keep intra-brick ordering exact).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import camera_basis, compute_box_depth_hint
+from .colormap import SOFT_CLIP_TOLERANCE, build_color_table, saturate_soft_tail_np
+from .ops import slicemarch as sm
+from .types import CameraParameters, ColorMap, RenderParameters, SceneGeometry, VolumeBounds
+
+
+def _pretransform(data: np.ndarray, transform, clip_start: float, apply_clip: bool,
+                  ) -> np.ndarray:
+    """Apply the scalar transform (VolumeTypes.hpp:53-67) and optional soft
+    tail clip to the whole brick once; nearest-cell sampling makes this
+    exactly equivalent to per-sample transformation."""
+    v = np.asarray(data, dtype=np.float64)
+    v = np.where(np.isfinite(v), v, 0.0)
+    if transform.log_scale_input:
+        v = np.where(v > 0.0, np.maximum(v, transform.positive_floor),
+                     transform.positive_floor)
+        v = np.log(v)
+    if transform.normalize_to_unit_range:
+        v = np.clip(
+            (v - transform.normalization_min) * transform.inverse_normalization_span,
+            0.0, 1.0,
+        )
+    v = v.astype(np.float32)
+    if apply_clip:
+        v = saturate_soft_tail_np(v, clip_start, 1.0).astype(np.float32)
+    return v
+
+
+def render_layers_slicemarch(
+    geometry: SceneGeometry,
+    parameters: RenderParameters,
+    camera: CameraParameters,
+    bounds: VolumeBounds,
+    scalar_range: Tuple[float, float],
+    reference_sample_distance: float,
+    render_width: int,
+    render_height: int,
+    color_map: Optional[ColorMap],
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Slice-march equivalent of renderer.render_layers.
+
+    Returns (layers [L, P, 5], depth_hints [L], owners [L], local_indices [L])
+    where L counts split pieces.
+    """
+    bricks = geometry.bricks
+    t = geometry.scalar_transform
+    alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0.0, 1.0))
+    clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
+    apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
+
+    forward, right, up = camera_basis(camera)
+    axis = sm.choose_march_axis(forward)
+    axes = [axis] + [a for a in range(3) if a != axis]
+
+    # pad the frame to tile multiples; crop after rendering
+    pad_w = ((render_width + sm.TILE_W - 1) // sm.TILE_W) * sm.TILE_W
+    pad_h = ((render_height + sm.TILE_H - 1) // sm.TILE_H) * sm.TILE_H
+
+    # shared LUT: alpha at the reference distance (normalization factor 1);
+    # the kernel applies the per-ray step correction
+    lut = build_color_table(alpha_scale, 1.0, scalar_range, color_map)
+    packed_lut = sm.build_log_lut(lut)
+
+    # split bricks into vreg-sized pieces and pack slices
+    pieces = []  # (vol, meta, dims4, parent_index)
+    for parent, brick in enumerate(bricks):
+        data = _pretransform(brick.data, t, clip_start, apply_clip)
+        for d, mn, mx in sm.split_brick_for_slices(
+            data, brick.min_corner, brick.max_corner, axis
+        ):
+            vol, (ns, nu, nv) = sm.pack_slice_volume(d, axis)
+            pmin = np.asarray(mn, float)[axes]
+            pmax = np.asarray(mx, float)[axes]
+            cell = (pmax - pmin) / np.array([ns, nu, nv])
+            meta = np.zeros(12, np.float32)
+            meta[0:3], meta[3:6], meta[6:9] = pmin, pmax, cell
+            dims4 = np.zeros(8, np.int32)
+            dims4[:3] = (ns, nu, nv)
+            dims4[3:6] = axes
+            pieces.append((vol, meta, dims4, parent, np.asarray(mn), np.asarray(mx)))
+
+    num_layers = len(pieces)
+    num_pixels = render_width * render_height
+    layers = np.zeros((num_layers, num_pixels, 5), dtype=np.float32)
+    layers[:, :, 4] = np.inf
+
+    if num_layers:
+        range_span = scalar_range[1] - scalar_range[0]
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+            render_width / max(render_height, 1),
+            scalar_range[0],
+            1.0 / range_span if range_span != 0.0 else 1.0,
+            reference_sample_distance,
+        )
+
+        # bucket pieces by padded slice count for one kernel launch each
+        s_max_all = max(p[0].shape[0] for p in pieces)
+        vol = np.zeros((num_layers, s_max_all, sm.SUBLANES, sm.LANES), np.float32)
+        meta = np.zeros((num_layers, 12), np.float32)
+        dims = np.zeros((num_layers, 8), np.int32)
+        box_min = np.zeros((num_layers, 3))
+        box_max = np.zeros((num_layers, 3))
+        for i, (v, m, dd, _parent, mn, mx) in enumerate(pieces):
+            vol[i, : v.shape[0]] = v
+            meta[i] = m
+            dims[i] = dd
+            box_min[i] = mn
+            box_max[i] = mx
+        luts = np.broadcast_to(packed_lut[None], (num_layers,) + packed_lut.shape)
+
+        wb, wt, coverage = sm.compute_worklist(
+            box_min, box_max, np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, pad_w, pad_h,
+            logical_width=render_width, logical_height=render_height,
+        )
+        colors, depths = sm.slicemarch_render_worklist(
+            jnp.asarray(vol),
+            jnp.asarray(meta),
+            jnp.asarray(dims),
+            jnp.asarray(np.ascontiguousarray(luts)),
+            jnp.asarray(cam),
+            jnp.asarray(wb),
+            jnp.asarray(wt),
+            jnp.asarray(coverage),
+            width=pad_w,
+            height=pad_h,
+            max_slices=s_max_all,
+            logical_width=render_width,
+            logical_height=render_height,
+            interpret=interpret,
+        )
+        colors = np.asarray(colors).reshape(num_layers, pad_h, pad_w, 4)
+        depths = np.asarray(depths).reshape(num_layers, pad_h, pad_w)
+        colors = colors[:, :render_height, :render_width]
+        depths = depths[:, :render_height, :render_width]
+        layers[:, :, :4] = colors.reshape(num_layers, num_pixels, 4)
+        layers[:, :, 4] = depths.reshape(num_layers, num_pixels)
+
+    # piece-level hints/owners: inherit the parent brick's hint and owner
+    depth_hints = np.zeros(num_layers, dtype=np.float32)
+    owners = np.zeros(num_layers, dtype=np.int32)
+    parent_hints = {
+        i: compute_box_depth_hint(b.min_corner, b.max_corner, camera)
+        for i, b in enumerate(bricks)
+    }
+    for i, (_v, _m, _d, parent, _mn, _mx) in enumerate(pieces):
+        depth_hints[i] = parent_hints[parent]
+        owners[i] = bricks[parent].owner
+    local_indices = np.zeros(num_layers, dtype=np.int32)
+    counters = {}
+    for i in range(num_layers):
+        o = int(owners[i])
+        local_indices[i] = counters.get(o, 0)
+        counters[o] = int(local_indices[i]) + 1
+    return layers, depth_hints, owners, local_indices
