@@ -1,0 +1,146 @@
+"""Multi-level AMR end-to-end tests (BASELINE.md config 3): min/max level
+selection, box transparency, visibility ordering, and a golden-image
+regression for the insitu scene."""
+
+import os
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu import api
+from amrvolumerenderer_tpu.renderer import render_scene
+from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+from amrvolumerenderer_tpu.types import RenderParameters
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def make_two_level_scene():
+    """Coarse 16^3 over [0,1]^3 + fine 16^3 over the center [0.25, 0.75]^3
+    (refinement ratio 2)."""
+    rng = np.random.default_rng(100)
+    n = 16
+
+    def radial(n_cells, lo, hi):
+        coords = lo + (np.arange(n_cells) + 0.5) / n_cells * (hi - lo)
+        x = coords[:, None, None]
+        y = coords[None, :, None]
+        z = coords[None, None, :]
+        return ((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2).astype(np.float64)
+
+    coarse = [LevelBox(radial(n, 0.0, 1.0), np.zeros(3, dtype=int))]
+    # fine level covers cells [8, 24) of the 32^3 fine index space
+    fine_field = radial(n, 0.25, 0.75) * 1.5
+    fine = [LevelBox(fine_field, np.array([8, 8, 8]))]
+    geoms = [
+        LevelGeometry(np.zeros(3), np.full(3, 1.0 / n)),
+        LevelGeometry(np.zeros(3), np.full(3, 1.0 / (2 * n))),
+    ]
+    return api.AmrData(
+        level_data=[coarse, fine], level_geometry=geoms,
+        refinement_ratios=[(2, 2, 2)],
+    )
+
+
+def test_convexify_removes_overlap():
+    data = make_two_level_scene()
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    # coarse level is chopped around the fine box: total coarse cells shrink
+    coarse_cells = sum(
+        np.prod(b.data.shape) for b in geometry.bricks if b.level == 0
+    )
+    fine_cells = sum(
+        np.prod(b.data.shape) for b in geometry.bricks if b.level == 1
+    )
+    assert fine_cells == 16**3
+    assert coarse_cells == 16**3 - 8**3  # central 8^3 coarse region removed
+    # more than one brick at the coarse level after chopping
+    assert sum(1 for b in geometry.bricks if b.level == 0) > 1
+
+
+def test_min_level_excludes_coarse():
+    data = make_two_level_scene()
+    geometry = api.load_amr_geometry(data, 1, -1, 0, False, True, verbose=False)
+    assert all(b.level == 1 for b in geometry.bricks)
+
+
+def test_max_level_excludes_fine():
+    data = make_two_level_scene()
+    geometry = api.load_amr_geometry(data, 0, 0, 0, False, True, verbose=False)
+    assert all(b.level == 0 for b in geometry.bricks)
+    # without the fine level, the coarse box is not chopped
+    assert len(geometry.bricks) == 1
+
+
+def test_multilevel_render_with_transparency(tmp_path):
+    data = make_two_level_scene()
+    options = api.RenderOptions(
+        width=48, height=48, box_transparency=0.5,
+        output_filename=str(tmp_path / "ml.ppm"),
+    )
+    image, _ = api.render(data, options, verbose=False)
+    assert image.pixels[:, 3].max() > 0.05
+    # transparency reduces accumulated opacity vs the opaque render
+    opaque, _ = api.render(
+        data,
+        api.RenderOptions(
+            width=48, height=48, output_filename=str(tmp_path / "ml2.ppm")
+        ),
+        verbose=False,
+    )
+    # compare interior alpha away from the wireframe overlay
+    a_t = np.sort(image.pixels[:, 3])[-200:-50].mean()
+    a_o = np.sort(opaque.pixels[:, 3])[-200:-50].mean()
+    assert a_t < a_o
+
+
+def test_multilevel_visibility_order_changes_nothing_visually(tmp_path):
+    """Layered compositing is ordered by depth hints, so toggling the
+    visibility graph must not change the composited image (the ordered
+    group only affects piece assignment, DirectSendBase.cpp:316-458)."""
+    data = make_two_level_scene()
+    img_on, _ = api.render(
+        data,
+        api.RenderOptions(width=32, height=32, visibility_graph=True,
+                          output_filename=str(tmp_path / "a.ppm")),
+        verbose=False,
+    )
+    img_off, _ = api.render(
+        data,
+        api.RenderOptions(width=32, height=32, visibility_graph=False,
+                          output_filename=str(tmp_path / "b.ppm")),
+        verbose=False,
+    )
+    np.testing.assert_array_equal(img_on.pixels, img_off.pixels)
+
+
+def test_golden_insitu_image(r2_scene):
+    """Pixel regression against a stored golden of the insitu r^2 scene,
+    using the reference tolerance (per-channel 0.02, <=2% bad pixels,
+    ImageFullTest.cpp:56-85)."""
+    from amrvolumerenderer_tpu.io import load_ppm
+
+    golden_path = os.path.join(GOLDEN_DIR, "insitu_r2_64.ppm")
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    image, _ = render_scene(
+        "", RenderParameters(width=64, height=64), geometry,
+        verbose=False, method="raymarch",
+    )
+    from amrvolumerenderer_tpu.image import color_to_byte
+
+    got = color_to_byte(image.pixels[:, :3]).reshape(64, 64, 3) / 255.0
+
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        from amrvolumerenderer_tpu.io import save_ppm
+
+        save_ppm(image, golden_path)
+        pytest.skip("golden image generated; rerun to compare")
+
+    golden, w, h = load_ppm(golden_path)
+    assert (w, h) == (64, 64)
+    diff = np.abs(got - golden)
+    bad = (diff > 0.02).any(axis=-1)
+    assert bad.mean() <= 0.02, f"bad pixel fraction {bad.mean():.4f}"
