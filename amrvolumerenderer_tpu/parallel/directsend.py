@@ -193,3 +193,57 @@ def shard_leading(mesh: Mesh, *arrays):
     """Place arrays with their leading axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(AXIS))
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def render_and_composite_sharded_slicemarch(
+    mesh: Mesh,
+    vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] packed slice bricks
+    meta: jnp.ndarray,  # [D * Bmax, 12]
+    dims: jnp.ndarray,  # [D * Bmax, 8]
+    lut: jnp.ndarray,  # [D * Bmax, 4, 2, 128]
+    cam: jnp.ndarray,  # [20]
+    valid: jnp.ndarray,  # [D * Bmax] bool
+    depth_hints: jnp.ndarray,  # [D * Bmax] float32 (+inf for padding)
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+    interpret: bool = False,
+):
+    """Multi-chip frame on the production slice-march kernel.
+
+    Same collective structure as ``render_and_composite_sharded`` but the
+    per-device render runs the Pallas slice-march kernel (dense grid with
+    in-kernel tile culling).  ``cam`` is replicated; the brick table is
+    sharded on its leading axis; the result is the composited
+    [width * height, 5] frame, pixel-sharded across the mesh.
+    """
+    from ..ops.slicemarch import slicemarch_render
+
+    num_devices = mesh.devices.size
+    num_pixels = width * height
+    assert num_pixels % num_devices == 0
+
+    def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints):
+        colors, depths = slicemarch_render(
+            b_vol, b_meta, b_dims, b_lut, cam,
+            width=width, height=height, max_slices=max_slices,
+            interpret=interpret,
+        )
+        layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
+        mask = b_valid[:, None, None]
+        cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
+        layers = jnp.where(mask, layers, cleared)
+        hints = jnp.where(b_valid, b_hints, jnp.inf)
+        return _compose_shard(layers, hints)
+
+    sharded = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 6,
+            out_specs=P(AXIS),
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        )
+    )
+    return sharded(vol, meta, dims, lut, valid, depth_hints)

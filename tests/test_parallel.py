@@ -177,3 +177,119 @@ def test_full_sharded_pipeline_matches_single_device(r2_scene):
     )
     got = np.asarray(out)
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_sharded_slicemarch_pipeline(r2_scene):
+    """The multi-chip slice-march pipeline must match the single-device
+    slice-march render + host composite."""
+    import math
+
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.camera import (
+        auto_orbit_camera,
+        camera_basis,
+        compute_box_depth_hint,
+    )
+    from amrvolumerenderer_tpu.colormap import build_color_table
+    from amrvolumerenderer_tpu.ops import slicemarch as sm
+    from amrvolumerenderer_tpu.parallel.directsend import (
+        render_and_composite_sharded_slicemarch,
+    )
+    from amrvolumerenderer_tpu.renderer import (
+        compute_global_bounds,
+        compute_reference_sample_distance,
+    )
+    from amrvolumerenderer_tpu.renderer_fast import _pretransform
+    from amrvolumerenderer_tpu.scene import assign_owners
+
+    num_devices = 4
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    assign_owners(geometry, num_devices)
+
+    width = height = 32
+    bounds = compute_global_bounds(geometry)
+    camera = auto_orbit_camera(bounds)
+    forward, right, up = camera_basis(camera)
+    axis = sm.choose_march_axis(forward)
+    axes = [axis] + [a for a in range(3) if a != axis]
+    ref_dist = compute_reference_sample_distance(geometry, bounds)
+    t = geometry.scalar_transform
+
+    lut = build_color_table(1.0, 1.0, geometry.scalar_range, None)
+    packed = sm.build_log_lut(lut)
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        1.0, 0.0, 1.0, ref_dist,
+    )
+
+    bricks = geometry.bricks
+    bmax_count = max(
+        sum(1 for b in bricks if b.owner == d) for d in range(num_devices)
+    )
+    total = num_devices * bmax_count
+    s_max = 16
+    vol = np.zeros((total, s_max, sm.SUBLANES, sm.LANES), np.float32)
+    meta = np.zeros((total, 12), np.float32)
+    dims = np.zeros((total, 8), np.int32)
+    luts = np.zeros((total, 4, sm.LUT_ROWS, sm.LANES), np.float32)
+    valid = np.zeros(total, bool)
+    hints = np.full(total, np.inf, np.float32)
+
+    slot_count = [0] * num_devices
+    host_layers, host_hints, host_owners, host_local = [], [], [], []
+    for b in bricks:
+        d = b.owner
+        slot = d * bmax_count + slot_count[d]
+        slot_count[d] += 1
+        pt = _pretransform(b.data, t, 1.0, False)
+        v, (ns, nu, nv) = sm.pack_slice_volume(pt, axis)
+        vol[slot, :ns] = v
+        pmin = np.asarray(b.min_corner)[axes]
+        pmax = np.asarray(b.max_corner)[axes]
+        meta[slot, 0:3] = pmin
+        meta[slot, 3:6] = pmax
+        meta[slot, 6:9] = (pmax - pmin) / np.array([ns, nu, nv])
+        dims[slot, :3] = (ns, nu, nv)
+        dims[slot, 3:6] = axes
+        luts[slot] = packed
+        valid[slot] = True
+        hints[slot] = compute_box_depth_hint(b.min_corner, b.max_corner, camera)
+
+    from amrvolumerenderer_tpu.parallel.directsend import make_mesh
+
+    mesh = make_mesh(num_devices)
+    out = render_and_composite_sharded_slicemarch(
+        mesh,
+        jnp.asarray(vol), jnp.asarray(meta), jnp.asarray(dims),
+        jnp.asarray(luts), jnp.asarray(cam), jnp.asarray(valid),
+        jnp.asarray(hints),
+        width=width, height=height, max_slices=s_max,
+        interpret=jax.default_backend() == "cpu",
+    )
+    got = np.asarray(out)
+
+    # single-device oracle: dense slicemarch per slot + host fold
+    from amrvolumerenderer_tpu.compositor import composite_layers_host
+    from amrvolumerenderer_tpu.ops.slicemarch import slicemarch_render
+
+    colors, depths = slicemarch_render(
+        jnp.asarray(vol), jnp.asarray(meta), jnp.asarray(dims),
+        jnp.asarray(luts), jnp.asarray(cam),
+        width=width, height=height, max_slices=s_max,
+        interpret=jax.default_backend() == "cpu",
+    )
+    layers = np.concatenate(
+        [np.asarray(colors), np.asarray(depths)[..., None]], axis=-1
+    )
+    owners_arr = np.repeat(np.arange(num_devices, dtype=np.int32), bmax_count)
+    local_arr = np.tile(np.arange(bmax_count, dtype=np.int32), num_devices)
+    cleared = np.zeros_like(layers[0])
+    cleared[:, 4] = np.inf
+    layers[~valid] = cleared
+    expected = composite_layers_host(layers, hints, owners_arr, local_arr)
+    np.testing.assert_allclose(got, expected, atol=2e-5)
