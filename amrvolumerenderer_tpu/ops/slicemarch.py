@@ -64,6 +64,26 @@ def _gather_slice(slice_tile: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
     return out
 
 
+def _gather_banded(load_row, num_rows: int, row, col, row_lo, row_hi):
+    """Row-banded 2D gather: ``out[i,j] = rows[row[i,j]][col[i,j]]``.
+
+    Rays within one screen tile touch a narrow, contiguous band of slice
+    rows (a 32-pixel tile spans only a few cells), so instead of walking
+    all ``num_rows`` candidate rows, walk ``row_lo + j`` and branch-skip
+    once past ``row_hi``.  ``load_row(r)`` returns row r as a [LANES] vector
+    (typically a dynamic VMEM ref load)."""
+    out = jnp.zeros((SUBLANES, LANES), jnp.float32)
+    for j in range(num_rows):
+        def do(o, j=j):
+            rr = row_lo + j
+            bcast = jax.lax.broadcast_in_dim(load_row(rr), (SUBLANES, LANES), (1,))
+            v = jnp.take_along_axis(bcast, col, axis=1)
+            return jnp.where(row == rr, v, o)
+
+        out = jax.lax.cond(row_lo + j <= row_hi, do, lambda o: o, out)
+    return out
+
+
 def _gather_lut(lut_tile: jnp.ndarray, idx: jnp.ndarray):
     """out[i,j] = lut_tile.reshape(-1)[idx[i,j]] for a [LUT_ROWS, 128] table."""
     col = idx % LANES
@@ -239,7 +259,6 @@ def _kernel_body(
             flat = iu * nv + iv
             row = flat // LANES
             col = flat % LANES
-
             if mode == "fwd":
                 scalar = _gather_slice(vol_ref[0, k], row, col)
             elif mode == "bwd":
@@ -282,6 +301,11 @@ def _kernel_body(
     zero = jnp.zeros((SUBLANES, LANES), jnp.float32)
     init = (zero, zero, zero, zero)
 
+    # NOTE on rejected variants (measured on v5e): a while_loop early exit
+    # on opacity saturation and a row-banded gather with per-row branch
+    # skips both LOSE ~10-15% on the benchmark scene — branch overhead and
+    # lost pipelining outweigh the skipped vector work.  Keep the straight
+    # fori_loop with the full 8-row gather.
     def run_loop(mode):
         def run(_):
             return jax.lax.fori_loop(0, max_slices, make_body(mode), init)
@@ -317,8 +341,10 @@ def _kernel_body(
         hit & (acc_a > 0.0) & jnp.isfinite(entry_depth), entry_depth, inf
     )
 
-    out = jnp.stack([acc_r, acc_g, acc_b, acc_a], axis=-1)
-    color_ref[0, 0] = out.reshape(TILE_P, 4)
+    color_ref[0, 0, 0] = acc_r
+    color_ref[0, 0, 1] = acc_g
+    color_ref[0, 0, 2] = acc_b
+    color_ref[0, 0, 3] = acc_a
     depth_ref[0, 0] = depth
 
 
@@ -346,12 +372,12 @@ def _kernel_worklist(
 
 def untile(colors: jnp.ndarray, depths: jnp.ndarray, width: int, height: int,
            tile_w: int, tile_h: int):
-    """[B, T, TILE_P, 4] tile-ordered buffers -> row-major [B, H*W, ...]."""
+    """[B, T, 4, S, L] channel-plane tile buffers -> row-major [B, H*W, ...]."""
     num_bricks = colors.shape[0]
     tiles_x = width // tile_w
     tiles_y = height // tile_h
-    c = colors.reshape(num_bricks, tiles_y, tiles_x, tile_h, tile_w, 4)
-    c = c.transpose(0, 1, 3, 2, 4, 5).reshape(num_bricks, height * width, 4)
+    c = colors.reshape(num_bricks, tiles_y, tiles_x, 4, tile_h, tile_w)
+    c = c.transpose(0, 1, 4, 2, 5, 3).reshape(num_bricks, height * width, 4)
     d = depths.reshape(num_bricks, tiles_y, tiles_x, tile_h, tile_w)
     d = d.transpose(0, 1, 3, 2, 4).reshape(num_bricks, height * width)
     return c, d
@@ -409,7 +435,8 @@ def slicemarch_render(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TILE_P, 4), lambda b, t, *_: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, 4, SUBLANES, LANES),
+                         lambda b, t, *_: (b, t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, SUBLANES, LANES), lambda b, t, *_: (b, t, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -419,7 +446,9 @@ def slicemarch_render(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_bricks, num_tiles, TILE_P, 4), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_tiles, 4, SUBLANES, LANES), jnp.float32
+            ),
             jax.ShapeDtypeStruct(
                 (num_bricks, num_tiles, SUBLANES, LANES), jnp.float32
             ),
@@ -489,8 +518,8 @@ def slicemarch_render_worklist(
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, TILE_P, 4),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0),
+                (1, 1, 4, SUBLANES, LANES),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -504,7 +533,9 @@ def slicemarch_render_worklist(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_bricks, num_tiles, TILE_P, 4), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_tiles, 4, SUBLANES, LANES), jnp.float32
+            ),
             jax.ShapeDtypeStruct(
                 (num_bricks, num_tiles, SUBLANES, LANES), jnp.float32
             ),
@@ -512,10 +543,91 @@ def slicemarch_render_worklist(
         interpret=interpret,
     )(cam, meta, dims, work_bricks, work_tiles, vol, lut)
 
-    mask = coverage[:, :, None, None]
-    colors = jnp.where(mask, colors, 0.0)
-    depths = jnp.where(mask, depths, jnp.inf)
+    colors = jnp.where(coverage[:, :, None, None, None], colors, 0.0)
+    depths = jnp.where(coverage[:, :, None, None], depths, jnp.inf)
     return untile(colors, depths, width, height, TILE_W, TILE_H)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "logical_width", "logical_height", "max_slices",
+        "interpret",
+    ),
+)
+def slicemarch_render_worklist_raw(
+    vol: jnp.ndarray,
+    meta: jnp.ndarray,
+    dims: jnp.ndarray,
+    lut: jnp.ndarray,
+    cam: jnp.ndarray,
+    work_bricks: jnp.ndarray,
+    work_tiles: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Work-list render returning TILE-ordered, UNMASKED buffers
+    ([B, T, TILE_P, 4], [B, T, SUBLANES, LANES]).  Unscheduled blocks are
+    undefined — the caller must apply the coverage mask (the fused path
+    does so inside the Pallas composite kernel, ops/composite.py)."""
+    num_bricks = vol.shape[0]
+    num_pixels = width * height
+    assert width % TILE_W == 0 and height % TILE_H == 0
+    num_tiles = num_pixels // TILE_P
+    num_work = work_bricks.shape[0]
+
+    kernel = functools.partial(
+        _kernel_worklist, width=width, height=height,
+        logical_width=logical_width or width,
+        logical_height=logical_height or height,
+        max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (1,) + vol.shape[1:],
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, LUT_ROWS, LANES),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 4, SUBLANES, LANES),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, SUBLANES, LANES),
+                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_tiles, 4, SUBLANES, LANES), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (num_bricks, num_tiles, SUBLANES, LANES), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(cam, meta, dims, work_bricks, work_tiles, vol, lut)
 
 
 def compute_worklist(

@@ -178,3 +178,41 @@ def render_layers_slicemarch(
         local_indices[i] = counters.get(o, 0)
         counters[o] = int(local_indices[i]) + 1
     return layers, depth_hints, owners, local_indices
+
+
+def composited_frame(
+    vol, meta, dims, lut, cam, work_bricks, work_tiles, coverage,
+    order, owners_sorted, *, width, height, max_slices, interpret=False,
+):
+    """Fully fused frame: work-list render -> Pallas tile-space composite
+    -> single untile.  Every layer's pixels touch HBM exactly once.
+
+    Returns the composited row-major [width * height, 5] frame (jnp).
+    Inputs follow ops.slicemarch packing; ``order``/``owners_sorted`` come
+    from compositor.sort_layers on the piece depth hints.
+    """
+    from .ops.composite import composite_tiles
+    from .ops.slicemarch import (
+        LANES,
+        SUBLANES,
+        TILE_H,
+        TILE_P,
+        TILE_W,
+        slicemarch_render_worklist_raw,
+    )
+
+    colors, depths = slicemarch_render_worklist_raw(
+        vol, meta, dims, lut, cam, work_bricks, work_tiles,
+        width=width, height=height, max_slices=max_slices,
+        interpret=interpret,
+    )
+    out_c, out_d = composite_tiles(
+        colors, depths, order, owners_sorted, coverage, interpret=interpret
+    )
+    tiles_x = width // TILE_W
+    tiles_y = height // TILE_H
+    c = out_c.reshape(tiles_y, tiles_x, 4, TILE_H, TILE_W)
+    c = c.transpose(0, 3, 1, 4, 2).reshape(width * height, 4)
+    d = out_d.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+    d = d.transpose(0, 2, 1, 3).reshape(width * height)
+    return jnp.concatenate([c, d[:, None]], axis=-1)

@@ -101,15 +101,14 @@ def main() -> None:
     order = sort_layers(hints, owners, local)
     sorted_owners = owners[order]
 
+    from amrvolumerenderer_tpu.renderer_fast import composited_frame
+
     def one_frame(vol, meta, dims, lutp, cam, wb, wt, cov, order, sowners):
-        colors, depths = sm.slicemarch_render_worklist(
-            vol, meta, dims, lutp, cam, wb, wt, cov,
+        frame_px = composited_frame(
+            vol, meta, dims, lutp, cam, wb, wt, cov, order, sowners,
             width=width, height=height, max_slices=32,
         )
-        layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
-        sorted_layers = jnp.take(layers, order, axis=0)
-        composited = _composite_sorted_runs(sorted_layers, sowners)
-        return jnp.sum(composited[:, :4])
+        return jnp.sum(frame_px[:, :4])
 
     # Several frames per dispatch: host->device dispatch latency through the
     # runtime can exceed the frame time itself, so the per-frame number is
