@@ -447,19 +447,33 @@ def render_single_trial(
     reference_sample_distance = compute_reference_sample_distance(geometry, bounds)
     tight_bounds = compute_tight_bounds(geometry, bounds)
 
+    resolved = resolve_render_method(method)
+    fused = resolved == "slicemarch"
     t0 = time.perf_counter()
-    layers, depth_hints, owners, local_indices = render_layers(
-        geometry,
-        parameters,
-        camera,
-        bounds,
-        scalar_range,
-        reference_sample_distance,
-        render_width,
-        render_height,
-        color_map,
-        method=method,
-    )
+    if fused:
+        # fused fast path: render + depth-sorted composite stay on device;
+        # only the final frame crosses to the host
+        from .renderer_fast import render_composited_slicemarch
+
+        composited_np = render_composited_slicemarch(
+            geometry, parameters, camera, scalar_range,
+            reference_sample_distance, render_width, render_height,
+            color_map, interpret=jax.default_backend() == "cpu",
+        )
+        layers = depth_hints = owners = local_indices = None
+    else:
+        layers, depth_hints, owners, local_indices = render_layers(
+            geometry,
+            parameters,
+            camera,
+            bounds,
+            scalar_range,
+            reference_sample_distance,
+            render_width,
+            render_height,
+            color_map,
+            method=resolved,
+        )
     timing.render_seconds = time.perf_counter() - t0
     if verbose:
         print(f"Render: per-box rendering took {timing.render_seconds:.4f} s")
@@ -471,12 +485,13 @@ def render_single_trial(
     else:
         box_min = np.zeros((0, 3))
         box_max = np.zeros((0, 3))
+    brick_owners = np.array([b.owner for b in geometry.bricks], dtype=np.int32)
     _rank_order = build_visibility_order(
         camera,
         aspect,
         box_min,
         box_max,
-        owners,
+        brick_owners,
         num_ranks,
         parameters.use_visibility_graph,
         parameters.write_visibility_graph,
@@ -490,10 +505,13 @@ def render_single_trial(
         )
 
     t0 = time.perf_counter()
-    composited = composite_layers_device(
-        jnp.asarray(layers), depth_hints, owners, local_indices
-    )
-    composited = np.asarray(jax.device_get(composited))
+    if fused:
+        composited = composited_np  # composited inside the render dispatch
+    else:
+        composited = composite_layers_device(
+            jnp.asarray(layers), depth_hints, owners, local_indices
+        )
+        composited = np.asarray(jax.device_get(composited))
     timing.composite_seconds = time.perf_counter() - t0
     if verbose:
         print(f"Render: compositing took {timing.composite_seconds:.4f} s")

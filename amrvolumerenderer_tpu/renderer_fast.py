@@ -49,23 +49,20 @@ def _pretransform(data: np.ndarray, transform, clip_start: float, apply_clip: bo
     return v
 
 
-def render_layers_slicemarch(
+def prepare_slicemarch_scene(
     geometry: SceneGeometry,
     parameters: RenderParameters,
     camera: CameraParameters,
-    bounds: VolumeBounds,
     scalar_range: Tuple[float, float],
     reference_sample_distance: float,
     render_width: int,
     render_height: int,
     color_map: Optional[ColorMap],
-    interpret: bool = False,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Slice-march equivalent of renderer.render_layers.
+):
+    """Build all device inputs for the slice-march kernel from a scene.
 
-    Returns (layers [L, P, 5], depth_hints [L], owners [L], local_indices [L])
-    where L counts split pieces.
-    """
+    Returns a dict with the packed brick arrays, camera packing, work list,
+    padded frame dims, and piece-level hint/owner/local arrays."""
     bricks = geometry.bricks
     t = geometry.scalar_transform
     alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0.0, 1.0))
@@ -76,17 +73,13 @@ def render_layers_slicemarch(
     axis = sm.choose_march_axis(forward)
     axes = [axis] + [a for a in range(3) if a != axis]
 
-    # pad the frame to tile multiples; crop after rendering
     pad_w = ((render_width + sm.TILE_W - 1) // sm.TILE_W) * sm.TILE_W
     pad_h = ((render_height + sm.TILE_H - 1) // sm.TILE_H) * sm.TILE_H
 
-    # shared LUT: alpha at the reference distance (normalization factor 1);
-    # the kernel applies the per-ray step correction
     lut = build_color_table(alpha_scale, 1.0, scalar_range, color_map)
     packed_lut = sm.build_log_lut(lut)
 
-    # split bricks into vreg-sized pieces and pack slices
-    pieces = []  # (vol, meta, dims4, parent_index)
+    pieces = []
     for parent, brick in enumerate(bricks):
         data = _pretransform(brick.data, t, clip_start, apply_clip)
         for d, mn, mx in sm.split_brick_for_slices(
@@ -104,64 +97,40 @@ def render_layers_slicemarch(
             pieces.append((vol, meta, dims4, parent, np.asarray(mn), np.asarray(mx)))
 
     num_layers = len(pieces)
-    num_pixels = render_width * render_height
-    layers = np.zeros((num_layers, num_pixels, 5), dtype=np.float32)
-    layers[:, :, 4] = np.inf
+    if num_layers == 0:
+        return None
 
-    if num_layers:
-        range_span = scalar_range[1] - scalar_range[0]
-        cam = sm.pack_camera(
-            np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
-            render_width / max(render_height, 1),
-            scalar_range[0],
-            1.0 / range_span if range_span != 0.0 else 1.0,
-            reference_sample_distance,
-        )
+    range_span = scalar_range[1] - scalar_range[0]
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        render_width / max(render_height, 1),
+        scalar_range[0],
+        1.0 / range_span if range_span != 0.0 else 1.0,
+        reference_sample_distance,
+    )
 
-        # bucket pieces by padded slice count for one kernel launch each
-        s_max_all = max(p[0].shape[0] for p in pieces)
-        vol = np.zeros((num_layers, s_max_all, sm.SUBLANES, sm.LANES), np.float32)
-        meta = np.zeros((num_layers, 12), np.float32)
-        dims = np.zeros((num_layers, 8), np.int32)
-        box_min = np.zeros((num_layers, 3))
-        box_max = np.zeros((num_layers, 3))
-        for i, (v, m, dd, _parent, mn, mx) in enumerate(pieces):
-            vol[i, : v.shape[0]] = v
-            meta[i] = m
-            dims[i] = dd
-            box_min[i] = mn
-            box_max[i] = mx
-        luts = np.broadcast_to(packed_lut[None], (num_layers,) + packed_lut.shape)
+    s_max_all = max(p[0].shape[0] for p in pieces)
+    vol = np.zeros((num_layers, s_max_all, sm.SUBLANES, sm.LANES), np.float32)
+    meta = np.zeros((num_layers, 12), np.float32)
+    dims = np.zeros((num_layers, 8), np.int32)
+    box_min = np.zeros((num_layers, 3))
+    box_max = np.zeros((num_layers, 3))
+    for i, (v, m, dd, _parent, mn, mx) in enumerate(pieces):
+        vol[i, : v.shape[0]] = v
+        meta[i] = m
+        dims[i] = dd
+        box_min[i] = mn
+        box_max[i] = mx
+    luts = np.ascontiguousarray(
+        np.broadcast_to(packed_lut[None], (num_layers,) + packed_lut.shape)
+    )
 
-        wb, wt, coverage = sm.compute_worklist(
-            box_min, box_max, np.asarray(camera.eye), forward, right, up,
-            camera.fov_y_degrees, pad_w, pad_h,
-            logical_width=render_width, logical_height=render_height,
-        )
-        colors, depths = sm.slicemarch_render_worklist(
-            jnp.asarray(vol),
-            jnp.asarray(meta),
-            jnp.asarray(dims),
-            jnp.asarray(np.ascontiguousarray(luts)),
-            jnp.asarray(cam),
-            jnp.asarray(wb),
-            jnp.asarray(wt),
-            jnp.asarray(coverage),
-            width=pad_w,
-            height=pad_h,
-            max_slices=s_max_all,
-            logical_width=render_width,
-            logical_height=render_height,
-            interpret=interpret,
-        )
-        colors = np.asarray(colors).reshape(num_layers, pad_h, pad_w, 4)
-        depths = np.asarray(depths).reshape(num_layers, pad_h, pad_w)
-        colors = colors[:, :render_height, :render_width]
-        depths = depths[:, :render_height, :render_width]
-        layers[:, :, :4] = colors.reshape(num_layers, num_pixels, 4)
-        layers[:, :, 4] = depths.reshape(num_layers, num_pixels)
+    wb, wt, coverage = sm.compute_worklist(
+        box_min, box_max, np.asarray(camera.eye), forward, right, up,
+        camera.fov_y_degrees, pad_w, pad_h,
+        logical_width=render_width, logical_height=render_height,
+    )
 
-    # piece-level hints/owners: inherit the parent brick's hint and owner
     depth_hints = np.zeros(num_layers, dtype=np.float32)
     owners = np.zeros(num_layers, dtype=np.int32)
     parent_hints = {
@@ -177,12 +146,112 @@ def render_layers_slicemarch(
         o = int(owners[i])
         local_indices[i] = counters.get(o, 0)
         counters[o] = int(local_indices[i]) + 1
-    return layers, depth_hints, owners, local_indices
+
+    return dict(
+        vol=vol, meta=meta, dims=dims, luts=luts, cam=cam,
+        wb=wb, wt=wt, coverage=coverage, s_max=s_max_all,
+        pad_w=pad_w, pad_h=pad_h,
+        depth_hints=depth_hints, owners=owners, local_indices=local_indices,
+    )
+
+
+def render_composited_slicemarch(
+    geometry: SceneGeometry,
+    parameters: RenderParameters,
+    camera: CameraParameters,
+    scalar_range: Tuple[float, float],
+    reference_sample_distance: float,
+    render_width: int,
+    render_height: int,
+    color_map: Optional[ColorMap],
+    interpret: bool = False,
+) -> np.ndarray:
+    """Fully device-side frame: render + depth-sorted composite fused, only
+    the final [render_width * render_height, 5] image crosses to the host."""
+    from .compositor import sort_layers
+
+    prep = prepare_slicemarch_scene(
+        geometry, parameters, camera, scalar_range, reference_sample_distance,
+        render_width, render_height, color_map,
+    )
+    if prep is None:
+        out = np.zeros((render_width * render_height, 5), np.float32)
+        out[:, 4] = np.inf
+        return out
+
+    order = sort_layers(
+        prep["depth_hints"], prep["owners"], prep["local_indices"]
+    )
+    owners_sorted = prep["owners"][order]
+    frame = composited_frame(
+        jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
+        jnp.asarray(prep["dims"]), jnp.asarray(prep["luts"]),
+        jnp.asarray(prep["cam"]), jnp.asarray(prep["wb"]),
+        jnp.asarray(prep["wt"]), jnp.asarray(prep["coverage"]),
+        jnp.asarray(order), jnp.asarray(owners_sorted),
+        width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
+        logical_width=render_width, logical_height=render_height,
+        interpret=interpret,
+    )
+    frame = np.asarray(frame).reshape(prep["pad_h"], prep["pad_w"], 5)
+    frame = frame[:render_height, :render_width]
+    return frame.reshape(render_width * render_height, 5)
+
+
+def render_layers_slicemarch(
+    geometry: SceneGeometry,
+    parameters: RenderParameters,
+    camera: CameraParameters,
+    bounds: VolumeBounds,
+    scalar_range: Tuple[float, float],
+    reference_sample_distance: float,
+    render_width: int,
+    render_height: int,
+    color_map: Optional[ColorMap],
+    interpret: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Slice-march equivalent of renderer.render_layers.
+
+    Returns (layers [L, P, 5], depth_hints [L], owners [L], local_indices [L])
+    where L counts split pieces.  Prefer ``render_composited_slicemarch``
+    when only the composited frame is needed (keeps layers on device)."""
+    prep = prepare_slicemarch_scene(
+        geometry, parameters, camera, scalar_range, reference_sample_distance,
+        render_width, render_height, color_map,
+    )
+    num_pixels = render_width * render_height
+    if prep is None:
+        layers = np.zeros((0, num_pixels, 5), dtype=np.float32)
+        empty = np.zeros(0)
+        return layers, empty.astype(np.float32), empty.astype(np.int32), \
+            empty.astype(np.int32)
+
+    colors, depths = sm.slicemarch_render_worklist(
+        jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
+        jnp.asarray(prep["dims"]), jnp.asarray(prep["luts"]),
+        jnp.asarray(prep["cam"]), jnp.asarray(prep["wb"]),
+        jnp.asarray(prep["wt"]), jnp.asarray(prep["coverage"]),
+        width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
+        logical_width=render_width, logical_height=render_height,
+        interpret=interpret,
+    )
+    num_layers = colors.shape[0]
+    colors = np.asarray(colors).reshape(num_layers, prep["pad_h"], prep["pad_w"], 4)
+    depths = np.asarray(depths).reshape(num_layers, prep["pad_h"], prep["pad_w"])
+    layers = np.zeros((num_layers, num_pixels, 5), dtype=np.float32)
+    layers[:, :, :4] = colors[:, :render_height, :render_width].reshape(
+        num_layers, num_pixels, 4
+    )
+    layers[:, :, 4] = depths[:, :render_height, :render_width].reshape(
+        num_layers, num_pixels
+    )
+    return layers, prep["depth_hints"], prep["owners"], prep["local_indices"]
 
 
 def composited_frame(
     vol, meta, dims, lut, cam, work_bricks, work_tiles, coverage,
-    order, owners_sorted, *, width, height, max_slices, interpret=False,
+    order, owners_sorted, *, width, height, max_slices,
+    logical_width=None, logical_height=None, interpret=False,
 ):
     """Fully fused frame: work-list render -> Pallas tile-space composite
     -> single untile.  Every layer's pixels touch HBM exactly once.
@@ -204,6 +273,7 @@ def composited_frame(
     colors, depths = slicemarch_render_worklist_raw(
         vol, meta, dims, lut, cam, work_bricks, work_tiles,
         width=width, height=height, max_slices=max_slices,
+        logical_width=logical_width, logical_height=logical_height,
         interpret=interpret,
     )
     out_c, out_d = composite_tiles(
