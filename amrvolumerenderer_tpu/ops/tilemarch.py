@@ -1,0 +1,410 @@
+"""Tile-loop mega-kernel: march + composite fused, one pass, any brick count.
+
+The work-list renderer (ops/slicemarch.py) materializes a full-frame layer
+per brick — O(bricks x pixels) HBM, which cannot scale to deep-AMR scenes
+with thousands of bricks.  This kernel inverts the loop structure:
+
+  * grid over *pixel tiles* only; the output is the single composited
+    frame (no intermediate layers exist anywhere);
+  * the host builds a CSR work list per tile: the bricks whose screen
+    bounding box covers the tile, sorted front-to-back by depth hint
+    (ties: owner, local index — the composeLayered order,
+    DirectSendBase.cpp:378-388);
+  * the kernel walks the tile's brick list, DMA-ing each brick's packed
+    slice volume from HBM into a double-buffered VMEM scratch while the
+    previous brick is being marched (the classic Pallas overlap pattern);
+  * each brick's contribution is folded into the accumulator with the
+    same run-grouped depth-sort blend as the standalone compositor.
+
+HBM traffic: brick volumes are read once per covering tile; the frame is
+written once.  VMEM: 2 brick buffers + the tile accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .slicemarch import (
+    COLOR_TABLE_SIZE,
+    LANES,
+    LUT_ROWS,
+    SUBLANES,
+    TILE_H,
+    TILE_P,
+    TILE_W,
+    compute_worklist,
+)
+
+
+def _kernel(
+    # scalar prefetch
+    cam_ref,  # [20] f32 (slicemarch.pack_camera layout)
+    meta_ref,  # [B, 12] f32: pmin(3) pmax(3) cell(3) pad(3), permuted axes
+    dims_ref,  # [B, 8] i32: n_slices nu nv perm(3) pad pad
+    offsets_ref,  # [T + 1] i32 CSR offsets into the per-tile brick list
+    bricks_ref,  # [W] i32 CSR brick ids, front-to-back per tile
+    owners_ref,  # [W] i32 owner of each work item (run grouping)
+    # tensors
+    vol_hbm,  # [B, S_max, 8, 128] f32 in HBM/ANY
+    lut_ref,  # [4, LUT_ROWS, LANES] f32 in VMEM (shared table)
+    # outputs
+    out_color_ref,  # [1, 4, SUBLANES, LANES]
+    out_depth_ref,  # [1, SUBLANES, LANES]
+    # scratch
+    vol_buf,  # VMEM [2, S_max, 8, 128]
+    dma_sems,  # DMA semaphores (2,)
+    *,
+    width: int,
+    height: int,
+    logical_width: int,
+    logical_height: int,
+    max_slices: int,
+):
+    t = pl.program_id(0)
+    inf = jnp.float32(np.inf)
+
+    eye_w = [cam_ref[i] for i in range(3)]
+    fwd = [cam_ref[3 + i] for i in range(3)]
+    right = [cam_ref[6 + i] for i in range(3)]
+    up = [cam_ref[9 + i] for i in range(3)]
+    tan_half_fov = cam_ref[12]
+    aspect = cam_ref[13]
+    range_min = cam_ref[14]
+    inverse_range = cam_ref[15]
+    ref_distance = cam_ref[16]
+
+    # ---- per-tile rays (same mapping as the slice-march kernel) ----
+    tiles_x = width // TILE_W
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+    flat_in_tile = sub * LANES + lane
+    tx = t % tiles_x
+    ty = t // tiles_x
+    px = (tx * TILE_W + flat_in_tile % TILE_W).astype(jnp.float32)
+    py = (ty * TILE_H + flat_in_tile // TILE_W).astype(jnp.float32)
+    ndc_x = (px + 0.5) * (2.0 / logical_width) - 1.0
+    ndc_y = (py + 0.5) * (2.0 / logical_height) - 1.0
+    plane_x = ndc_x * tan_half_fov * aspect
+    plane_y = ndc_y * tan_half_fov
+    d_w = [fwd[i] + plane_x * right[i] + plane_y * up[i] for i in range(3)]
+    len_sq = d_w[0] ** 2 + d_w[1] ** 2 + d_w[2] ** 2
+    inv_len = jnp.where(len_sq > 0.0, jax.lax.rsqrt(len_sq), 0.0)
+    d_w = [di * inv_len for di in d_w]
+    ray_fwd_dot = d_w[0] * fwd[0] + d_w[1] * fwd[1] + d_w[2] * fwd[2]
+
+    lut_r = lut_ref[0]
+    lut_g = lut_ref[1]
+    lut_b = lut_ref[2]
+    lut_l = lut_ref[3]
+
+    def gather_vreg(tile, row, col, num_rows):
+        out = row.astype(jnp.float32) * 0.0
+        for rr in range(num_rows):
+            bcast = jax.lax.broadcast_in_dim(tile[rr, :], (SUBLANES, LANES), (1,))
+            v = jnp.take_along_axis(bcast, col, axis=1)
+            out = jnp.where(row == rr, v, out)
+        return out
+
+    work_begin = offsets_ref[t]
+    work_end = offsets_ref[t + 1]
+
+    def start_fetch(work_idx, slot):
+        @pl.when(work_idx < work_end)
+        def _():
+            b = bricks_ref[work_idx]
+            pltpu.make_async_copy(
+                vol_hbm.at[b], vol_buf.at[slot], dma_sems.at[slot]
+            ).start()
+
+    def march_brick(work_idx, slot):
+        """March brick ``bricks_ref[work_idx]`` (already in vol_buf[slot]).
+        Returns its (r, g, b, a, depth) layer planes for this tile."""
+        bi = bricks_ref[work_idx]
+        pmin = [meta_ref[bi, i] for i in range(3)]
+        pmax = [meta_ref[bi, 3 + i] for i in range(3)]
+        cell = [meta_ref[bi, 6 + i] for i in range(3)]
+        n_slices = dims_ref[bi, 0]
+        nu = dims_ref[bi, 1]
+        nv = dims_ref[bi, 2]
+        perm = [dims_ref[bi, 3 + i] for i in range(3)]
+
+        def pick(vecs, p):
+            out = vecs[2]
+            out = jnp.where(p == 0, vecs[0], out)
+            out = jnp.where(p == 1, vecs[1], out)
+            return out
+
+        eye = [pick(eye_w, perm[i]) for i in range(3)]
+        d = [pick(d_w, perm[i]) for i in range(3)]
+
+        tmin = plane_x * 0.0 - inf
+        tmax = plane_x * 0.0 + inf
+        for axis in range(3):
+            parallel = jnp.abs(d[axis]) < 1e-8
+            safe = jnp.where(parallel, 1.0, d[axis])
+            inv = 1.0 / safe
+            t1 = (pmin[axis] - eye[axis]) * inv
+            t2 = (pmax[axis] - eye[axis]) * inv
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            inside_axis = (eye[axis] >= pmin[axis]) & (eye[axis] <= pmax[axis])
+            lo = jnp.where(parallel, jnp.where(inside_axis, -inf, inf), lo)
+            hi = jnp.where(parallel, jnp.where(inside_axis, inf, -inf), hi)
+            tmin = jnp.maximum(tmin, lo)
+            tmax = jnp.minimum(tmax, hi)
+        hit = (tmax >= tmin) & (tmax > 0.0)
+
+        d_a = d[0]
+        marchable = jnp.abs(d_a) > 1e-8
+        inv_da = 1.0 / jnp.where(marchable, d_a, 1.0)
+        backward = d_a < 0.0
+        dt = cell[0] * jnp.abs(inv_da)
+        q = dt / ref_distance
+        t_lo = jnp.maximum(tmin, 0.0)
+        t_hi = tmax
+        nu_f = nu.astype(jnp.float32)
+        nv_f = nv.astype(jnp.float32)
+
+        def body(k, carry):
+            acc_r, acc_g, acc_b, acc_a = carry
+            k_eff = jnp.where(backward, n_slices - 1 - k, k)
+            z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
+            t_k = (z_k - eye[0]) * inv_da
+            pos_u = eye[1] + d[1] * t_k
+            pos_v = eye[2] + d[2] * t_k
+            fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+            fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+            w = jnp.maximum(
+                jnp.minimum(t_k + 0.5 * dt, t_hi) - jnp.maximum(t_k - 0.5 * dt, t_lo),
+                0.0,
+            )
+            valid = hit & marchable & (k < n_slices) & (w > 0.0) & (acc_a < 1.0)
+            iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
+            iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
+            flat = iu * nv + iv
+            row = flat // LANES
+            col = flat % LANES
+
+            s_f = gather_vreg(vol_buf[slot, k], row, col, SUBLANES)
+            s_b = gather_vreg(
+                vol_buf[slot, jnp.maximum(n_slices - 1 - k, 0)], row, col,
+                SUBLANES,
+            )
+            scalar = jnp.where(backward, s_b, s_f)
+
+            normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
+            lut_idx = jnp.clip(
+                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+                0, COLOR_TABLE_SIZE - 1,
+            )
+            lrow = lut_idx // LANES
+            lcol = lut_idx % LANES
+            s_r = gather_vreg(lut_r, lrow, lcol, LUT_ROWS)
+            s_g = gather_vreg(lut_g, lrow, lcol, LUT_ROWS)
+            s_bl = gather_vreg(lut_b, lrow, lcol, LUT_ROWS)
+            s_l = gather_vreg(lut_l, lrow, lcol, LUT_ROWS)
+
+            q_k = w / ref_distance
+            sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
+            alpha = sample_a * (1.0 - acc_a)
+            return (
+                acc_r + s_r * alpha,
+                acc_g + s_g * alpha,
+                acc_b + s_bl * alpha,
+                acc_a + alpha,
+            )
+
+        zero = plane_x * 0.0
+        l_r, l_g, l_b, l_a = jax.lax.fori_loop(
+            0, max_slices, body, (zero, zero, zero, zero)
+        )
+        l_r = jnp.clip(l_r, 0.0, 1.0)
+        l_g = jnp.clip(l_g, 0.0, 1.0)
+        l_b = jnp.clip(l_b, 0.0, 1.0)
+        l_a = jnp.clip(l_a, 0.0, 1.0)
+        entry_depth = tmin * ray_fwd_dot
+        l_d = jnp.where(
+            hit & (l_a > 0.0) & jnp.isfinite(entry_depth), entry_depth, inf
+        )
+        return (l_r, l_g, l_b, l_a), l_d
+
+    def blend(top_c, top_d, bot_c, bot_d):
+        top_front = top_d <= bot_d
+        front_a = jnp.where(top_front, top_c[3], bot_c[3])
+        one_minus = 1.0 - front_a
+        out_c = tuple(
+            jnp.where(top_front, top_c[ch], bot_c[ch])
+            + jnp.where(top_front, bot_c[ch], top_c[ch]) * one_minus
+            for ch in range(4)
+        )
+        return out_c, jnp.minimum(top_d, bot_d)
+
+    def select4(pred, a, b):
+        return tuple(jnp.where(pred, a[ch], b[ch]) for ch in range(4))
+
+    zero = plane_x * 0.0
+    empty_c = (zero, zero, zero, zero)
+    empty_d = zero + inf
+
+    start_fetch(work_begin, jnp.int32(0))
+
+    def outer(work_idx, carry):
+        run_c, run_d, tot_c, tot_d, have_tot = carry
+        rel = work_idx - work_begin
+        slot = jax.lax.rem(rel, 2)
+        next_slot = jax.lax.rem(rel + 1, 2)
+
+        # overlap: queue the next brick's DMA, then wait for this one's
+        start_fetch(work_idx + 1, next_slot)
+        pltpu.make_async_copy(
+            vol_hbm.at[bricks_ref[work_idx]], vol_buf.at[slot],
+            dma_sems.at[slot],
+        ).wait()
+
+        c, d = march_brick(work_idx, slot)
+
+        same_owner = jnp.logical_and(
+            work_idx > work_begin,
+            owners_ref[work_idx] == owners_ref[jnp.maximum(work_idx - 1, 0)],
+        )
+        closed_c, closed_d = blend(tot_c, tot_d, run_c, run_d)
+        closed_c = select4(have_tot, closed_c, run_c)
+        closed_d = jnp.where(have_tot, closed_d, run_d)
+        tot_c = select4(same_owner, tot_c, closed_c)
+        tot_d = jnp.where(same_owner, tot_d, closed_d)
+        have_tot = jnp.where(
+            same_owner, have_tot, jnp.logical_or(have_tot, work_idx > work_begin)
+        )
+        ext_c, ext_d = blend(run_c, run_d, c, d)
+        run_c = select4(same_owner, ext_c, c)
+        run_d = jnp.where(same_owner, ext_d, d)
+        return run_c, run_d, tot_c, tot_d, have_tot
+
+    run_c, run_d, tot_c, tot_d, have_tot = jax.lax.fori_loop(
+        work_begin, work_end, outer,
+        (empty_c, empty_d, empty_c, empty_d, work_begin < work_begin),
+    )
+    fin_c, fin_d = blend(tot_c, tot_d, run_c, run_d)
+    out_c = select4(have_tot, fin_c, run_c)
+    for ch in range(4):
+        out_color_ref[0, ch] = out_c[ch]
+    out_depth_ref[0] = jnp.where(have_tot, fin_d, run_d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "logical_width", "logical_height", "max_slices",
+        "interpret",
+    ),
+)
+def tilemarch_render(
+    vol: jnp.ndarray,  # [B, S_max, 8, 128] packed slice bricks (HBM)
+    meta: jnp.ndarray,  # [B, 12]
+    dims: jnp.ndarray,  # [B, 8]
+    lut: jnp.ndarray,  # [4, LUT_ROWS, LANES] shared transfer function
+    cam: jnp.ndarray,  # [20]
+    tile_offsets: jnp.ndarray,  # [T + 1] i32 CSR offsets
+    tile_bricks: jnp.ndarray,  # [W] i32 brick per work item (depth sorted)
+    tile_owners: jnp.ndarray,  # [W] i32 owner per work item
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render + composite the whole frame in one kernel pass.
+
+    Returns ([T, 4, SUBLANES, LANES], [T, SUBLANES, LANES]) tile-space
+    frame buffers (use ``slicemarch.untile``-style reshape for row-major).
+    """
+    num_pixels = width * height
+    assert width % TILE_W == 0 and height % TILE_H == 0
+    num_tiles = num_pixels // TILE_P
+    s_max = vol.shape[1]
+
+    kernel = functools.partial(
+        _kernel,
+        width=width,
+        height=height,
+        logical_width=logical_width or width,
+        logical_height=logical_height or height,
+        max_slices=max_slices,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # shared LUT
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 4, SUBLANES, LANES), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, LANES), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, s_max, SUBLANES, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 4, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        cam, meta, dims, tile_offsets, tile_bricks, tile_owners, vol, lut
+    )
+
+
+def build_tile_worklist(
+    box_min: np.ndarray,
+    box_max: np.ndarray,
+    depth_hints: np.ndarray,
+    owners: np.ndarray,
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    width: int,
+    height: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CSR per-tile brick lists, front-to-back by (hint, owner, index).
+
+    Returns (offsets [T+1], bricks [W], work_owners [W])."""
+    wb, wt, _cov = compute_worklist(
+        box_min, box_max, eye, forward, right, up, fov_y_degrees,
+        width, height, logical_width=logical_width,
+        logical_height=logical_height, pad_to=1,
+    )
+    num_tiles = (width // TILE_W) * (height // TILE_H)
+    # order per tile by (hint, owner, brick index)
+    order = np.lexsort((wb, owners[wb], depth_hints[wb], wt))
+    wt_sorted = wt[order]
+    wb_sorted = wb[order]
+    counts = np.bincount(wt_sorted, minlength=num_tiles)
+    offsets = np.zeros(num_tiles + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return (
+        offsets,
+        wb_sorted.astype(np.int32),
+        owners[wb_sorted].astype(np.int32),
+    )

@@ -1,0 +1,146 @@
+"""Tile-loop mega-kernel vs the layered slice-march + composite path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu import api
+from amrvolumerenderer_tpu.camera import (
+    auto_orbit_camera,
+    camera_basis,
+    compute_box_depth_hint,
+)
+from amrvolumerenderer_tpu.colormap import build_color_table
+from amrvolumerenderer_tpu.compositor import composite_layers_host, sort_layers
+from amrvolumerenderer_tpu.ops import slicemarch as sm
+from amrvolumerenderer_tpu.ops import tilemarch as tm
+from amrvolumerenderer_tpu.renderer import (
+    compute_global_bounds,
+    compute_reference_sample_distance,
+)
+from amrvolumerenderer_tpu.renderer_fast import _pretransform
+
+
+def build_scene_arrays(r2_scene, width, height):
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    g = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    bounds = compute_global_bounds(g)
+    camera = auto_orbit_camera(bounds)
+    forward, right, up = camera_basis(camera)
+    axis = sm.choose_march_axis(forward)
+    axes = [axis] + [a for a in range(3) if a != axis]
+    ref = compute_reference_sample_distance(g, bounds)
+    t = g.scalar_transform
+
+    lut = build_color_table(1.0, 1.0, g.scalar_range, None)
+    packed = sm.build_log_lut(lut)
+    num = len(g.bricks)
+    vol = np.zeros((num, 16, sm.SUBLANES, sm.LANES), np.float32)
+    meta = np.zeros((num, 12), np.float32)
+    dims = np.zeros((num, 8), np.int32)
+    hints = np.zeros(num, np.float32)
+    bmins, bmaxs = [], []
+    for i, b in enumerate(g.bricks):
+        pt = _pretransform(b.data, t, 1.0, False)
+        v, (ns, nu, nv) = sm.pack_slice_volume(pt, axis)
+        vol[i, :ns] = v
+        pmin = np.asarray(b.min_corner)[axes]
+        pmax = np.asarray(b.max_corner)[axes]
+        meta[i, 0:3], meta[i, 3:6] = pmin, pmax
+        meta[i, 6:9] = (pmax - pmin) / np.array([ns, nu, nv])
+        dims[i, :3] = (ns, nu, nv)
+        dims[i, 3:6] = axes
+        hints[i] = compute_box_depth_hint(b.min_corner, b.max_corner, camera)
+        bmins.append(b.min_corner)
+        bmaxs.append(b.max_corner)
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        width / height, 0.0, 1.0, ref,
+    )
+    owners = np.arange(num, dtype=np.int32)
+    return dict(
+        vol=vol, meta=meta, dims=dims, lut=packed, cam=cam, hints=hints,
+        owners=owners, box_min=np.stack(bmins), box_max=np.stack(bmaxs),
+        camera=camera, forward=forward, right=right, up=up,
+    )
+
+
+def test_tilemarch_matches_layered_path(r2_scene):
+    width = height = 64
+    s = build_scene_arrays(r2_scene, width, height)
+    num = len(s["owners"])
+    interp = jax.default_backend() == "cpu"
+
+    offsets, tbricks, towners = tm.build_tile_worklist(
+        s["box_min"], s["box_max"], s["hints"], s["owners"],
+        np.asarray(s["camera"].eye), s["forward"], s["right"], s["up"],
+        s["camera"].fov_y_degrees, width, height,
+    )
+    out_c, out_d = tm.tilemarch_render(
+        jnp.asarray(s["vol"]), jnp.asarray(s["meta"]), jnp.asarray(s["dims"]),
+        jnp.asarray(s["lut"]), jnp.asarray(s["cam"]),
+        jnp.asarray(offsets), jnp.asarray(tbricks), jnp.asarray(towners),
+        width=width, height=height, max_slices=16, interpret=interp,
+    )
+    # untile to row-major
+    tiles_x = width // tm.TILE_W
+    tiles_y = height // tm.TILE_H
+    got_c = (
+        np.asarray(out_c)
+        .reshape(tiles_y, tiles_x, 4, tm.TILE_H, tm.TILE_W)
+        .transpose(0, 3, 1, 4, 2)
+        .reshape(width * height, 4)
+    )
+    got_d = (
+        np.asarray(out_d)
+        .reshape(tiles_y, tiles_x, tm.TILE_H, tm.TILE_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(width * height)
+    )
+
+    # oracle: layered render + host composite
+    luts = np.ascontiguousarray(
+        np.broadcast_to(s["lut"][None], (num,) + s["lut"].shape)
+    )
+    colors, depths = sm.slicemarch_render(
+        jnp.asarray(s["vol"]), jnp.asarray(s["meta"]), jnp.asarray(s["dims"]),
+        jnp.asarray(luts), jnp.asarray(s["cam"]),
+        width=width, height=height, max_slices=16, interpret=interp,
+    )
+    layers = np.concatenate(
+        [np.asarray(colors), np.asarray(depths)[..., None]], axis=-1
+    )
+    expected = composite_layers_host(
+        layers, s["hints"], s["owners"], np.zeros(num, np.int32)
+    )
+
+    np.testing.assert_allclose(got_c, expected[:, :4], atol=2e-5)
+    finite = np.isfinite(expected[:, 4])
+    np.testing.assert_array_equal(np.isfinite(got_d), finite)
+    np.testing.assert_allclose(got_d[finite], expected[finite, 4], atol=1e-4)
+
+
+def test_build_tile_worklist_csr():
+    box_min = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    box_max = np.array([[0.5, 0.5, 0.5], [1.0, 1.0, 1.0]])
+    hints = np.array([2.0, 1.0], np.float32)
+    owners = np.array([0, 1], np.int32)
+    eye = np.array([0.5, 0.5, 4.0])
+    forward = np.array([0.0, 0.0, -1.0])
+    right = np.array([1.0, 0.0, 0.0])
+    up = np.array([0.0, 1.0, 0.0])
+    offsets, bricks, wowners = tm.build_tile_worklist(
+        box_min, box_max, hints, owners, eye, forward, right, up, 45.0,
+        128, 128,
+    )
+    assert offsets.shape == (17,)
+    assert offsets[-1] == len(bricks)
+    # within any tile containing both bricks, brick 1 (smaller hint) first
+    for t in range(16):
+        lo, hi = offsets[t], offsets[t + 1]
+        tile_bricks = list(bricks[lo:hi])
+        if len(tile_bricks) == 2:
+            assert tile_bricks == [1, 0]
+    assert np.all(wowners == owners[bricks])
