@@ -14,7 +14,7 @@ the host; the TPU kernel only does a table lookup.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -31,7 +31,6 @@ from .types import (
     RenderParameters,
     ScalarHistogram,
     SceneGeometry,
-    vec3,
 )
 
 USAGE = """Usage: volume_renderer [options] plotfile

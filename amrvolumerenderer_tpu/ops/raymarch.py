@@ -23,7 +23,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -23,8 +23,7 @@ written once.  VMEM: 2 brick buffers + the tile accumulator.
 from __future__ import annotations
 
 import functools
-import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ ordered fold, with XLA scheduling the collectives on ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

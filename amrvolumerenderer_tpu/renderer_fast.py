@@ -14,8 +14,7 @@ adjacently (per-pixel depth channels keep intra-brick ordering exact).
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
