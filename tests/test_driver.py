@@ -132,3 +132,44 @@ def test_color_map_kwarg(tmp_path, plotfile):
         plotfile, width=24, height=24, output=out,
         color_map=[(0.0, 0, 0, 1, 0.1), (3.0, 1, 0, 0, 0.8)],
     ) == 0
+
+
+def test_cli_end_to_end_png_with_aa(tmp_path, plotfile, capsys):
+    out = str(tmp_path / "cli.png")
+    code = main([
+        "--width", "32", "--height", "32", "--antialiasing", "4",
+        "--output", out, "--print-camera", plotfile,
+    ])
+    assert code == 0
+    captured = capsys.readouterr().out
+    assert "Camera parameters (automatic):" in captured
+    assert "Render: per-box rendering took" in captured
+    assert "Render: visibility graph computation took" in captured
+    assert "Render: compositing took" in captured
+    assert "Saved volume composited image to" in captured
+    from amrvolumerenderer_tpu.io import load_png
+
+    data, w, h = load_png(out)
+    assert (w, h) == (32, 32)
+    assert data.max() > 0.1
+
+
+def test_cli_multilevel_plotfile(tmp_path):
+    """Write a 2-level plotfile, render levels selectively via the CLI."""
+    rng = np.random.default_rng(8)
+    coarse = [LevelBox(rng.random((8, 8, 8)), np.zeros(3, dtype=int))]
+    fine = [LevelBox(rng.random((8, 8, 8)), np.array([4, 4, 4]))]
+    geoms = [
+        LevelGeometry(np.zeros(3), np.full(3, 1.0 / 8)),
+        LevelGeometry(np.zeros(3), np.full(3, 1.0 / 16)),
+    ]
+    path = str(tmp_path / "plt2l")
+    write_plotfile(path, [coarse, fine], geoms, ref_ratios=[2])
+
+    out = str(tmp_path / "ml.ppm")
+    assert main(["--width", "24", "--height", "24", "--max-level", "0",
+                 "--output", out, path]) == 0
+    assert main(["--width", "24", "--height", "24", "--min-level", "1",
+                 "--output", out, path]) == 0
+    assert main(["--width", "24", "--height", "24", "--log-scale",
+                 "--box-transparency", "0.3", "--output", out, path]) == 0
