@@ -290,7 +290,7 @@ def resolve_render_method(method: str) -> str:
     raymarch elsewhere)."""
     if method == "auto":
         return "slicemarch" if jax.default_backend() == "tpu" else "raymarch"
-    if method not in ("raymarch", "slicemarch"):
+    if method not in ("raymarch", "slicemarch", "tilemarch"):
         raise ValueError(f"unknown render method '{method}'")
     return method
 
@@ -448,14 +448,22 @@ def render_single_trial(
     tight_bounds = compute_tight_bounds(geometry, bounds)
 
     resolved = resolve_render_method(method)
-    fused = resolved == "slicemarch"
+    fused = resolved in ("slicemarch", "tilemarch")
     t0 = time.perf_counter()
     if fused:
         # fused fast path: render + depth-sorted composite stay on device;
         # only the final frame crosses to the host
-        from .renderer_fast import render_composited_slicemarch
+        from .renderer_fast import (
+            render_composited_slicemarch,
+            render_composited_tilemarch,
+        )
 
-        composited_np = render_composited_slicemarch(
+        render_fn = (
+            render_composited_tilemarch
+            if resolved == "tilemarch"
+            else render_composited_slicemarch
+        )
+        composited_np = render_fn(
             geometry, parameters, camera, scalar_range,
             reference_sample_distance, render_width, render_height,
             color_map, interpret=jax.default_backend() == "cpu",

@@ -285,3 +285,67 @@ def composited_frame(
     d = out_d.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
     d = d.transpose(0, 2, 1, 3).reshape(width * height)
     return jnp.concatenate([c, d[:, None]], axis=-1)
+
+
+def render_composited_tilemarch(
+    geometry: SceneGeometry,
+    parameters: RenderParameters,
+    camera: CameraParameters,
+    scalar_range: Tuple[float, float],
+    reference_sample_distance: float,
+    render_width: int,
+    render_height: int,
+    color_map: Optional[ColorMap],
+    interpret: bool = False,
+) -> np.ndarray:
+    """Frame via the tile-loop mega-kernel (ops/tilemarch.py): HBM use is
+    independent of brick count, for deep-AMR scenes with many bricks."""
+    from .camera import camera_basis as _basis
+    from .ops import tilemarch as tm
+
+    prep = prepare_slicemarch_scene(
+        geometry, parameters, camera, scalar_range, reference_sample_distance,
+        render_width, render_height, color_map,
+    )
+    num_pixels = render_width * render_height
+    if prep is None:
+        out = np.zeros((num_pixels, 5), np.float32)
+        out[:, 4] = np.inf
+        return out
+
+    forward, right, up = _basis(camera)
+    # piece bounding boxes in world space for the CSR work list
+    num = prep["vol"].shape[0]
+    axes_arr = prep["dims"][:, 3:6]
+    box_min = np.zeros((num, 3))
+    box_max = np.zeros((num, 3))
+    for i in range(num):
+        inv = np.argsort(axes_arr[i])  # permuted -> world axis order
+        box_min[i] = prep["meta"][i, 0:3][inv]
+        box_max[i] = prep["meta"][i, 3:6][inv]
+
+    offsets, tbricks, towners = tm.build_tile_worklist(
+        box_min, box_max, prep["depth_hints"], prep["owners"],
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        prep["pad_w"], prep["pad_h"],
+        logical_width=render_width, logical_height=render_height,
+    )
+    lut_single = np.ascontiguousarray(prep["luts"][0])
+    out_c, out_d = tm.tilemarch_render(
+        jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
+        jnp.asarray(prep["dims"]), jnp.asarray(lut_single),
+        jnp.asarray(prep["cam"]), jnp.asarray(offsets),
+        jnp.asarray(tbricks), jnp.asarray(towners),
+        width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
+        logical_width=render_width, logical_height=render_height,
+        interpret=interpret,
+    )
+    tiles_x = prep["pad_w"] // sm.TILE_W
+    tiles_y = prep["pad_h"] // sm.TILE_H
+    c = np.asarray(out_c).reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
+    c = c.transpose(0, 3, 1, 4, 2).reshape(prep["pad_h"], prep["pad_w"], 4)
+    d = np.asarray(out_d).reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
+    d = d.transpose(0, 2, 1, 3).reshape(prep["pad_h"], prep["pad_w"])
+    frame = np.concatenate([c, d[..., None]], axis=-1)
+    frame = frame[:render_height, :render_width]
+    return frame.reshape(num_pixels, 5)

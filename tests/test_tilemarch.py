@@ -144,3 +144,21 @@ def test_build_tile_worklist_csr():
         if len(tile_bricks) == 2:
             assert tile_bricks == [1, 0]
     assert np.all(wowners == owners[bricks])
+
+
+def test_full_pipeline_tilemarch_matches_slicemarch(r2_scene):
+    """render_scene(method='tilemarch') must match method='slicemarch'."""
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    params = RenderParameters(width=48, height=48)
+    img_slice, _ = render_scene("", params, geometry, verbose=False,
+                                method="slicemarch")
+    img_tile, _ = render_scene("", params, geometry, verbose=False,
+                               method="tilemarch")
+    np.testing.assert_allclose(
+        img_tile.pixels[:, :4], img_slice.pixels[:, :4], atol=2e-5
+    )
