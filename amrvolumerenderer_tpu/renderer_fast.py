@@ -166,7 +166,12 @@ def render_composited_slicemarch(
     interpret: bool = False,
 ) -> np.ndarray:
     """Fully device-side frame: render + depth-sorted composite fused, only
-    the final [render_width * render_height, 5] image crosses to the host."""
+    the final [render_width * render_height, 5] image crosses to the host.
+
+    Scenes with many brick pieces route to the tile-loop mega-kernel, whose
+    memory footprint is independent of brick count (the layered path's
+    per-brick frame buffers and the one-shot tile compositor both scale
+    with the piece count)."""
     from .compositor import sort_layers
 
     prep = prepare_slicemarch_scene(
@@ -177,6 +182,13 @@ def render_composited_slicemarch(
         out = np.zeros((render_width * render_height, 5), np.float32)
         out[:, 4] = np.inf
         return out
+
+    if prep["vol"].shape[0] > 96:
+        return render_composited_tilemarch(
+            geometry, parameters, camera, scalar_range,
+            reference_sample_distance, render_width, render_height,
+            color_map, interpret=interpret,
+        )
 
     order = sort_layers(
         prep["depth_hints"], prep["owners"], prep["local_indices"]

@@ -162,3 +162,36 @@ def test_full_pipeline_tilemarch_matches_slicemarch(r2_scene):
     np.testing.assert_allclose(
         img_tile.pixels[:, :4], img_slice.pixels[:, :4], atol=2e-5
     )
+
+
+def test_many_piece_scene_routes_to_tilemarch():
+    """A scene with >96 pieces renders through the mega-kernel route and
+    matches the explicit tilemarch method."""
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    rng = np.random.default_rng(2)
+    n, box = 40, 8  # 125 bricks
+    field = rng.random((n, n, n))
+    boxes = []
+    for i0 in range(0, n, box):
+        for j0 in range(0, n, box):
+            for k0 in range(0, n, box):
+                boxes.append(
+                    LevelBox(field[i0:i0+box, j0:j0+box, k0:k0+box],
+                             np.array([i0, j0, k0]))
+                )
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    assert len(geometry.bricks) == 125
+
+    params = RenderParameters(width=32, height=32)
+    img_auto, _ = render_scene("", params, geometry, verbose=False,
+                               method="slicemarch")
+    img_tile, _ = render_scene("", params, geometry, verbose=False,
+                               method="tilemarch")
+    np.testing.assert_allclose(
+        img_auto.pixels[:, :4], img_tile.pixels[:, :4], atol=2e-5
+    )
