@@ -9,6 +9,8 @@ x^2 + y^2 + z^2, and render a 512^2 PNG through the in-situ API.
 
 from __future__ import annotations
 
+import argparse
+
 import numpy as np
 
 from amrvolumerenderer_tpu import api
@@ -16,6 +18,12 @@ from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--height", type=int, default=512)
+    parser.add_argument("--output", default="multifab-render.png")
+    args = parser.parse_args()
+
     n_cells, box_size = 32, 16
     coords = np.arange(n_cells) / (n_cells - 1)
     field = (
@@ -41,7 +49,7 @@ def main() -> None:
     data = api.AmrData(level_data=[boxes], level_geometry=[geometry])
 
     options = api.RenderOptions(
-        width=512, height=512, output_filename="multifab-render.png"
+        width=args.width, height=args.height, output_filename=args.output
     )
     api.render(data, options)
 

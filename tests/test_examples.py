@@ -1,0 +1,89 @@
+"""Smoke tests for the example scripts (python/examples parity)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu.plotfile import write_plotfile
+from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+
+
+@pytest.fixture
+def plotfile(tmp_path):
+    n = 8
+    rng = np.random.default_rng(0)
+    boxes = [LevelBox(rng.random((n, n, n)) + 0.1, np.zeros(3, dtype=int))]
+    geom = LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))
+    path = str(tmp_path / "plt00000")
+    write_plotfile(path, [boxes], [geom], var_names=["density"])
+    return path
+
+
+def run_example(script, args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = (
+        os.path.dirname(EXAMPLES) + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    return subprocess.run(
+        [sys.executable, os.path.join(EXAMPLES, script), *args],
+        capture_output=True, text=True, cwd=cwd, timeout=600, env=env,
+    )
+
+
+def test_render_volume_example(plotfile, tmp_path):
+    out = str(tmp_path / "ex.ppm")
+    r = run_example(
+        "render_volume.py",
+        [plotfile, "--width", "24", "--height", "24", "--output", out],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+
+
+def test_render_volume_rotate_example(plotfile, tmp_path):
+    r = run_example(
+        "render_volume_rotate.py",
+        [plotfile, "--frames", "2", "--width", "16", "--height", "16",
+         "--output-dir", str(tmp_path / "orbit")],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    frames = os.listdir(tmp_path / "orbit")
+    assert len(frames) == 2
+
+
+def test_render_volume_time_example(plotfile, tmp_path):
+    r = run_example(
+        "render_volume_time.py",
+        [os.path.join(os.path.dirname(plotfile), "plt*"),
+         "--width", "16", "--height", "16",
+         "--output-dir", str(tmp_path / "time")],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert len(os.listdir(tmp_path / "time")) == 1
+
+
+def test_compute_histogram_example(plotfile, tmp_path):
+    r = run_example(
+        "compute_histogram.py", [plotfile, "--bins", "16"], str(tmp_path)
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "samples: 512" in r.stdout
+    assert "percentiles" in r.stdout
+
+
+def test_render_from_arrays_example(tmp_path):
+    r = run_example(
+        "render_from_arrays.py", ["--width", "48", "--height", "48"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(tmp_path / "multifab-render.png")

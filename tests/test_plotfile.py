@@ -110,3 +110,23 @@ def test_plotfile_missing_variable(tmp_path):
     pf = read_plotfile_header(path)
     with pytest.raises(ValueError, match="not found"):
         pf.get_level_boxes(0, "pressure")
+
+
+def test_convexify_three_levels():
+    """Chained chopping: level 0 against level 1, level 1 against level 2."""
+    l0 = LevelBox(np.ones((8, 8, 8)), np.zeros(3, dtype=int))
+    l1 = LevelBox(np.full((8, 8, 8), 2.0), np.array([4, 4, 4]))  # covers l0 (2:6)^3
+    l2 = LevelBox(np.full((8, 8, 8), 3.0), np.array([12, 12, 12]))  # coarsened to l1 index space: (6,6,6)-(9,9,9)
+    out = convexify([[l0], [l1], [l2]], [(2, 2, 2), (2, 2, 2)])
+    # finest level intact
+    assert len(out[2]) == 1
+    # level 1 loses the region covered by level 2 (4^3 cells in l1 space)
+    l1_cells = sum(np.prod(b.data.shape) for b in out[1])
+    assert l1_cells == 8**3 - 4**3
+    # level 0 loses the region covered by level 1 (4^3 cells in l0 space)
+    l0_cells = sum(np.prod(b.data.shape) for b in out[0])
+    assert l0_cells == 8**3 - 4**3
+    # every produced box carries its source level's data value
+    for level, expect in ((0, 1.0), (1, 2.0), (2, 3.0)):
+        for b in out[level]:
+            assert np.all(b.data == expect)
