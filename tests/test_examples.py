@@ -12,6 +12,14 @@ from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
 
 EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
 
+# Each example runs in a fresh subprocess and pays a full XLA compile; the
+# orbit/time-series variants only re-exercise the same render() surface, so
+# they are opt-in to keep the default suite fast.
+slow = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_TESTS"),
+    reason="set RUN_SLOW_TESTS=1 to run subprocess-heavy example tests",
+)
+
 
 @pytest.fixture
 def plotfile(tmp_path):
@@ -49,6 +57,7 @@ def test_render_volume_example(plotfile, tmp_path):
     assert os.path.exists(out)
 
 
+@slow
 def test_render_volume_rotate_example(plotfile, tmp_path):
     r = run_example(
         "render_volume_rotate.py",
@@ -61,6 +70,7 @@ def test_render_volume_rotate_example(plotfile, tmp_path):
     assert len(frames) == 2
 
 
+@slow
 def test_render_volume_time_example(plotfile, tmp_path):
     r = run_example(
         "render_volume_time.py",
