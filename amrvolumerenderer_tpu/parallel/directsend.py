@@ -246,3 +246,47 @@ def render_and_composite_sharded_slicemarch(
         )
     )
     return sharded(vol, meta, dims, lut, valid, depth_hints)
+
+
+def compose_flat_sharded(
+    mesh: Mesh,
+    images: jnp.ndarray,  # [D, P, C] one full image per device (premult RGBA)
+    group_order: np.ndarray,  # [D] visibility permutation; first = on top
+):
+    """Flat direct-send compose of non-layered images on the mesh.
+
+    The device equivalent of the reference's static compose
+    (DirectSendBase.cpp:257-314) for order-dependent over blending: every
+    device's image is split into per-device pixel pieces with one
+    ``all_to_all``, and each device folds the D pieces for its shard in
+    *group order* (earlier group member on top, Compositor.hpp:26-29).
+    Returns the [P, C] composited frame, pixel-sharded across the mesh.
+    """
+    num_devices = mesh.devices.size
+    assert images.shape[0] == num_devices
+    assert images.shape[1] % num_devices == 0
+    order = jnp.asarray(np.asarray(group_order, dtype=np.int32))
+
+    def shard_body(img):
+        # img: [1, P, C] this device's image
+        _, num_pixels, channels = img.shape
+        shard = num_pixels // num_devices
+        chunks = img.reshape(num_devices, shard, channels)
+        received = jax.lax.all_to_all(
+            chunks, AXIS, split_axis=0, concat_axis=0
+        )  # [D, shard, C]: sender s's piece for my shard
+
+        def body(i, acc):
+            piece = received[order[i]]
+            # acc is on top of the next piece (group order = blend order)
+            return acc + piece * (1.0 - acc[:, 3:4])
+
+        first = received[order[0]]
+        return jax.lax.fori_loop(1, num_devices, body, first)
+
+    compose = jax.jit(
+        jax.shard_map(
+            shard_body, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+        )
+    )
+    return compose(images)

@@ -293,3 +293,32 @@ def test_sharded_slicemarch_pipeline(r2_scene):
     layers[~valid] = cleared
     expected = composite_layers_host(layers, hints, owners_arr, local_arr)
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+@pytest.mark.parametrize("num_devices", [2, 4, 8])
+def test_flat_compose_sharded_matches_host(num_devices):
+    """Device flat compose == host compose_flat_host for RGBA_F32 images."""
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+    from amrvolumerenderer_tpu.compositor import assemble_pieces, compose_flat_host
+    from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
+    from amrvolumerenderer_tpu.parallel.directsend import compose_flat_sharded
+
+    rng = np.random.default_rng(7 + num_devices)
+    w = h = 8
+    images = []
+    buffers = []
+    for _ in range(num_devices):
+        img = ImageBuffer.create(ImageKind.RGBA_F32, w, h)
+        px = (rng.random((w * h, 4)) * 0.6).astype(np.float32)
+        img.pixels[:] = px
+        images.append(img)
+        buffers.append(px)
+    group_order = np.asarray(rng.permutation(num_devices), dtype=np.int32)
+
+    mesh = make_mesh(num_devices)
+    got = np.asarray(
+        compose_flat_sharded(mesh, jnp.asarray(np.stack(buffers)), group_order)
+    )
+    expected = assemble_pieces(compose_flat_host(images, group_order))
+    np.testing.assert_allclose(got, expected.pixels, atol=1e-6)
