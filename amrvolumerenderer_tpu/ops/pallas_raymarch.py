@@ -1,7 +1,14 @@
-"""Pallas TPU ray-march kernel (performance path).
+"""Pallas port of the exact ray-march kernel (validation artifact).
 
 Same semantics as ``ops.raymarch.render_bucket_impl`` (the XLA oracle,
-mirroring Common/VolumePainter.cpp:735-922) but hand-tiled for the TPU:
+mirroring Common/VolumePainter.cpp:735-922), hand-tiled for the TPU.
+
+NOTE: this kernel requires a general 1D gather from the VMEM-resident
+brick, which current Mosaic does not support on hardware ("Only 2D gather
+is supported"); it runs in interpret mode only and is kept as an
+intermediate validation artifact.  The production hardware path is the
+slice-march kernel (``ops/slicemarch.py``), designed around the vreg
+gather the hardware actually has:
 
   * grid = (bricks, pixel tiles): each program instance marches one brick
     for one tile of ``TILE_P`` pixels;
