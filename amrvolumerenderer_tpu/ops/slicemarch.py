@@ -52,48 +52,8 @@ COLOR_TABLE_SIZE = 256
 LUT_ROWS = COLOR_TABLE_SIZE // LANES  # 2
 
 
-def _gather_slice(slice_tile: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
-    """out[i,j] = slice_tile[row[i,j], col[i,j]] via 8x broadcast+lane-gather.
-
-    ``slice_tile`` [8, 128]; ``row`` in [0, 8); ``col`` in [0, 128)."""
-    out = jnp.zeros((SUBLANES, LANES), jnp.float32)
-    for rr in range(SUBLANES):
-        bcast = jax.lax.broadcast_in_dim(slice_tile[rr, :], (SUBLANES, LANES), (1,))
-        v = jnp.take_along_axis(bcast, col, axis=1)
-        out = jnp.where(row == rr, v, out)
-    return out
-
-
-def _gather_banded(load_row, num_rows: int, row, col, row_lo, row_hi):
-    """Row-banded 2D gather: ``out[i,j] = rows[row[i,j]][col[i,j]]``.
-
-    Rays within one screen tile touch a narrow, contiguous band of slice
-    rows (a 32-pixel tile spans only a few cells), so instead of walking
-    all ``num_rows`` candidate rows, walk ``row_lo + j`` and branch-skip
-    once past ``row_hi``.  ``load_row(r)`` returns row r as a [LANES] vector
-    (typically a dynamic VMEM ref load)."""
-    out = jnp.zeros((SUBLANES, LANES), jnp.float32)
-    for j in range(num_rows):
-        def do(o, j=j):
-            rr = row_lo + j
-            bcast = jax.lax.broadcast_in_dim(load_row(rr), (SUBLANES, LANES), (1,))
-            v = jnp.take_along_axis(bcast, col, axis=1)
-            return jnp.where(row == rr, v, o)
-
-        out = jax.lax.cond(row_lo + j <= row_hi, do, lambda o: o, out)
-    return out
-
-
-def _gather_lut(lut_tile: jnp.ndarray, idx: jnp.ndarray):
-    """out[i,j] = lut_tile.reshape(-1)[idx[i,j]] for a [LUT_ROWS, 128] table."""
-    col = idx % LANES
-    row = idx // LANES
-    out = jnp.zeros((SUBLANES, LANES), jnp.float32)
-    for rr in range(LUT_ROWS):
-        bcast = jax.lax.broadcast_in_dim(lut_tile[rr, :], (SUBLANES, LANES), (1,))
-        v = jnp.take_along_axis(bcast, col, axis=1)
-        out = jnp.where(row == rr, v, out)
-    return out
+from .vreg import gather_flat as _gather_lut  # noqa: E402
+from .vreg import gather_tile as _gather_slice  # noqa: E402
 
 
 def _kernel_body(

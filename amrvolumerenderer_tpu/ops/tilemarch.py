@@ -41,6 +41,7 @@ from .slicemarch import (
     TILE_W,
     compute_worklist,
 )
+from .vreg import gather_rows
 
 
 def _kernel(
@@ -105,12 +106,7 @@ def _kernel(
     lut_l = lut_ref[3]
 
     def gather_vreg(tile, row, col, num_rows):
-        out = row.astype(jnp.float32) * 0.0
-        for rr in range(num_rows):
-            bcast = jax.lax.broadcast_in_dim(tile[rr, :], (SUBLANES, LANES), (1,))
-            v = jnp.take_along_axis(bcast, col, axis=1)
-            out = jnp.where(row == rr, v, out)
-        return out
+        return gather_rows(lambda rr: tile[rr, :], num_rows, row, col)
 
     work_begin = offsets_ref[t]
     work_end = offsets_ref[t + 1]
