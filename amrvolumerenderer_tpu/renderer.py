@@ -467,6 +467,7 @@ def render_single_trial(
             geometry, parameters, camera, scalar_range,
             reference_sample_distance, render_width, render_height,
             color_map, interpret=jax.default_backend() == "cpu",
+            downsample_block=max(sqrt_aa, 1),
         )
         layers = depth_hints = owners = local_indices = None
     else:
@@ -524,21 +525,37 @@ def render_single_trial(
     if verbose:
         print(f"Render: compositing took {timing.composite_seconds:.4f} s")
 
-    full = ImageBuffer(
-        ImageKind.RGBA_F32_DEPTH_SORT,
-        render_width,
-        render_height,
-        composited.copy(),
-    )
-    if verbose:
-        print(f"Render: composed {full.num_pixels} pixels on rank 0")
-
-    if sqrt_aa > 1:
-        output_image = downsample_image(
-            full, parameters.width, parameters.height, sqrt_aa
+    if fused:
+        # the fused path downsamples on device, so the frame is already at
+        # output resolution
+        full = ImageBuffer(
+            ImageKind.RGBA_F32_DEPTH_SORT,
+            parameters.width,
+            parameters.height,
+            composited.copy(),
         )
-    else:
+        if verbose:
+            print(
+                f"Render: composed {render_width * render_height} pixels "
+                "on rank 0"
+            )
         output_image = full
+    else:
+        full = ImageBuffer(
+            ImageKind.RGBA_F32_DEPTH_SORT,
+            render_width,
+            render_height,
+            composited.copy(),
+        )
+        if verbose:
+            print(f"Render: composed {full.num_pixels} pixels on rank 0")
+
+        if sqrt_aa > 1:
+            output_image = downsample_image(
+                full, parameters.width, parameters.height, sqrt_aa
+            )
+        else:
+            output_image = full
 
     render_bounding_box_overlay(tight_bounds, camera, 1, output_image)
 

@@ -154,6 +154,17 @@ def prepare_slicemarch_scene(
     )
 
 
+def _device_downsample(frame: jnp.ndarray, width: int, height: int,
+                       block: int) -> jnp.ndarray:
+    """Box-average AA downsample on device (VolumeRenderer.cpp:479-528
+    semantics: average RGBA, depth reset to +inf)."""
+    tw, th = width // block, height // block
+    c = frame[:, :4].reshape(th, block, tw, block, 4).mean(axis=(1, 3))
+    c = c.reshape(tw * th, 4)
+    d = jnp.full((tw * th, 1), jnp.inf, frame.dtype)
+    return jnp.concatenate([c, d], axis=-1)
+
+
 def render_composited_slicemarch(
     geometry: SceneGeometry,
     parameters: RenderParameters,
@@ -164,6 +175,7 @@ def render_composited_slicemarch(
     render_height: int,
     color_map: Optional[ColorMap],
     interpret: bool = False,
+    downsample_block: int = 1,
 ) -> np.ndarray:
     """Fully device-side frame: render + depth-sorted composite fused, only
     the final [render_width * render_height, 5] image crosses to the host.
@@ -188,6 +200,7 @@ def render_composited_slicemarch(
             geometry, parameters, camera, scalar_range,
             reference_sample_distance, render_width, render_height,
             color_map, interpret=interpret,
+            downsample_block=downsample_block,
         )
 
     order = sort_layers(
@@ -309,6 +322,7 @@ def render_composited_tilemarch(
     render_height: int,
     color_map: Optional[ColorMap],
     interpret: bool = False,
+    downsample_block: int = 1,
 ) -> np.ndarray:
     """Frame via the tile-loop mega-kernel (ops/tilemarch.py): HBM use is
     independent of brick count, for deep-AMR scenes with many bricks."""
@@ -359,5 +373,12 @@ def render_composited_tilemarch(
     d = np.asarray(out_d).reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
     d = d.transpose(0, 2, 1, 3).reshape(prep["pad_h"], prep["pad_w"])
     frame = np.concatenate([c, d[..., None]], axis=-1)
-    frame = frame[:render_height, :render_width]
-    return frame.reshape(num_pixels, 5)
+    frame = frame[:render_height, :render_width].reshape(num_pixels, 5)
+    if downsample_block > 1:
+        frame = np.asarray(
+            _device_downsample(
+                jnp.asarray(frame), render_width, render_height,
+                downsample_block,
+            )
+        )
+    return frame

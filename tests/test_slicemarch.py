@@ -308,3 +308,25 @@ def test_full_pipeline_slicemarch_padded_frame(r2_scene):
     diff = np.abs(img_ray.pixels[:, :4] - img_slice.pixels[:, :4])
     bad = (diff > 0.02).any(axis=-1)
     assert bad.mean() <= 0.12, f"bad pixel fraction {bad.mean():.4f}"
+
+
+def test_fused_aa_matches_raymarch_aa(r2_scene):
+    """AA=4 through the fused device downsample matches the raymarch path's
+    host downsample within the cross-integrator tolerance."""
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    params = RenderParameters(width=32, height=32, antialiasing=4)
+    img_ray, _ = render_scene("", params, geometry, verbose=False,
+                              method="raymarch")
+    img_slice, _ = render_scene("", params, geometry, verbose=False,
+                                method="slicemarch")
+    assert img_slice.width == 32 and img_slice.height == 32
+    diff = np.abs(img_ray.pixels[:, :4] - img_slice.pixels[:, :4])
+    bad = (diff > 0.02).any(axis=-1)
+    assert bad.mean() <= 0.12, f"bad pixel fraction {bad.mean():.4f}"
+    assert diff.mean() < 0.015
