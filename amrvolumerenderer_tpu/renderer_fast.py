@@ -217,9 +217,13 @@ def render_composited_slicemarch(
         logical_width=render_width, logical_height=render_height,
         interpret=interpret,
     )
-    frame = np.asarray(frame).reshape(prep["pad_h"], prep["pad_w"], 5)
-    frame = frame[:render_height, :render_width]
-    return frame.reshape(render_width * render_height, 5)
+    frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
+    frame = frame[:render_height, :render_width].reshape(-1, 5)
+    if downsample_block > 1:
+        frame = _device_downsample(
+            frame, render_width, render_height, downsample_block
+        )
+    return np.asarray(frame)
 
 
 def render_layers_slicemarch(

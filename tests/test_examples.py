@@ -35,8 +35,6 @@ def plotfile(tmp_path):
 def run_example(script, args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
-    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
     env["PYTHONPATH"] = (
         os.path.dirname(EXAMPLES) + os.pathsep + env.get("PYTHONPATH", "")
     )
