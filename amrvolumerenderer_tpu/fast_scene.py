@@ -1,0 +1,256 @@
+"""Persistent scene renderer: prepare once, render any camera fast.
+
+The per-frame host preparation of the fast path (scalar pre-transform,
+dominant-axis slice packing, padding) costs far more than the render itself
+for animation workloads (camera orbits, time series at fixed scalar range —
+BASELINE.md config 5).  ``FastSceneRenderer`` does all data-dependent work
+once:
+
+  * bricks are pre-transformed and split into <=32-cell cubes, then kept
+    on device as a *canonical* [L, c, c, c] table (c <= 32);
+  * per frame, a jitted device transform transposes the canonical table to
+    the camera's dominant march axis and reshapes slices into [8, 128]
+    vreg tiles (flat row stride = c, consumed by the kernels' stride
+    metadata) — no brick data ever revisits the host;
+  * only the tiny per-frame host work remains: screen-bbox work list,
+    depth-hint sort, camera packing.
+
+Frames render through the tile-loop mega-kernel (ops/tilemarch.py), whose
+memory footprint is a single frame buffer regardless of brick count or
+resolution.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import camera_basis, compute_box_depth_hint
+from .colormap import SOFT_CLIP_TOLERANCE, build_color_table
+from .ops import slicemarch as sm
+from .renderer import (
+    compute_global_bounds,
+    compute_global_scalar_range,
+    compute_reference_sample_distance,
+    compute_tight_bounds,
+    render_bounding_box_overlay,
+    validate_render_parameters,
+)
+from .ops import tilemarch as tm
+from .renderer_fast import _device_downsample, _pretransform
+from .types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
+
+MAX_CUBE = 32  # largest canonical piece edge (32*32 = one vreg slice)
+
+
+def _split_to_cubes(data, min_corner, max_corner, cube):
+    """Split a brick into <= cube^3 pieces (metadata-only views)."""
+    pieces = []
+    shape = data.shape
+    spans = [
+        (max_corner[d] - min_corner[d]) / shape[d] if shape[d] else 1.0
+        for d in range(3)
+    ]
+    for i0 in range(0, shape[0], cube):
+        for j0 in range(0, shape[1], cube):
+            for k0 in range(0, shape[2], cube):
+                lo = np.array([i0, j0, k0])
+                hi = np.minimum(lo + cube, shape)
+                mn = np.asarray(min_corner) + lo * spans
+                mx = np.asarray(min_corner) + hi * spans
+                pieces.append(
+                    (data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]], mn, mx)
+                )
+    return pieces
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "cube"))
+def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
+    """[L, c, c, c] canonical table -> [L, c, 8, 128] slice tiles for the
+    given march axis (flat row stride = c, zero padded to the vreg)."""
+    axes = [axis] + [a for a in range(3) if a != axis]
+    vol = jnp.transpose(canonical, (0, 1 + axes[0], 1 + axes[1], 1 + axes[2]))
+    num = vol.shape[0]
+    flat = vol.reshape(num, cube, cube * cube)
+    pad = sm.SLICE_CELLS - cube * cube
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
+    return flat.reshape(num, cube, sm.SUBLANES, sm.LANES)
+
+
+class FastSceneRenderer:
+    """Device-resident scene prepared once; per-camera frames on demand.
+
+    Parameters mirror ``renderer.render_scene``; the scalar range and LUT
+    are fixed at construction (per-frame transparency/colormap changes
+    require a new instance, matching the reference's per-run options)."""
+
+    def __init__(
+        self,
+        geometry: SceneGeometry,
+        parameters: RenderParameters,
+        color_map: Optional[ColorMap] = None,
+        interpret: Optional[bool] = None,
+    ):
+        validate_render_parameters(parameters)
+        self.parameters = parameters
+        self.interpret = (
+            jax.default_backend() == "cpu" if interpret is None else interpret
+        )
+
+        self.bounds = compute_global_bounds(geometry)
+        self.tight_bounds = compute_tight_bounds(geometry, self.bounds)
+        self.scalar_range = (
+            geometry.scalar_range
+            if geometry.has_scalar_range
+            else compute_global_scalar_range(geometry)
+        )
+        self.reference_sample_distance = compute_reference_sample_distance(
+            geometry, self.bounds
+        )
+
+        sqrt_aa = int(round(math.sqrt(parameters.antialiasing)))
+        self.sqrt_aa = max(sqrt_aa, 1)
+        self.render_width = parameters.width * self.sqrt_aa
+        self.render_height = parameters.height * self.sqrt_aa
+        self.pad_w = -(-self.render_width // sm.TILE_W) * sm.TILE_W
+        self.pad_h = -(-self.render_height // sm.TILE_H) * sm.TILE_H
+
+        alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0, 1))
+        clip_start = float(np.clip(self.scalar_range[1], 0.0, 1.0))
+        apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
+        lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
+        self._lut = sm.build_log_lut(lut)
+
+        # canonical piece table
+        t = geometry.scalar_transform
+        pieces = []
+        for parent, brick in enumerate(geometry.bricks):
+            data = _pretransform(brick.data, t, clip_start, apply_clip)
+            for d, mn, mx in _split_to_cubes(
+                data, brick.min_corner, brick.max_corner, MAX_CUBE
+            ):
+                pieces.append((d, mn, mx, parent))
+        num = len(pieces)
+        if num == 0:
+            raise ValueError("scene contains no bricks")
+        self.cube = MAX_CUBE
+        canonical = np.zeros((num, self.cube, self.cube, self.cube), np.float32)
+        self.box_min = np.zeros((num, 3))
+        self.box_max = np.zeros((num, 3))
+        self.dims_world = np.zeros((num, 3), np.int32)
+        self.parents = np.zeros(num, np.int32)
+        for i, (d, mn, mx, parent) in enumerate(pieces):
+            canonical[i, : d.shape[0], : d.shape[1], : d.shape[2]] = d
+            self.box_min[i] = mn
+            self.box_max[i] = mx
+            self.dims_world[i] = d.shape
+            self.parents[i] = parent
+        self.canonical = jnp.asarray(canonical)
+        self.owners = np.array(
+            [geometry.bricks[p].owner for p in self.parents], np.int32
+        )
+        self.geometry = geometry
+        self._packed_axis: Optional[int] = None
+        self._packed_vol: Optional[jnp.ndarray] = None
+        self._lut_device = jnp.asarray(self._lut)
+
+    def render(
+        self,
+        camera: CameraParameters,
+        output_filename: Optional[str] = None,
+        overlay: bool = True,
+    ) -> np.ndarray:
+        """Render one frame; returns the output-resolution [W*H, 5] image.
+
+        ``overlay`` draws the tight-bounds wireframe (the reference always
+        does, VolumeRenderer.cpp:1311-1314); ``output_filename`` saves a
+        PPM/PNG like renderSingleTrial."""
+        forward, right, up = camera_basis(camera)
+        axis = sm.choose_march_axis(forward)
+        axes = [axis] + [a for a in range(3) if a != axis]
+
+        if self._packed_axis != axis:
+            self._packed_vol = _repack_for_axis(
+                self.canonical, axis=axis, cube=self.cube
+            )
+            self._packed_axis = axis
+
+        num = self.canonical.shape[0]
+        meta = np.zeros((num, 12), np.float32)
+        dims = np.zeros((num, 8), np.int32)
+        meta[:, 0:3] = self.box_min[:, axes]
+        meta[:, 3:6] = self.box_max[:, axes]
+        dw = self.dims_world[:, axes].astype(np.float64)
+        meta[:, 6:9] = (self.box_max[:, axes] - self.box_min[:, axes]) / dw
+        dims[:, 0:3] = self.dims_world[:, axes]
+        dims[:, 3:6] = axes
+        dims[:, 6] = self.cube  # canonical row stride
+
+        range_span = self.scalar_range[1] - self.scalar_range[0]
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+            self.render_width / max(self.render_height, 1),
+            self.scalar_range[0],
+            1.0 / range_span if range_span != 0.0 else 1.0,
+            self.reference_sample_distance,
+        )
+        hints = np.array(
+            [
+                compute_box_depth_hint(self.box_min[i], self.box_max[i], camera)
+                for i in range(num)
+            ],
+            np.float32,
+        )
+        offsets, tbricks, towners = tm.build_tile_worklist(
+            self.box_min, self.box_max, hints, self.owners,
+            np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+            self.pad_w, self.pad_h,
+            logical_width=self.render_width,
+            logical_height=self.render_height,
+        )
+        out_c, out_d = tm.tilemarch_render(
+            self._packed_vol, jnp.asarray(meta), jnp.asarray(dims),
+            self._lut_device, jnp.asarray(cam), jnp.asarray(offsets),
+            jnp.asarray(tbricks), jnp.asarray(towners),
+            width=self.pad_w, height=self.pad_h, max_slices=self.cube,
+            logical_width=self.render_width,
+            logical_height=self.render_height,
+            interpret=self.interpret,
+        )
+        tiles_x = self.pad_w // sm.TILE_W
+        tiles_y = self.pad_h // sm.TILE_H
+        c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
+        c = c.transpose(0, 3, 1, 4, 2).reshape(self.pad_h, self.pad_w, 4)
+        d = out_d.reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
+        d = d.transpose(0, 2, 1, 3).reshape(self.pad_h, self.pad_w)
+        frame = jnp.concatenate([c, d[..., None]], axis=-1)
+        frame = frame[: self.render_height, : self.render_width].reshape(-1, 5)
+        if self.sqrt_aa > 1:
+            frame = _device_downsample(
+                frame, self.render_width, self.render_height, self.sqrt_aa
+            )
+        pixels = np.asarray(frame)
+
+        if overlay or output_filename:
+            from .image import ImageBuffer, ImageKind
+
+            image = ImageBuffer(
+                ImageKind.RGBA_F32_DEPTH_SORT,
+                self.parameters.width,
+                self.parameters.height,
+                pixels.copy(),
+            )
+            if overlay:
+                render_bounding_box_overlay(self.tight_bounds, camera, 1, image)
+            if output_filename:
+                from . import io as image_io
+
+                image_io.save_image(image, output_filename)
+            return image.pixels
+        return pixels

@@ -98,6 +98,10 @@ def _kernel_body(
     nu = dims_ref[b, 1]
     nv = dims_ref[b, 2]
     perm = [dims_ref[b, 3 + i] for i in range(3)]
+    # slice row stride: canonical-cube packs use a padded stride (slot 6);
+    # tightly packed volumes leave it 0 (= nv)
+    nv_stride = dims_ref[b, 6]
+    nv_stride = jnp.where(nv_stride > 0, nv_stride, nv)
 
     # ---- per-tile ray setup (world space) ----
     # 2D tiles: tile t covers the pixel block
@@ -216,7 +220,7 @@ def _kernel_body(
             )
             iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
             iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-            flat = iu * nv + iv
+            flat = iu * nv_stride + iv
             row = flat // LANES
             col = flat % LANES
             if mode == "fwd":

@@ -130,6 +130,8 @@ def _kernel(
         nu = dims_ref[bi, 1]
         nv = dims_ref[bi, 2]
         perm = [dims_ref[bi, 3 + i] for i in range(3)]
+        nv_stride = dims_ref[bi, 6]
+        nv_stride = jnp.where(nv_stride > 0, nv_stride, nv)
 
         def pick(vecs, p):
             out = vecs[2]
@@ -184,7 +186,7 @@ def _kernel(
             valid = hit & marchable & (k < n_slices) & (w > 0.0) & (acc_a < 1.0)
             iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
             iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-            flat = iu * nv + iv
+            flat = iu * nv_stride + iv
             row = flat // LANES
             col = flat % LANES
 

@@ -1,0 +1,83 @@
+"""FastSceneRenderer: persistent device scene vs the per-frame fast path."""
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu import api
+from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+from amrvolumerenderer_tpu.renderer import render_scene
+from amrvolumerenderer_tpu.types import CameraParameters, RenderParameters
+
+
+@pytest.fixture
+def geometry(r2_scene):
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+
+def test_fast_scene_matches_slicemarch(geometry):
+    params = RenderParameters(width=64, height=64)
+    fast = FastSceneRenderer(geometry, params)
+
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+    )
+    frame = fast.render(cam)
+
+    img, _ = render_scene("", params, geometry, camera=cam, verbose=False,
+                          method="slicemarch")
+    # the persistent renderer splits bricks to cubes with per-piece hints;
+    # for this scene pieces == bricks, so results must match exactly
+    np.testing.assert_allclose(frame[:, :4], img.pixels[:, :4], atol=1e-5)
+
+
+def test_fast_scene_axis_switch(geometry):
+    """Cameras with different dominant axes trigger a device repack and
+    still agree with the per-frame path."""
+    params = RenderParameters(width=32, height=32)
+    fast = FastSceneRenderer(geometry, params)
+    cameras = [
+        CameraParameters(eye=(0.5, 0.5, 4.0), look_at=(0.5, 0.5, 0.5),
+                         up=(0, 1, 0)),
+        CameraParameters(eye=(4.0, 0.6, 0.5), look_at=(0.5, 0.5, 0.5),
+                         up=(0, 1, 0)),
+        CameraParameters(eye=(0.4, -3.5, 0.6), look_at=(0.5, 0.5, 0.5),
+                         up=(0, 0, 1)),
+    ]
+    for cam in cameras:
+        frame = fast.render(cam)
+        img, _ = render_scene("", params, geometry, camera=cam, verbose=False,
+                              method="slicemarch")
+        np.testing.assert_allclose(frame[:, :4], img.pixels[:, :4], atol=1e-5)
+
+
+def test_fast_scene_antialiasing(geometry):
+    params = RenderParameters(width=24, height=24, antialiasing=4)
+    fast = FastSceneRenderer(geometry, params)
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+    )
+    frame = fast.render(cam)
+    assert frame.shape == (24 * 24, 5)
+    img, _ = render_scene("", params, geometry, camera=cam, verbose=False,
+                          method="slicemarch")
+    np.testing.assert_allclose(frame[:, :4], img.pixels[:, :4], atol=1e-5)
+
+
+def test_fast_scene_splits_large_bricks():
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+    rng = np.random.default_rng(4)
+    boxes = [LevelBox(rng.random((64, 64, 64)), np.zeros(3, dtype=int))]
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / 64))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    params = RenderParameters(width=32, height=32)
+    fast = FastSceneRenderer(geometry, params)
+    assert fast.canonical.shape[0] == 8  # 64^3 -> 8 pieces of 32^3
+    cam = CameraParameters(eye=(2.0, 1.5, 2.5), look_at=(0.5, 0.5, 0.5),
+                           up=(0, 1, 0))
+    frame = fast.render(cam)
+    assert frame[:, 3].max() > 0.05
