@@ -213,3 +213,16 @@ def compute_box_depth_hint(
         )
         min_depth = min(min_depth, float(np.dot(corner - camera.eye, view_dir)))
     return min_depth
+
+
+def compute_box_depth_hints(
+    min_corners: np.ndarray, max_corners: np.ndarray, camera: CameraParameters
+) -> np.ndarray:
+    """Vectorized ``compute_box_depth_hint`` over [B, 3] corner arrays."""
+    view_dir = safe_normalize(camera.look_at - camera.eye)
+    min_corners = np.asarray(min_corners, float)
+    max_corners = np.asarray(max_corners, float)
+    sel = np.array([[c & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], bool)
+    corners = np.where(sel[None], max_corners[:, None, :], min_corners[:, None, :])
+    depths = (corners - camera.eye[None, None, :]) @ view_dir
+    return depths.min(axis=1).astype(np.float32)

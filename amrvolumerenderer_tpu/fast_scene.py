@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .camera import camera_basis, compute_box_depth_hint
+from .camera import camera_basis, compute_box_depth_hints
 from .colormap import SOFT_CLIP_TOLERANCE, build_color_table
 from .ops import slicemarch as sm
 from .renderer import (
@@ -200,13 +200,7 @@ class FastSceneRenderer:
             1.0 / range_span if range_span != 0.0 else 1.0,
             self.reference_sample_distance,
         )
-        hints = np.array(
-            [
-                compute_box_depth_hint(self.box_min[i], self.box_max[i], camera)
-                for i in range(num)
-            ],
-            np.float32,
-        )
+        hints = compute_box_depth_hints(self.box_min, self.box_max, camera)
         offsets, tbricks, towners = tm.build_tile_worklist(
             self.box_min, self.box_max, hints, self.owners,
             np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,

@@ -594,6 +594,46 @@ def slicemarch_render_worklist_raw(
     )(cam, meta, dims, work_bricks, work_tiles, vol, lut)
 
 
+def project_screen_bboxes(
+    box_min: np.ndarray,
+    box_max: np.ndarray,
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    logical_width: int,
+    logical_height: int,
+):
+    """Vectorized conservative screen bounding boxes of brick AABBs.
+
+    Returns (lo_x, hi_x, lo_y, hi_y, behind) arrays [B]; ``behind`` marks
+    bricks with a corner at/behind the eye plane (treated as full frame).
+    """
+    box_min = np.asarray(box_min, float)
+    box_max = np.asarray(box_max, float)
+    num = len(box_min)
+    thf = math.tan(fov_y_degrees * 0.5 * math.pi / 180.0)
+    aspect = logical_width / max(logical_height, 1)
+
+    # [B, 8, 3] corners
+    sel = np.array(
+        [[c & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], bool
+    )
+    corners = np.where(sel[None], box_max[:, None, :], box_min[:, None, :])
+    rel = corners - np.asarray(eye)[None, None, :]
+    depth = rel @ np.asarray(forward)
+    behind = (depth <= 1e-9).any(axis=1)
+    safe_depth = np.where(depth > 1e-9, depth, 1.0)
+    ndc_x = (rel @ np.asarray(right)) / (safe_depth * thf * aspect)
+    ndc_y = (rel @ np.asarray(up)) / (safe_depth * thf)
+    sx = (ndc_x * 0.5 + 0.5) * logical_width
+    sy = (ndc_y * 0.5 + 0.5) * logical_height
+    return (
+        sx.min(axis=1), sx.max(axis=1), sy.min(axis=1), sy.max(axis=1), behind
+    )
+
+
 def compute_worklist(
     box_min: np.ndarray,  # [B, 3] world corners (unpermuted)
     box_max: np.ndarray,  # [B, 3]
@@ -621,68 +661,47 @@ def compute_worklist(
     num_tiles = tiles_x * tiles_y
     lw = logical_width or width
     lh = logical_height or height
-    thf = math.tan(fov_y_degrees * 0.5 * math.pi / 180.0)
-    aspect = lw / max(lh, 1)
-
-    wb: List[int] = []
-    wt: List[int] = []
     num_bricks = len(box_min)
     coverage = np.zeros((num_bricks, num_tiles), dtype=bool)
-    for bidx in range(num_bricks):
-        mn, mx = box_min[bidx], box_max[bidx]
-        lo_x = lo_y = math.inf
-        hi_x = hi_y = -math.inf
-        behind = False
-        for c in range(8):
-            corner = np.array(
-                [
-                    mx[0] if c & 1 else mn[0],
-                    mx[1] if c & 2 else mn[1],
-                    mx[2] if c & 4 else mn[2],
-                ]
-            )
-            rel = corner - eye
-            depth = float(np.dot(rel, forward))
-            if depth <= 1e-9:
-                behind = True
-                break
-            ndc_x = float(np.dot(rel, right)) / (depth * thf * aspect)
-            ndc_y = float(np.dot(rel, up)) / (depth * thf)
-            sx = (ndc_x * 0.5 + 0.5) * lw
-            sy = (ndc_y * 0.5 + 0.5) * lh
-            lo_x = min(lo_x, sx)
-            hi_x = max(hi_x, sx)
-            lo_y = min(lo_y, sy)
-            hi_y = max(hi_y, sy)
-        if behind:
-            tx0, tx1, ty0, ty1 = 0, tiles_x - 1, 0, tiles_y - 1
-        else:
-            tx0 = max(0, int(lo_x - 1) // TILE_W)
-            tx1 = min(tiles_x - 1, int(hi_x + 1) // TILE_W)
-            ty0 = max(0, int(lo_y - 1) // TILE_H)
-            ty1 = min(tiles_y - 1, int(hi_y + 1) // TILE_H)
-            if tx1 < tx0 or ty1 < ty0:
-                continue
-        for ty in range(ty0, ty1 + 1):
-            for tx in range(tx0, tx1 + 1):
-                t = ty * tiles_x + tx
-                wb.append(bidx)
-                wt.append(t)
-                coverage[bidx, t] = True
 
-    if not wb:
-        wb, wt = [0], [0]
-        coverage[0, 0] = True
+    if num_bricks:
+        lo_x, hi_x, lo_y, hi_y, behind = project_screen_bboxes(
+            box_min, box_max, eye, forward, right, up, fov_y_degrees, lw, lh
+        )
+        tx0 = np.clip(((lo_x - 1).astype(np.int64)) // TILE_W, 0, tiles_x - 1)
+        tx1 = np.clip(((hi_x + 1).astype(np.int64)) // TILE_W, 0, tiles_x - 1)
+        ty0 = np.clip(((lo_y - 1).astype(np.int64)) // TILE_H, 0, tiles_y - 1)
+        ty1 = np.clip(((hi_y + 1).astype(np.int64)) // TILE_H, 0, tiles_y - 1)
+        tx0 = np.where(behind, 0, tx0)
+        tx1 = np.where(behind, tiles_x - 1, tx1)
+        ty0 = np.where(behind, 0, ty0)
+        ty1 = np.where(behind, tiles_y - 1, ty1)
+        offscreen = (~behind) & ((hi_x < 0) | (lo_x > lw) | (hi_y < 0) | (lo_y > lh))
+
+        tx_grid = np.arange(tiles_x)
+        ty_grid = np.arange(tiles_y)
+        in_x = (tx_grid[None, :] >= tx0[:, None]) & (tx_grid[None, :] <= tx1[:, None])
+        in_y = (ty_grid[None, :] >= ty0[:, None]) & (ty_grid[None, :] <= ty1[:, None])
+        coverage = (in_y[:, :, None] & in_x[:, None, :]).reshape(
+            num_bricks, num_tiles
+        )
+        coverage[offscreen] = False
+
+    wb, wt = np.nonzero(coverage)
+    wb = wb.astype(np.int32)
+    wt = wt.astype(np.int32)
+    if len(wb) == 0:
+        wb = np.array([0], np.int32)
+        wt = np.array([0], np.int32)
+        coverage[0 if num_bricks else slice(0, 0), 0] = True
+
     # pad by repeating the final item so compiled shapes bucket coarsely
     target = ((len(wb) + pad_to - 1) // pad_to) * pad_to
-    while len(wb) < target:
-        wb.append(wb[-1])
-        wt.append(wt[-1])
-    return (
-        np.asarray(wb, dtype=np.int32),
-        np.asarray(wt, dtype=np.int32),
-        coverage,
-    )
+    if target > len(wb):
+        pad = target - len(wb)
+        wb = np.concatenate([wb, np.full(pad, wb[-1], np.int32)])
+        wt = np.concatenate([wt, np.full(pad, wt[-1], np.int32)])
+    return wb, wt, coverage
 
 
 # ---------------------------------------------------------------------------

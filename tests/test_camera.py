@@ -120,3 +120,18 @@ def test_camera_basis_orthonormal():
     assert abs(np.dot(f, r)) < 1e-6
     assert abs(np.dot(f, u)) < 1e-6
     assert abs(np.dot(r, u)) < 1e-6
+
+
+def test_box_depth_hints_batch_matches_scalar():
+    from amrvolumerenderer_tpu.camera import compute_box_depth_hints
+
+    rng = np.random.default_rng(6)
+    cam = CameraParameters(
+        eye=(2.0, 1.0, 3.0), look_at=(0.5, 0.4, 0.6), up=(0.0, 1.0, 0.0)
+    )
+    mins = rng.random((10, 3)) * 2 - 1
+    maxs = mins + rng.random((10, 3))
+    batch = compute_box_depth_hints(mins, maxs, cam)
+    for i in range(10):
+        expected = compute_box_depth_hint(mins[i], maxs[i], cam)
+        assert batch[i] == pytest.approx(expected, rel=1e-6)
