@@ -165,15 +165,12 @@ def _kernel_body(
     inv_da = 1.0 / safe_da
     backward = d_a < 0.0
     dt = cell[0] * jnp.abs(inv_da)  # distance along ray between slices
-    q = dt / ref_distance  # opacity normalization exponent
 
     lut_r = lut_ref[0, 0]
     lut_g = lut_ref[0, 1]
     lut_b = lut_ref[0, 2]
     lut_l = lut_ref[0, 3]
 
-    nu_f = nu.astype(jnp.float32)
-    nv_f = nv.astype(jnp.float32)
     t_lo = jnp.maximum(tmin, 0.0)
     t_hi = tmax
 

@@ -164,11 +164,8 @@ def _kernel(
         inv_da = 1.0 / jnp.where(marchable, d_a, 1.0)
         backward = d_a < 0.0
         dt = cell[0] * jnp.abs(inv_da)
-        q = dt / ref_distance
         t_lo = jnp.maximum(tmin, 0.0)
         t_hi = tmax
-        nu_f = nu.astype(jnp.float32)
-        nv_f = nv.astype(jnp.float32)
 
         def body(k, carry):
             acc_r, acc_g, acc_b, acc_a = carry

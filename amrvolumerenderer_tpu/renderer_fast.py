@@ -290,10 +290,7 @@ def composited_frame(
     """
     from .ops.composite import composite_tiles
     from .ops.slicemarch import (
-        LANES,
-        SUBLANES,
         TILE_H,
-        TILE_P,
         TILE_W,
         slicemarch_render_worklist_raw,
     )

@@ -28,7 +28,7 @@ def main() -> None:
 
     from amrvolumerenderer_tpu.camera import auto_orbit_camera, camera_basis
     from amrvolumerenderer_tpu.colormap import build_color_table
-    from amrvolumerenderer_tpu.compositor import _composite_sorted_runs, sort_layers
+    from amrvolumerenderer_tpu.compositor import sort_layers
     from amrvolumerenderer_tpu.ops import slicemarch as sm
     from amrvolumerenderer_tpu.types import VolumeBounds
 

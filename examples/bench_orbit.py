@@ -5,6 +5,12 @@ Prepares a turbulence-like AMR scene once with ``FastSceneRenderer`` and
 renders a camera orbit — the production animation/serving loop: brick data
 stays on device; each frame costs one kernel dispatch plus tiny host-side
 work-list math.
+
+NOTE on measured numbers: when the TPU is reached through a network relay
+(the development tunnel), the steady frame time is dominated by shipping
+the finished frame to the host (~84 MB at 2048^2) and per-dispatch round
+trips — device compute is a small fraction.  On directly attached hardware
+the transfer rides PCIe and the loop is compute-bound.
 """
 
 from __future__ import annotations
