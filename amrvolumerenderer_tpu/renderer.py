@@ -589,6 +589,12 @@ def render_scene(
     """Render with an explicit camera, or the seeded auto-orbit camera
     (VolumeRenderer.cpp:947-1101)."""
     validate_render_parameters(parameters)
+    if verbose:
+        # init banner (VolumeRenderer.cpp:582-585)
+        print(
+            "volume_renderer: Using TPU volume mapper on "
+            f"{len(jax.devices())} device(s)"
+        )
 
     bounds = compute_global_bounds(geometry)
     scalar_range = (

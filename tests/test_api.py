@@ -156,3 +156,44 @@ def test_histogram_log_scale(r2_scene):
         data, api.HistogramOptions(bin_count=16, log_scale_input=True)
     )
     assert hist.bin_counts.sum() == 32**3
+
+
+def test_histogram_component_selection(r2_scene):
+    """Multi-component data: histogram respects the component index
+    (SceneBuildOptions component, VolumeRendererApi.hpp:46-52)."""
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+    rng = np.random.default_rng(3)
+    multi = rng.random((8, 8, 8, 2))
+    multi[..., 1] = 0.5  # constant second component
+    boxes = [LevelBox(multi, np.zeros(3, dtype=int))]
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / 8))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+
+    h0 = api.compute_histogram(data, api.HistogramOptions(bin_count=8, component=0))
+    h1 = api.compute_histogram(data, api.HistogramOptions(bin_count=8, component=1))
+    assert h0.sample_count == h1.sample_count == 512
+    # constant field: degenerate range widens by +1, all samples in bin 0
+    assert h1.bin_counts[0] == 512
+    assert h0.bin_counts.max() < 512
+
+
+def test_log_scale_render_slicemarch_matches_raymarch(tmp_path, r2_scene):
+    """log_scale through the slice-march pre-transform equals the per-sample
+    transform of the exact path within the cross-integrator tolerance."""
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    levels, geoms = r2_scene
+    for box in levels[0]:
+        box.data = box.data + 0.05  # strictly positive for log
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, True, True, verbose=False)
+    params = RenderParameters(width=40, height=40)
+    img_ray, _ = render_scene("", params, geometry, verbose=False,
+                              method="raymarch")
+    img_slice, _ = render_scene("", params, geometry, verbose=False,
+                                method="slicemarch")
+    diff = np.abs(img_ray.pixels[:, :4] - img_slice.pixels[:, :4])
+    assert diff.mean() < 0.015
+    assert (diff > 0.02).any(axis=-1).mean() <= 0.12
