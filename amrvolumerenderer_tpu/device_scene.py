@@ -1,0 +1,208 @@
+"""Device-resident in-situ ingestion: render JAX arrays without host copies.
+
+The reference's in-situ API consumes GPU-resident MultiFabs directly
+(VolumeRendererApi.cpp:44-148: stats via GPU ParReduce, data stays on
+device).  This module is the TPU counterpart: simulation output living in
+HBM as ``jax.numpy`` arrays flows through scalar statistics, the scene
+transform, pre-transformation, cube splitting and canonical packing as
+jitted device ops — only O(bricks) metadata ever touches the host.
+
+Entry point: ``prepare_device_scene`` -> a ``FastSceneRenderer`` whose
+canonical brick table was assembled on device.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .colormap import SOFT_CLIP_TOLERANCE
+from .scene import _make_scalar_range
+from .transforms import saturate_soft_tail
+from .types import (
+    Brick,
+    ColorMap,
+    RenderParameters,
+    SceneGeometry,
+    VolumeBounds,
+)
+
+
+def device_scalar_stats(arrays: Sequence[jnp.ndarray]):
+    """min / max / min-positive / finite-count via device reductions
+    (the jnp counterpart of SceneBuilder.cpp:53-101)."""
+    inf = jnp.inf
+    mins, maxs, pos_mins, counts = [], [], [], []
+    for a in arrays:
+        a = a.astype(jnp.float32)
+        finite = jnp.isfinite(a)
+        safe = jnp.where(finite, a, 0.0)
+        mins.append(jnp.where(finite, safe, inf).min())
+        maxs.append(jnp.where(finite, safe, -inf).max())
+        pos_mins.append(jnp.where(finite & (a > 0.0), safe, inf).min())
+        counts.append(finite.sum())
+    min_v = float(jnp.stack(mins).min())
+    max_v = float(jnp.stack(maxs).max())
+    min_pos = float(jnp.stack(pos_mins).min())
+    count = int(jnp.stack(counts).sum())
+    return min_v, max_v, min_pos, count
+
+
+def _pretransform_device(
+    data: jnp.ndarray, transform, clip_start: float, apply_clip: bool
+) -> jnp.ndarray:
+    """Device version of renderer_fast._pretransform (VolumeTypes.hpp:53-67
+    + VolumePainter.cpp:75-105)."""
+    v = data.astype(jnp.float32)
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    if transform.log_scale_input:
+        floor = jnp.float32(transform.positive_floor)
+        v = jnp.where(v > 0.0, jnp.maximum(v, floor), floor)
+        v = jnp.log(v)
+    if transform.normalize_to_unit_range:
+        v = jnp.clip(
+            (v - transform.normalization_min) * transform.inverse_normalization_span,
+            0.0,
+            1.0,
+        )
+    if apply_clip:
+        v = saturate_soft_tail(v, clip_start, 1.0)
+    return v
+
+
+def build_device_scene_geometry(
+    bricks: Sequence[Tuple[jnp.ndarray, Sequence[float], Sequence[float]]],
+    log_scale_input: bool = False,
+    normalize_to_data_range: bool = True,
+) -> SceneGeometry:
+    """SceneGeometry from device arrays: same semantics as
+    ``scene.build_scene_geometry`` (global rescale, padded bounds, scalar
+    transform) with statistics computed on device.
+
+    ``bricks`` is a list of (data [nx,ny,nz] jnp array, min_corner,
+    max_corner) in world coordinates.
+    """
+    scene = SceneGeometry()
+    arrays = []
+    for data, mn, mx in bricks:
+        scene.bricks.append(
+            Brick(data=data, min_corner=np.asarray(mn, float),
+                  max_corner=np.asarray(mx, float))
+        )
+        arrays.append(data)
+    if not scene.bricks:
+        raise RuntimeError("Failed to locate any volumetric data.")
+
+    # global rescale: smallest axis extent -> 1 (SceneBuilder.cpp:229-254)
+    g_min = np.min([b.min_corner for b in scene.bricks], axis=0)
+    g_max = np.max([b.max_corner for b in scene.bricks], axis=0)
+    extent = np.abs(g_max - g_min)
+    positive = extent[(extent > 0.0) & np.isfinite(extent)]
+    scale = 1.0 / positive.min() if positive.size else 1.0
+    if not math.isfinite(scale) or not (scale > 0.0):
+        scale = 1.0
+    if scale != 1.0:
+        for b in scene.bricks:
+            b.min_corner = b.min_corner * scale
+            b.max_corner = b.max_corner * scale
+
+    g_min = np.min([b.min_corner for b in scene.bricks], axis=0)
+    g_max = np.max([b.max_corner for b in scene.bricks], axis=0)
+    max_extent = float((g_max - g_min).max())
+    padding = max_extent * 0.05 if max_extent > 0.0 else 1.0
+    scene.explicit_bounds = VolumeBounds(g_min - padding, g_max + padding)
+
+    min_v, max_v, min_pos, finite_count = device_scalar_stats(arrays)
+    if finite_count > 0 and math.isfinite(min_v) and math.isfinite(max_v):
+        scene.original_scalar_range = _make_scalar_range(min_v, max_v)
+        scene.has_original_scalar_range = True
+
+    processed_min, processed_max = min_v, max_v
+    t = scene.scalar_transform
+    t.log_scale_input = log_scale_input
+    if log_scale_input:
+        if not (min_pos > 0.0) or not math.isfinite(min_pos):
+            raise RuntimeError(
+                "Log scaling requested but no positive scalar values were found."
+            )
+        t.positive_floor = min_pos
+        processed_min = math.log(min_pos)
+        processed_max = math.log(max(max_v, min_pos))
+    if not math.isfinite(processed_min) or not math.isfinite(processed_max):
+        raise RuntimeError("Failed to compute a valid scalar range.")
+    if processed_min == processed_max:
+        processed_max = processed_min + 1.0
+
+    scene.processed_scalar_range = _make_scalar_range(processed_min, processed_max)
+    scene.has_processed_scalar_range = True
+    t.processed_min = processed_min
+    t.processed_max = processed_max
+    t.inverse_processed_span = 1.0 / (processed_max - processed_min)
+    t.normalization_min = processed_min
+    t.normalization_max = processed_max
+    t.inverse_normalization_span = t.inverse_processed_span
+    scene.scalar_range = scene.processed_scalar_range
+    scene.has_scalar_range = True
+    if normalize_to_data_range:
+        from .scene import set_scene_normalization_range
+
+        set_scene_normalization_range(scene, processed_min, processed_max)
+    return scene
+
+
+def prepare_device_scene(
+    bricks: Sequence[Tuple[jnp.ndarray, Sequence[float], Sequence[float]]],
+    parameters: RenderParameters,
+    color_map: Optional[ColorMap] = None,
+    log_scale_input: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Device arrays -> a ready ``FastSceneRenderer``.
+
+    The canonical <=32^3 piece table is assembled with jitted pads/stacks;
+    brick data never crosses to the host.
+    """
+    from .fast_scene import MAX_CUBE, FastSceneRenderer
+
+    scene = build_device_scene_geometry(bricks, log_scale_input)
+
+    clip_start = float(np.clip(scene.scalar_range[1], 0.0, 1.0))
+    apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
+    t = scene.scalar_transform
+
+    piece_arrays: List[jnp.ndarray] = []
+    piece_meta = []  # (min, max, dims, parent)
+    for parent, b in enumerate(scene.bricks):
+        data = _pretransform_device(b.data, t, clip_start, apply_clip)
+        shape = data.shape
+        spans = [
+            (b.max_corner[d] - b.min_corner[d]) / shape[d] for d in range(3)
+        ]
+        for i0 in range(0, shape[0], MAX_CUBE):
+            for j0 in range(0, shape[1], MAX_CUBE):
+                for k0 in range(0, shape[2], MAX_CUBE):
+                    lo = np.array([i0, j0, k0])
+                    hi = np.minimum(lo + MAX_CUBE, shape)
+                    piece = data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+                    pad = [(0, MAX_CUBE - (hi[d] - lo[d])) for d in range(3)]
+                    piece_arrays.append(jnp.pad(piece, pad))
+                    piece_meta.append(
+                        (
+                            b.min_corner + lo * spans,
+                            b.min_corner + hi * spans,
+                            hi - lo,
+                            parent,
+                        )
+                    )
+    canonical = jnp.stack(piece_arrays)
+
+    renderer = FastSceneRenderer.__new__(FastSceneRenderer)
+    renderer._init_from_canonical(
+        scene, parameters, color_map, canonical, piece_meta,
+        interpret=interpret,
+    )
+    return renderer

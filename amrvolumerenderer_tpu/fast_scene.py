@@ -97,6 +97,45 @@ class FastSceneRenderer:
         color_map: Optional[ColorMap] = None,
         interpret: Optional[bool] = None,
     ):
+        # host-side canonical piece table; the device-ingest path
+        # (device_scene.prepare_device_scene) builds it with jnp ops instead
+        scalar_range = (
+            geometry.scalar_range
+            if geometry.has_scalar_range
+            else compute_global_scalar_range(geometry)
+        )
+        clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
+        apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
+        t = geometry.scalar_transform
+        pieces = []
+        piece_meta = []
+        for parent, brick in enumerate(geometry.bricks):
+            data = _pretransform(brick.data, t, clip_start, apply_clip)
+            for d, mn, mx in _split_to_cubes(
+                data, brick.min_corner, brick.max_corner, MAX_CUBE
+            ):
+                pieces.append((d, mn, mx))
+                piece_meta.append((mn, mx, np.asarray(d.shape), parent))
+        num = len(pieces)
+        if num == 0:
+            raise ValueError("scene contains no bricks")
+        canonical = np.zeros((num, MAX_CUBE, MAX_CUBE, MAX_CUBE), np.float32)
+        for i, (d, _mn, _mx) in enumerate(pieces):
+            canonical[i, : d.shape[0], : d.shape[1], : d.shape[2]] = d
+        self._init_from_canonical(
+            geometry, parameters, color_map, jnp.asarray(canonical),
+            piece_meta, interpret=interpret,
+        )
+
+    def _init_from_canonical(
+        self,
+        geometry: SceneGeometry,
+        parameters: RenderParameters,
+        color_map: Optional[ColorMap],
+        canonical: jnp.ndarray,  # [L, MAX_CUBE^3] device piece table
+        piece_meta,  # list of (min_corner, max_corner, dims, parent)
+        interpret: Optional[bool] = None,
+    ):
         validate_render_parameters(parameters)
         self.parameters = parameters
         self.interpret = (
@@ -122,36 +161,21 @@ class FastSceneRenderer:
         self.pad_h = -(-self.render_height // sm.TILE_H) * sm.TILE_H
 
         alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0, 1))
-        clip_start = float(np.clip(self.scalar_range[1], 0.0, 1.0))
-        apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
         lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
         self._lut = sm.build_log_lut(lut)
 
-        # canonical piece table
-        t = geometry.scalar_transform
-        pieces = []
-        for parent, brick in enumerate(geometry.bricks):
-            data = _pretransform(brick.data, t, clip_start, apply_clip)
-            for d, mn, mx in _split_to_cubes(
-                data, brick.min_corner, brick.max_corner, MAX_CUBE
-            ):
-                pieces.append((d, mn, mx, parent))
-        num = len(pieces)
-        if num == 0:
-            raise ValueError("scene contains no bricks")
+        num = canonical.shape[0]
         self.cube = MAX_CUBE
-        canonical = np.zeros((num, self.cube, self.cube, self.cube), np.float32)
         self.box_min = np.zeros((num, 3))
         self.box_max = np.zeros((num, 3))
         self.dims_world = np.zeros((num, 3), np.int32)
         self.parents = np.zeros(num, np.int32)
-        for i, (d, mn, mx, parent) in enumerate(pieces):
-            canonical[i, : d.shape[0], : d.shape[1], : d.shape[2]] = d
+        for i, (mn, mx, dims, parent) in enumerate(piece_meta):
             self.box_min[i] = mn
             self.box_max[i] = mx
-            self.dims_world[i] = d.shape
+            self.dims_world[i] = dims
             self.parents[i] = parent
-        self.canonical = jnp.asarray(canonical)
+        self.canonical = canonical
         self.owners = np.array(
             [geometry.bricks[p].owner for p in self.parents], np.int32
         )

@@ -81,3 +81,53 @@ def test_fast_scene_splits_large_bricks():
                            up=(0, 1, 0))
     frame = fast.render(cam)
     assert frame[:, 3].max() > 0.05
+
+
+def test_device_scene_ingestion(r2_scene):
+    """prepare_device_scene (jnp arrays in, stats/pack on device) matches
+    the host-ingested FastSceneRenderer."""
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.device_scene import prepare_device_scene
+
+    levels, geoms = r2_scene
+    bricks = []
+    for box in levels[0]:
+        lo = box.lo / 32.0
+        hi = (box.lo + np.asarray(box.data.shape)) / 32.0
+        bricks.append((jnp.asarray(box.data, dtype=jnp.float32), lo, hi))
+
+    params = RenderParameters(width=48, height=48)
+    device_fast = prepare_device_scene(bricks, params)
+
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    host_fast = FastSceneRenderer(geometry, params)
+
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+    )
+    frame_dev = device_fast.render(cam)
+    frame_host = host_fast.render(cam)
+    np.testing.assert_allclose(frame_dev, frame_host, atol=1e-5)
+
+
+def test_device_scene_log_scale(r2_scene):
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.device_scene import prepare_device_scene
+
+    levels, _ = r2_scene
+    bricks = []
+    for box in levels[0]:
+        lo = box.lo / 32.0
+        hi = (box.lo + np.asarray(box.data.shape)) / 32.0
+        bricks.append(
+            (jnp.asarray(box.data + 0.05, dtype=jnp.float32), lo, hi)
+        )
+    params = RenderParameters(width=32, height=32)
+    fast = prepare_device_scene(bricks, params, log_scale_input=True)
+    cam = CameraParameters(eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5),
+                           up=(0, 1, 0))
+    frame = fast.render(cam)
+    assert frame[:, 3].max() > 0.05
