@@ -176,6 +176,7 @@ def prepare_device_scene(
 
     piece_arrays: List[jnp.ndarray] = []
     piece_meta = []  # (min, max, dims, parent)
+    piece_ranges = []
     for parent, b in enumerate(scene.bricks):
         data = _pretransform_device(b.data, t, clip_start, apply_clip)
         shape = data.shape
@@ -190,6 +191,9 @@ def prepare_device_scene(
                     piece = data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
                     pad = [(0, MAX_CUBE - (hi[d] - lo[d])) for d in range(3)]
                     piece_arrays.append(jnp.pad(piece, pad))
+                    piece_ranges.append(
+                        (float(piece.min()), float(piece.max()))
+                    )
                     piece_meta.append(
                         (
                             b.min_corner + lo * spans,
@@ -203,6 +207,6 @@ def prepare_device_scene(
     renderer = FastSceneRenderer.__new__(FastSceneRenderer)
     renderer._init_from_canonical(
         scene, parameters, color_map, canonical, piece_meta,
-        interpret=interpret,
+        piece_ranges=piece_ranges, interpret=interpret,
     )
     return renderer

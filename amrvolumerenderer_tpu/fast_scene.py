@@ -109,6 +109,7 @@ class FastSceneRenderer:
         t = geometry.scalar_transform
         pieces = []
         piece_meta = []
+        piece_ranges = []
         for parent, brick in enumerate(geometry.bricks):
             data = _pretransform(brick.data, t, clip_start, apply_clip)
             for d, mn, mx in _split_to_cubes(
@@ -116,6 +117,7 @@ class FastSceneRenderer:
             ):
                 pieces.append((d, mn, mx))
                 piece_meta.append((mn, mx, np.asarray(d.shape), parent))
+                piece_ranges.append((float(np.min(d)), float(np.max(d))))
         num = len(pieces)
         if num == 0:
             raise ValueError("scene contains no bricks")
@@ -124,7 +126,7 @@ class FastSceneRenderer:
             canonical[i, : d.shape[0], : d.shape[1], : d.shape[2]] = d
         self._init_from_canonical(
             geometry, parameters, color_map, jnp.asarray(canonical),
-            piece_meta, interpret=interpret,
+            piece_meta, piece_ranges=piece_ranges, interpret=interpret,
         )
 
     def _init_from_canonical(
@@ -134,6 +136,7 @@ class FastSceneRenderer:
         color_map: Optional[ColorMap],
         canonical: jnp.ndarray,  # [L, MAX_CUBE^3] device piece table
         piece_meta,  # list of (min_corner, max_corner, dims, parent)
+        piece_ranges=None,  # optional [(vmin, vmax)] for transparency culling
         interpret: Optional[bool] = None,
     ):
         validate_render_parameters(parameters)
@@ -164,6 +167,21 @@ class FastSceneRenderer:
         lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
         self._lut = sm.build_log_lut(lut)
 
+        # space skipping: drop pieces whose value range maps entirely to
+        # zero opacity under the transfer function (the coarse-grained
+        # analogue of empty-space skipping in GPU AMR renderers)
+        if piece_ranges is not None and len(piece_meta) > 1:
+            keep = [
+                i for i, (vmin, vmax) in enumerate(piece_ranges)
+                if self._range_visible(vmin, vmax, lut)
+            ]
+            if keep and len(keep) < len(piece_meta):
+                canonical = canonical[np.asarray(keep)]
+                piece_meta = [piece_meta[i] for i in keep]
+            elif not keep:
+                canonical = canonical[:1]
+                piece_meta = piece_meta[:1]
+
         num = canonical.shape[0]
         self.cube = MAX_CUBE
         self.box_min = np.zeros((num, 3))
@@ -183,6 +201,14 @@ class FastSceneRenderer:
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
         self._lut_device = jnp.asarray(self._lut)
+
+    def _range_visible(self, vmin: float, vmax: float, lut: np.ndarray) -> bool:
+        """Does any LUT entry within the piece's value range have alpha > 0?"""
+        lo, hi = self.scalar_range
+        span = hi - lo if hi != lo else 1.0
+        i0 = int(np.clip((vmin - lo) / span * 255, 0, 255))
+        i1 = int(np.clip((vmax - lo) / span * 255, 0, 255))
+        return bool(lut[i0 : i1 + 1, 3].max() > 0.0)
 
     def render(
         self,

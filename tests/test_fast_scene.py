@@ -131,3 +131,38 @@ def test_device_scene_log_scale(r2_scene):
                            up=(0, 1, 0))
     frame = fast.render(cam)
     assert frame[:, 3].max() > 0.05
+
+
+def test_transparent_piece_culling(r2_scene):
+    """Pieces whose value range maps to zero opacity are culled at prepare
+    time (coarse empty-space skipping), without changing the image."""
+    from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    # zero opacity below 0.5: low-value corner pieces become invisible
+    cmap = color_map_from_tuples(
+        [(0.0, 0, 0, 1, 0.0), (0.5, 0, 1, 0, 0.0), (1.0, 1, 0, 0, 0.8)]
+    )
+    params = RenderParameters(width=32, height=32)
+    fast = FastSceneRenderer(geometry, params, color_map=cmap)
+    assert fast.canonical.shape[0] < 8  # some of the 8 pieces culled
+
+    cam = CameraParameters(eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5),
+                           up=(0, 1, 0))
+    frame = fast.render(cam, overlay=False)
+
+    from amrvolumerenderer_tpu.renderer import render_scene
+
+    img, _ = render_scene("", params, geometry, camera=cam, verbose=False,
+                          color_map=cmap, method="slicemarch")
+    # the slicemarch pipeline draws the overlay; compare without it
+    img_no_overlay, _ = render_scene(
+        "", params, geometry, camera=cam, verbose=False, color_map=cmap,
+        method="slicemarch",
+    )
+    diff = np.abs(frame[:, :4] - img_no_overlay.pixels[:, :4])
+    # overlay pixels differ; everything else matches
+    interior = diff.max(axis=-1) > 1e-5
+    assert interior.mean() < 0.2
