@@ -116,3 +116,50 @@ def test_native_visibility_matches_python():
         finally:
             native_mod._lib = lib
         np.testing.assert_array_equal(got, expected)
+
+
+@requires_native
+def test_native_visibility_cycle_breaking_matches_python():
+    """The pinwheel cycle scene must be split identically by both
+    implementations (VisibilityOrdering.cpp:445-563 semantics)."""
+    from amrvolumerenderer_tpu.camera import (
+        make_perspective_matrix,
+        make_view_matrix,
+        safe_normalize,
+    )
+    from amrvolumerenderer_tpu.types import CameraParameters
+    from amrvolumerenderer_tpu import visibility as vis
+    import amrvolumerenderer_tpu.native as native_mod
+
+    boxes = [
+        ([0.0, 0.0, 0.0], [2.0, 1.0, 1.0]),
+        ([2.0, 0.0, 0.0], [3.0, 2.0, 1.0]),
+        ([1.0, 2.0, 0.0], [3.0, 3.0, 1.0]),
+        ([0.0, 1.0, 0.0], [1.0, 3.0, 1.0]),
+    ]
+    box_min = np.array([b[0] for b in boxes])
+    box_max = np.array([b[1] for b in boxes])
+    owners = np.arange(4, dtype=np.int32)
+    cam = CameraParameters(
+        eye=(1.5, 1.5, 6.0), look_at=(1.4, 1.6, 0.0), up=(0.0, 1.0, 0.0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=100.0,
+    )
+    modelview = make_view_matrix(cam.eye, cam.look_at, cam.up)
+    projection = make_perspective_matrix(45.0, 1.0, 0.1, 100.0)
+
+    got = native.visibility_order(
+        box_min, box_max, owners, 4, modelview, projection,
+        safe_normalize(cam.look_at - cam.eye),
+    )
+    assert got is not None
+
+    lib = native_mod._lib
+    native_mod._lib = None
+    native_mod._load_attempted = True
+    try:
+        expected = vis.build_visibility_order(
+            cam, 1.0, box_min, box_max, owners, 4
+        )
+    finally:
+        native_mod._lib = lib
+    np.testing.assert_array_equal(got, expected)
