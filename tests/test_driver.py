@@ -173,3 +173,68 @@ def test_cli_multilevel_plotfile(tmp_path):
                  "--output", out, path]) == 0
     assert main(["--width", "24", "--height", "24", "--log-scale",
                  "--box-transparency", "0.3", "--output", out, path]) == 0
+
+
+def test_run_options_validation_errors(tmp_path, plotfile):
+    from amrvolumerenderer_tpu.types import CameraParameters, color_map_from_tuples
+
+    base = dict(plotfile_path=plotfile, output_filename=str(tmp_path / "x.ppm"))
+
+    opts = RunOptions(**base)
+    opts.output_filename = ""
+    with pytest.raises(ValueError, match="output filename"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.scalar_range = (2.0, 1.0)
+    with pytest.raises(ValueError, match="min < max"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.camera = CameraParameters(eye=(0, 0, 1), look_at=(0, 0, 0),
+                                   up=(0, 0, 1))  # up parallel to view
+    with pytest.raises(ValueError, match="parallel"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.camera = CameraParameters(eye=(0, 0, 1), look_at=(0, 0, 0),
+                                   up=(0, 1, 0), fov_y_degrees=200.0)
+    with pytest.raises(ValueError, match="fov"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.camera = CameraParameters(eye=(0, 0, 1), look_at=(0, 0, 0),
+                                   up=(0, 1, 0), near_plane=-1.0)
+    with pytest.raises(ValueError, match="near plane"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.camera = CameraParameters(eye=(0, 0, 1), look_at=(0, 0, 0),
+                                   up=(0, 1, 0), near_plane=1.0, far_plane=0.5)
+    with pytest.raises(ValueError, match="far plane"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.plotfile_path = "/nonexistent/plt"
+    with pytest.raises(RuntimeError, match="does not exist"):
+        run_options(opts, verbose=False)
+
+    opts = RunOptions(**base)
+    opts.min_level = 3
+    opts.max_level = 1
+    with pytest.raises(RuntimeError, match="min level must not exceed"):
+        run_options(opts, verbose=False)
+
+
+def test_log_scale_colormap_requires_positive_values(tmp_path, plotfile):
+    from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+    opts = RunOptions(
+        plotfile_path=plotfile, output_filename=str(tmp_path / "x.ppm"),
+        log_scale_input=True,
+        color_map=color_map_from_tuples(
+            [(-1.0, 0, 0, 0, 0.1), (1.0, 1, 1, 1, 0.5)]
+        ),
+    )
+    with pytest.raises(ValueError, match="positive when log"):
+        run_options(opts, verbose=False)

@@ -330,3 +330,68 @@ def test_fused_aa_matches_raymarch_aa(r2_scene):
     bad = (diff > 0.02).any(axis=-1)
     assert bad.mean() <= 0.12, f"bad pixel fraction {bad.mean():.4f}"
     assert diff.mean() < 0.015
+
+
+def test_raymarch_converges_to_slicemarch(camera):
+    """As the ray-march step shrinks (with opacity normalized to the same
+    reference distance), the reference integrator converges to the
+    slice-march result — evidence that the window-weighted quadrature is
+    the exact limit of the reference scheme."""
+    from amrvolumerenderer_tpu.colormap import build_color_table, compute_scaled_alpha
+    from amrvolumerenderer_tpu.ops.raymarch import (
+        max_steps_for_bucket,
+        render_brick_bucket,
+    )
+
+    n = 8
+    coords = (np.arange(n) + 0.5) / n
+    field = (
+        coords[:, None, None] * 0.4
+        + coords[None, :, None] * 0.3
+        + coords[None, None, :] * 0.3
+    ).astype(np.float32)
+    bmin, bmax = np.zeros(3), np.ones(3)
+    base_lut = make_lut()
+    width = height = 32
+    ref_distance = 0.5 / n
+    forward, right, up = camera_basis(camera)
+
+    slice_c, _ = run_kernel(
+        field, bmin, bmax, 2, base_lut, ref_distance, camera, width, height
+    )
+
+    def raymarch_at_step(step):
+        # renormalize the LUT alphas for this step against ref_distance
+        lut = base_lut.copy()
+        factor = step / ref_distance
+        lut[:, 3] = [
+            compute_scaled_alpha(a, 1.0, factor) for a in base_lut[:, 3]
+        ]
+        dims = np.array([[n, n, n]], np.int32)
+        c, _ = render_brick_bucket(
+            jnp.asarray(field[None]),
+            jnp.asarray(bmin[None].astype(np.float32)),
+            jnp.asarray(bmax[None].astype(np.float32)),
+            jnp.asarray(dims),
+            jnp.asarray(lut[None]),
+            jnp.asarray(np.array([step], np.float32)),
+            jnp.asarray(camera.eye, dtype=jnp.float32),
+            jnp.asarray(forward, dtype=jnp.float32),
+            jnp.asarray(right, dtype=jnp.float32),
+            jnp.asarray(up, dtype=jnp.float32),
+            jnp.float32(45.0), jnp.float32(0.0), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+            width=width, height=height,
+            num_steps=max_steps_for_bucket(
+                bmin[None], bmax[None], np.array([step])
+            ),
+            log_scale=False, normalize=False, clip_start=1.0, apply_clip=False,
+        )
+        return np.asarray(c[0])
+
+    err_coarse = np.abs(raymarch_at_step(ref_distance) - slice_c).mean()
+    err_fine = np.abs(raymarch_at_step(ref_distance / 4) - slice_c).mean()
+    err_finest = np.abs(raymarch_at_step(ref_distance / 16) - slice_c).mean()
+    assert err_fine < err_coarse
+    assert err_finest < err_fine
+    assert err_finest < 0.004, f"not converging: {err_finest:.4f}"
