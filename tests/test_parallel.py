@@ -322,3 +322,60 @@ def test_flat_compose_sharded_matches_host(num_devices):
     )
     expected = assemble_pieces(compose_flat_host(images, group_order))
     np.testing.assert_allclose(got, expected.pixels, atol=1e-6)
+
+
+def test_depth_contiguous_partial_compositing(rng):
+    """Pre-compositing depth-contiguous per-device runs, then folding the
+    D partial frames, equals the full global layered fold."""
+    from amrvolumerenderer_tpu.compositor import sort_layers
+    from amrvolumerenderer_tpu.image import blend_depth_sort
+    from amrvolumerenderer_tpu.parallel.directsend import (
+        composite_partials_sharded,
+        depth_contiguous_assignment,
+    )
+
+    num_devices = 4
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+
+    num_bricks, num_pixels = 11, 64
+    # disjoint-in-depth layers: per-pixel depths ordered consistently with
+    # the hints (the property real AMR bricks have), which makes the
+    # depth-sorted fold grouping-invariant
+    hints = np.sort((rng.random(num_bricks) * 5).astype(np.float32))
+    layers = np.zeros((num_bricks, num_pixels, 5), np.float32)
+    for i in range(num_bricks):
+        alpha = (rng.random(num_pixels) * 0.8).astype(np.float32)
+        rgb = rng.random((num_pixels, 3)).astype(np.float32)
+        layers[i, :, :3] = rgb * alpha[:, None]
+        layers[i, :, 3] = alpha
+        layers[i, :, 4] = hints[i] + rng.random(num_pixels) * 0.05
+        empty = rng.random(num_pixels) < 0.2
+        layers[i, empty, :4] = 0.0
+        layers[i, empty, 4] = np.inf
+    tie = np.arange(num_bricks, dtype=np.int32)
+
+    device_of = depth_contiguous_assignment(hints, tie, num_devices)
+
+    # per-device partial composite (front-to-back within the device's run)
+    partials = np.zeros((num_devices, num_pixels, 5), np.float32)
+    partials[..., 4] = np.inf
+    order = sort_layers(hints, tie, np.zeros(num_bricks, np.int32))
+    for d in range(num_devices):
+        acc = None
+        for idx in order:
+            if device_of[idx] != d:
+                continue
+            acc = layers[idx] if acc is None else blend_depth_sort(acc, layers[idx])
+        if acc is not None:
+            partials[d] = acc
+
+    mesh = make_mesh(num_devices)
+    got = np.asarray(
+        composite_partials_sharded(mesh, jnp.asarray(partials))
+    )
+
+    expected = composite_layers_host(
+        layers, hints, tie, np.zeros(num_bricks, np.int32)
+    )
+    np.testing.assert_allclose(got, expected, atol=1e-5)
