@@ -167,20 +167,19 @@ class FastSceneRenderer:
         lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
         self._lut = sm.build_log_lut(lut)
 
-        # space skipping: drop pieces whose value range maps entirely to
+        # space skipping: mask pieces whose value range maps entirely to
         # zero opacity under the transfer function (the coarse-grained
-        # analogue of empty-space skipping in GPU AMR renderers)
-        if piece_ranges is not None and len(piece_meta) > 1:
-            keep = [
-                i for i, (vmin, vmax) in enumerate(piece_ranges)
-                if self._range_visible(vmin, vmax, lut)
-            ]
-            if keep and len(keep) < len(piece_meta):
-                canonical = canonical[np.asarray(keep)]
-                piece_meta = [piece_meta[i] for i in keep]
-            elif not keep:
-                canonical = canonical[:1]
-                piece_meta = piece_meta[:1]
+        # analogue of empty-space skipping in GPU AMR renderers); kept as a
+        # mask so set_transfer_function can re-derive it
+        self.piece_ranges = piece_ranges
+        if piece_ranges is not None:
+            self.visible = np.array(
+                [self._range_visible(vmin, vmax, lut)
+                 for vmin, vmax in piece_ranges],
+                dtype=bool,
+            )
+        else:
+            self.visible = np.ones(canonical.shape[0], dtype=bool)
 
         num = canonical.shape[0]
         self.cube = MAX_CUBE
@@ -201,6 +200,31 @@ class FastSceneRenderer:
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
         self._lut_device = jnp.asarray(self._lut)
+
+    def set_transfer_function(
+        self,
+        color_map: Optional[ColorMap] = None,
+        box_transparency: Optional[float] = None,
+    ) -> None:
+        """Swap the colormap / per-box transparency without repacking bricks.
+
+        Only the 2 KB LUT and the piece-visibility mask change (the scalar
+        range and soft clip are baked into the brick data at prepare time,
+        exactly as the reference fixes them per run)."""
+        if box_transparency is not None:
+            self.parameters.box_transparency = box_transparency
+        alpha_scale = float(
+            np.clip(1.0 - self.parameters.box_transparency, 0.0, 1.0)
+        )
+        lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
+        self._lut = sm.build_log_lut(lut)
+        self._lut_device = jnp.asarray(self._lut)
+        if self.piece_ranges is not None:
+            self.visible = np.array(
+                [self._range_visible(vmin, vmax, lut)
+                 for vmin, vmax in self.piece_ranges],
+                dtype=bool,
+            )
 
     def _range_visible(self, vmin: float, vmax: float, lut: np.ndarray) -> bool:
         """Does any LUT entry within the piece's value range have alpha > 0?"""
@@ -258,23 +282,41 @@ class FastSceneRenderer:
             logical_width=self.render_width,
             logical_height=self.render_height,
         )
-        out_c, out_d = tm.tilemarch_render(
-            self._packed_vol, jnp.asarray(meta), jnp.asarray(dims),
-            self._lut_device, jnp.asarray(cam), jnp.asarray(offsets),
-            jnp.asarray(tbricks), jnp.asarray(towners),
-            width=self.pad_w, height=self.pad_h, max_slices=self.cube,
-            logical_width=self.render_width,
-            logical_height=self.render_height,
-            interpret=self.interpret,
-        )
-        tiles_x = self.pad_w // sm.TILE_W
-        tiles_y = self.pad_h // sm.TILE_H
-        c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
-        c = c.transpose(0, 3, 1, 4, 2).reshape(self.pad_h, self.pad_w, 4)
-        d = out_d.reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
-        d = d.transpose(0, 2, 1, 3).reshape(self.pad_h, self.pad_w)
-        frame = jnp.concatenate([c, d[..., None]], axis=-1)
-        frame = frame[: self.render_height, : self.render_width].reshape(-1, 5)
+        if not self.visible.all():
+            keep = self.visible[tbricks]
+            tiles_of_items = np.repeat(
+                np.arange(len(offsets) - 1), np.diff(offsets)
+            )[keep]
+            tbricks = tbricks[keep]
+            towners = towners[keep]
+            counts = np.bincount(tiles_of_items, minlength=len(offsets) - 1)
+            offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+        if len(tbricks) == 0:
+            # everything culled (e.g. fully transparent transfer function)
+            frame = jnp.zeros(
+                (self.render_height * self.render_width, 5), jnp.float32
+            ).at[:, 4].set(jnp.inf)
+        else:
+            out_c, out_d = tm.tilemarch_render(
+                self._packed_vol, jnp.asarray(meta), jnp.asarray(dims),
+                self._lut_device, jnp.asarray(cam), jnp.asarray(offsets),
+                jnp.asarray(tbricks), jnp.asarray(towners),
+                width=self.pad_w, height=self.pad_h, max_slices=self.cube,
+                logical_width=self.render_width,
+                logical_height=self.render_height,
+                interpret=self.interpret,
+            )
+            tiles_x = self.pad_w // sm.TILE_W
+            tiles_y = self.pad_h // sm.TILE_H
+            c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
+            c = c.transpose(0, 3, 1, 4, 2).reshape(self.pad_h, self.pad_w, 4)
+            d = out_d.reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
+            d = d.transpose(0, 2, 1, 3).reshape(self.pad_h, self.pad_w)
+            frame = jnp.concatenate([c, d[..., None]], axis=-1)
+            frame = frame[: self.render_height, : self.render_width].reshape(
+                -1, 5
+            )
         if self.sqrt_aa > 1:
             frame = _device_downsample(
                 frame, self.render_width, self.render_height, self.sqrt_aa

@@ -147,7 +147,7 @@ def test_transparent_piece_culling(r2_scene):
     )
     params = RenderParameters(width=32, height=32)
     fast = FastSceneRenderer(geometry, params, color_map=cmap)
-    assert fast.canonical.shape[0] < 8  # some of the 8 pieces culled
+    assert fast.visible.sum() < 8  # some of the 8 pieces culled
 
     cam = CameraParameters(eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5),
                            up=(0, 1, 0))
@@ -166,3 +166,33 @@ def test_transparent_piece_culling(r2_scene):
     # overlay pixels differ; everything else matches
     interior = diff.max(axis=-1) > 1e-5
     assert interior.mean() < 0.2
+
+
+def test_set_transfer_function_swap(geometry):
+    """Colormap/transparency swaps take effect without re-preparing and
+    update the piece-visibility mask."""
+    from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+    params = RenderParameters(width=32, height=32)
+    fast = FastSceneRenderer(geometry, params)
+    cam = CameraParameters(eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5),
+                           up=(0, 1, 0))
+    frame_default = fast.render(cam, overlay=False)
+
+    cmap = color_map_from_tuples(
+        [(0.0, 0, 0, 1, 0.0), (0.5, 0, 1, 0, 0.0), (1.0, 1, 0, 0, 0.8)]
+    )
+    fast.set_transfer_function(color_map=cmap)
+    assert fast.visible.sum() < len(fast.visible)
+    frame_cmap = fast.render(cam, overlay=False)
+    assert not np.allclose(frame_cmap[:, :4], frame_default[:, :4])
+
+    # must equal a renderer constructed with the colormap from scratch
+    fresh = FastSceneRenderer(geometry, params, color_map=cmap)
+    frame_fresh = fresh.render(cam, overlay=False)
+    np.testing.assert_allclose(frame_cmap, frame_fresh, atol=1e-6)
+
+    # full transparency: nothing but background
+    fast.set_transfer_function(color_map=cmap, box_transparency=1.0)
+    frame_clear = fast.render(cam, overlay=False)
+    assert frame_clear[:, 3].max() == 0.0
