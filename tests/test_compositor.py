@@ -136,3 +136,47 @@ def test_flat_compose_piece_coverage(rng):
     pieces = compose_flat_host(images, np.arange(3))
     spans = [(p.region_begin, p.region_end) for p in pieces]
     assert spans == [(0, 5), (5, 10), (10, 16)]
+
+
+def test_run_grouping_matters_in_tie_cases():
+    """Spec test: the per-owner run grouping is not just an optimization —
+    with equal depth-hints and interleaved per-pixel depths, the grouped
+    fold differs from a plain left fold, and we reproduce the reference's
+    grouped structure (DirectSendBase.cpp:400-446)."""
+    from amrvolumerenderer_tpu.image import blend_depth_sort
+
+    # three layers, one pixel; owners [0, 1, 1]; depths interleave such
+    # that a (b+c) pre-blend changes the result
+    a = np.array([[0.2, 0.0, 0.0, 0.2, 2.0]], np.float32)
+    b = np.array([[0.0, 0.3, 0.0, 0.3, 3.0]], np.float32)
+    c = np.array([[0.0, 0.0, 0.4, 0.4, 1.0]], np.float32)  # nearest pixel
+    layers = np.stack([a, b, c])
+    hints = np.array([1.0, 1.0, 1.0], np.float32)  # all tie
+    owners = np.array([0, 1, 1], np.int32)
+    local = np.array([0, 0, 1], np.int32)
+
+    grouped = composite_layers_host(layers, hints, owners, local)
+    plain = blend_depth_sort(blend_depth_sort(a, b), c)
+    reference_structure = blend_depth_sort(a, blend_depth_sort(b, c))
+    np.testing.assert_allclose(grouped, reference_structure, atol=1e-7)
+    assert not np.allclose(grouped, plain)
+
+
+def test_compact_image_reduces_transport_bytes():
+    """The compaction preserves the RLE compression's *intent*: images with
+    localized content transport fewer bytes."""
+    from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
+
+    img = ImageBuffer.create(ImageKind.RGBA_F32_DEPTH_SORT, 64, 64)
+    img.clear()
+    for y in range(30, 34):
+        for x in range(30, 34):
+            img.set_color(x, y, (1, 1, 1, 1))
+            img.set_depth(x, y, 1.0)
+    compact = img.compress()
+    full_bytes = img.pixels.nbytes
+    compact_bytes = compact.pixels.nbytes
+    assert compact_bytes < full_bytes * 0.1
+    np.testing.assert_allclose(
+        compact.uncompress().pixels[:, :4], img.pixels[:, :4], atol=1e-6
+    )
