@@ -174,9 +174,24 @@ def compute_histogram(
     }
 
 
+def __getattr__(name):
+    # lazy re-exports of the extended (beyond-reference) API surface
+    if name == "FastSceneRenderer":
+        from .fast_scene import FastSceneRenderer
+
+        return FastSceneRenderer
+    if name == "prepare_device_scene":
+        from .device_scene import prepare_device_scene
+
+        return prepare_device_scene
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "render",
     "compute_histogram",
     "initialize_runtime",
     "finalize_runtime",
+    "FastSceneRenderer",
+    "prepare_device_scene",
 ]

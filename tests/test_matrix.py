@@ -117,3 +117,25 @@ def test_stage_timers(capsys):
     assert "Render: compositing took" in out
     report = timers.report()
     assert set(report) == {"per-box rendering", "compositing"}
+
+
+def test_device_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.utils.timers import device_trace
+
+    with device_trace(str(tmp_path / "trace")):
+        float(jnp.sum(jnp.ones((64, 64))))
+    assert any((tmp_path / "trace").rglob("*"))
+    # disabled when no log dir is given
+    with device_trace(None):
+        pass
+
+
+def test_package_level_exports():
+    import amrvolumerenderer_tpu as avr
+
+    assert callable(avr.render)
+    assert callable(avr.compute_histogram)
+    assert avr.FastSceneRenderer.__name__ == "FastSceneRenderer"
+    assert callable(avr.prepare_device_scene)
