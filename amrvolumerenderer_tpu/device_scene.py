@@ -210,3 +210,71 @@ def prepare_device_scene(
         piece_ranges=piece_ranges, interpret=interpret,
     )
     return renderer
+
+
+# ---------------------------------------------------------------------------
+# Device-side histogram
+# ---------------------------------------------------------------------------
+
+
+def _histogram_block(raw, bin_count, log_scale, normalize, params):
+    positive_floor, norm_min, inv_span, range_min, range_width = params
+    v = raw.astype(jnp.float32).ravel()
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    if log_scale:
+        v = jnp.log(jnp.where(v > 0.0, jnp.maximum(v, positive_floor),
+                              positive_floor))
+    if normalize:
+        v = jnp.clip((v - norm_min) * inv_span, 0.0, 1.0)
+    v = jnp.clip(v, range_min, range_min + range_width)
+    normalized = jnp.clip((v - range_min) / range_width, 0.0, 1.0)
+    idx = jnp.clip((normalized * bin_count).astype(jnp.int32), 0, bin_count - 1)
+    return jnp.bincount(idx, length=bin_count)
+
+
+_histogram_block_jit = jax.jit(
+    _histogram_block, static_argnames=("bin_count", "log_scale", "normalize")
+)
+
+
+def device_histogram(
+    arrays: Sequence[jnp.ndarray],
+    transform,
+    bin_count: int,
+    normalized_range: Tuple[float, float],
+):
+    """Histogram of transformed scalars computed entirely on device.
+
+    The jnp counterpart of ``scene.compute_scene_histogram``
+    (SceneBuilder.cpp:445-577) for in-situ fields already living in HBM:
+    per-array transform + bincount run jitted on device; only the
+    ``bin_count`` totals cross to the host.  Returns ``(counts, total)``.
+    """
+    if bin_count <= 0:
+        raise ValueError("binCount must be positive")
+    range_min, range_max = float(normalized_range[0]), float(normalized_range[1])
+    range_width = range_max - range_min
+    counts = np.zeros(bin_count, dtype=np.uint64)
+    total = 0
+    if not (range_width > 0.0) or not math.isfinite(range_width):
+        return counts, total
+    params = (
+        jnp.float32(transform.positive_floor),
+        jnp.float32(transform.normalization_min),
+        jnp.float32(transform.inverse_normalization_span),
+        jnp.float32(range_min),
+        jnp.float32(range_width),
+    )
+    for a in arrays:
+        counts += np.asarray(
+            _histogram_block_jit(
+                a,
+                bin_count=bin_count,
+                log_scale=bool(transform.log_scale_input),
+                normalize=bool(transform.normalize_to_unit_range),
+                params=params,
+            ),
+            dtype=np.uint64,
+        )
+        total += int(a.size)
+    return counts, total

@@ -196,3 +196,44 @@ def test_set_transfer_function_swap(geometry):
     fast.set_transfer_function(color_map=cmap, box_transparency=1.0)
     frame_clear = fast.render(cam, overlay=False)
     assert frame_clear[:, 3].max() == 0.0
+
+
+def test_device_histogram_matches_host(geometry):
+    """device_histogram (jitted bincount) agrees with the host histogram
+    on the same transformed scene."""
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.device_scene import device_histogram
+    from amrvolumerenderer_tpu.scene import compute_scene_histogram
+
+    bins = 64
+    host = compute_scene_histogram(geometry, bins)
+    arrays = [jnp.asarray(b.data) for b in geometry.bricks]
+    counts, total = device_histogram(
+        arrays, geometry.scalar_transform, bins, host.normalized_range
+    )
+    assert total == host.sample_count
+    # the host path bins in float64, the device in float32: values landing
+    # exactly on a bin edge may shift by one bin
+    moved = np.abs(counts.astype(np.int64) - host.bin_counts.astype(np.int64))
+    assert moved.sum() <= max(2, total // 100)
+    assert counts.sum() == host.bin_counts.sum()
+
+
+def test_device_histogram_exact_on_bin_centers():
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.device_scene import device_histogram
+    from amrvolumerenderer_tpu.types import ScalarTransform
+
+    bins = 16
+    reps = np.arange(bins) + 1
+    values = np.repeat((np.arange(bins) + 0.5) / bins, reps).astype(np.float32)
+    t = ScalarTransform()
+    counts, total = device_histogram([jnp.asarray(values)], t, bins, (0.0, 1.0))
+    assert total == values.size
+    np.testing.assert_array_equal(counts, reps.astype(np.uint64))
+
+    # degenerate range -> empty histogram
+    counts, total = device_histogram([jnp.asarray(values)], t, bins, (1.0, 1.0))
+    assert total == 0 and counts.sum() == 0
