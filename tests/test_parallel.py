@@ -379,3 +379,138 @@ def test_depth_contiguous_partial_compositing(rng):
         layers, hints, tie, np.zeros(num_bricks, np.int32)
     )
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_devices", [2, 8])
+def test_sharded_composite_ubyte_transport(num_devices):
+    """The compressed (byte-color) exchange equals the host fold applied to
+    byte-codec-quantized layers — the reference's color-ubyte compositing
+    axis carried over the collectives."""
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+    from amrvolumerenderer_tpu.image import byte_to_color, color_to_byte
+
+    rng = np.random.default_rng(19 + num_devices)
+    lmax, num_pixels = 3, 64
+    layers, hints, _ = make_device_layers(rng, num_devices, lmax, num_pixels)
+
+    mesh = make_mesh(num_devices)
+    got = np.asarray(
+        composite_layers_sharded(
+            mesh, jnp.asarray(layers), jnp.asarray(hints), transport="ubyte"
+        )
+    )
+
+    quantized = layers.copy()
+    quantized[..., :4] = byte_to_color(color_to_byte(layers[..., :4]))
+    owners = np.repeat(np.arange(num_devices, dtype=np.int32), lmax)
+    local = np.tile(np.arange(lmax, dtype=np.int32), num_devices)
+    expected = composite_layers_host(quantized, hints, owners, local)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    # quantization itself stays inside the byte-codec tolerance
+    exact = composite_layers_host(layers, hints, owners, local)
+    assert np.abs(got[:, :4] - exact[:, :4]).max() < 0.02
+
+
+def test_depth_contiguous_end_to_end(r2_scene):
+    """Full depth-contiguous pipeline (per-frame repack + local
+    pre-composite + D-frame exchange) matches the layered slice-march
+    pipeline on a real scene."""
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.camera import (
+        auto_orbit_camera,
+        camera_basis,
+        compute_box_depth_hints,
+    )
+    from amrvolumerenderer_tpu.colormap import build_color_table
+    from amrvolumerenderer_tpu.compositor import composite_layers_host
+    from amrvolumerenderer_tpu.ops import slicemarch as sm
+    from amrvolumerenderer_tpu.parallel.directsend import (
+        pack_depth_contiguous,
+        render_depth_contiguous_slicemarch,
+    )
+    from amrvolumerenderer_tpu.renderer import (
+        compute_global_bounds,
+        compute_reference_sample_distance,
+    )
+    from amrvolumerenderer_tpu.renderer_fast import _pretransform
+
+    num_devices = 4
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+    width = height = 32
+    bounds = compute_global_bounds(geometry)
+    camera = auto_orbit_camera(bounds)
+    forward, right, up = camera_basis(camera)
+    axis = sm.choose_march_axis(forward)
+    axes = [axis] + [a for a in range(3) if a != axis]
+    ref_dist = compute_reference_sample_distance(geometry, bounds)
+    t = geometry.scalar_transform
+
+    lut = build_color_table(1.0, 1.0, geometry.scalar_range, None)
+    packed_lut = sm.build_log_lut(lut)
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        1.0, 0.0, 1.0, ref_dist,
+    )
+
+    bricks = geometry.bricks
+    n = len(bricks)
+    s_max = 16
+    vol = np.zeros((n, s_max, sm.SUBLANES, sm.LANES), np.float32)
+    meta = np.zeros((n, 12), np.float32)
+    dims = np.zeros((n, 8), np.int32)
+    luts = np.broadcast_to(packed_lut[None], (n,) + packed_lut.shape).copy()
+    for i, b in enumerate(bricks):
+        pt = _pretransform(b.data, t, 1.0, False)
+        v, (ns, nu, nv) = sm.pack_slice_volume(pt, axis)
+        vol[i, :ns] = v
+        pmin = np.asarray(b.min_corner)[axes]
+        pmax = np.asarray(b.max_corner)[axes]
+        meta[i, 0:3] = pmin
+        meta[i, 3:6] = pmax
+        meta[i, 6:9] = (pmax - pmin) / np.array([ns, nu, nv])
+        dims[i, :3] = (ns, nu, nv)
+        dims[i, 3:6] = axes
+    hints = compute_box_depth_hints(
+        np.stack([b.min_corner for b in bricks]),
+        np.stack([b.max_corner for b in bricks]),
+        camera,
+    ).astype(np.float32)
+
+    (p_vol, p_meta, p_dims, p_luts), valid, p_hints = pack_depth_contiguous(
+        hints, np.arange(n, dtype=np.int32), num_devices,
+        vol, meta, dims, luts,
+    )
+
+    mesh = make_mesh(num_devices)
+    got = np.asarray(
+        render_depth_contiguous_slicemarch(
+            mesh,
+            jnp.asarray(p_vol), jnp.asarray(p_meta), jnp.asarray(p_dims),
+            jnp.asarray(p_luts), jnp.asarray(cam), jnp.asarray(valid),
+            jnp.asarray(p_hints),
+            width=width, height=height, max_slices=s_max,
+            interpret=jax.default_backend() == "cpu",
+        )
+    )
+
+    # oracle: dense single-device render + global layered host fold
+    colors, depths = sm.slicemarch_render(
+        jnp.asarray(vol), jnp.asarray(meta), jnp.asarray(dims),
+        jnp.asarray(luts), jnp.asarray(cam),
+        width=width, height=height, max_slices=s_max,
+        interpret=jax.default_backend() == "cpu",
+    )
+    layers = np.concatenate(
+        [np.asarray(colors), np.asarray(depths)[..., None]], axis=-1
+    )
+    expected = composite_layers_host(
+        layers, hints, np.arange(n, dtype=np.int32), np.zeros(n, np.int32)
+    )
+    np.testing.assert_allclose(got, expected, atol=2e-5)
