@@ -166,6 +166,7 @@ class FastSceneRenderer:
         alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0, 1))
         lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
         self._lut = sm.build_log_lut(lut)
+        self._lut_alpha = lut[:, 3].copy()
 
         # space skipping: mask pieces whose value range maps entirely to
         # zero opacity under the transfer function (the coarse-grained
@@ -193,6 +194,16 @@ class FastSceneRenderer:
             self.dims_world[i] = dims
             self.parents[i] = parent
         self.canonical = canonical
+        # per-axis per-slice value extrema (device reduction, [L, cube] to
+        # host) for fine-grained empty-space skipping: the march kernels
+        # only visit slices whose values can map to nonzero alpha
+        self._slice_minmax = {}
+        for a in range(3):
+            v = jnp.moveaxis(canonical, 1 + a, 1)
+            self._slice_minmax[a] = (
+                np.asarray(v.min(axis=(2, 3))),
+                np.asarray(v.max(axis=(2, 3))),
+            )
         self.owners = np.array(
             [geometry.bricks[p].owner for p in self.parents], np.int32
         )
@@ -218,6 +229,7 @@ class FastSceneRenderer:
         )
         lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
         self._lut = sm.build_log_lut(lut)
+        self._lut_alpha = lut[:, 3].copy()
         self._lut_device = jnp.asarray(self._lut)
         if self.piece_ranges is not None:
             self.visible = np.array(
@@ -265,6 +277,13 @@ class FastSceneRenderer:
         dims[:, 0:3] = self.dims_world[:, axes]
         dims[:, 3:6] = axes
         dims[:, 6] = self.cube  # canonical row stride
+        range_min = self.scalar_range[0]
+        span = self.scalar_range[1] - range_min
+        smin, smax = self._slice_minmax[axis]
+        dims[:, 7] = sm.compute_slice_bounds_batch(
+            smin, smax, self._lut_alpha, range_min,
+            1.0 / span if span != 0.0 else 1.0, dims[:, 0],
+        )
 
         range_span = self.scalar_range[1] - self.scalar_range[0]
         cam = sm.pack_camera(

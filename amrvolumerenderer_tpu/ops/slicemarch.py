@@ -102,6 +102,12 @@ def _kernel_body(
     # tightly packed volumes leave it 0 (= nv)
     nv_stride = dims_ref[b, 6]
     nv_stride = jnp.where(nv_stride > 0, nv_stride, nv)
+    # occupied slice bounds (slot 7, packed (s_lo << 16) | s_hi): the march
+    # loop only visits slices whose values can map to nonzero LUT alpha
+    # (host-computed, compute_slice_bounds).  0 = unset = full range.
+    s_bounds = dims_ref[b, 7]
+    s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
+    s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
 
     # ---- per-tile ray setup (world space) ----
     # 2D tiles: tile t covers the pixel block
@@ -181,12 +187,14 @@ def _kernel_body(
 
         def body(k, carry):
             acc_r, acc_g, acc_b, acc_a = carry
+            # k iterates [s_lo, s_hi); backward rays mirror within the range
+            k_rev = s_lo + s_hi - 1 - k
             if mode == "fwd":
                 k_eff = k
             elif mode == "bwd":
-                k_eff = n_slices - 1 - k
+                k_eff = k_rev
             else:
-                k_eff = jnp.where(backward, n_slices - 1 - k, k)
+                k_eff = jnp.where(backward, k_rev, k)
             z_k = pmin[0] + (
                 (k_eff if mode == "mixed" else jnp.full((1, 1), k_eff)).astype(
                     jnp.float32
@@ -224,12 +232,12 @@ def _kernel_body(
                 scalar = _gather_slice(vol_ref[0, k], row, col)
             elif mode == "bwd":
                 scalar = _gather_slice(
-                    vol_ref[0, jnp.maximum(n_slices - 1 - k, 0)], row, col
+                    vol_ref[0, jnp.maximum(k_rev, 0)], row, col
                 )
             else:
                 s_fwd = _gather_slice(vol_ref[0, k], row, col)
                 s_bwd = _gather_slice(
-                    vol_ref[0, jnp.maximum(n_slices - 1 - k, 0)], row, col
+                    vol_ref[0, jnp.maximum(k_rev, 0)], row, col
                 )
                 scalar = jnp.where(backward, s_bwd, s_fwd)
 
@@ -269,7 +277,11 @@ def _kernel_body(
     # fori_loop with the full 8-row gather.
     def run_loop(mode):
         def run(_):
-            return jax.lax.fori_loop(0, max_slices, make_body(mode), init)
+            # dynamic bounds: only occupied slices execute (s_lo/s_hi above);
+            # max_slices stays the static compile-time cap
+            return jax.lax.fori_loop(
+                s_lo, jnp.minimum(s_hi, max_slices), make_body(mode), init
+            )
 
         return run
 
@@ -761,6 +773,73 @@ def pack_slice_volume(data: np.ndarray, axis: int) -> Tuple[np.ndarray, Tuple[in
     flat = np.zeros((ns, SLICE_CELLS), dtype=np.float32)
     flat[:, : nu * nv] = vol.reshape(ns, nu * nv)
     return flat.reshape(ns, SUBLANES, LANES), (ns, nu, nv)
+
+
+def compute_slice_bounds(
+    vol: np.ndarray,  # [ns, 8, 128] packed slices (padding zeros ok)
+    lut_alpha: np.ndarray,  # [256] transfer-function alpha
+    range_min: float = 0.0,
+    inverse_range: float = 1.0,
+) -> int:
+    """Empty-space skipping: the occupied slice range of a packed brick.
+
+    A slice is *occupied* when any LUT index its value range can map to has
+    nonzero alpha (conservative: padding zeros widen the range, never shrink
+    it).  Returns ``(s_lo << 16) | s_hi`` for ``dims[7]``; an all-transparent
+    brick returns ``(ns << 16) | ns`` (a zero-trip march loop).  The skipped
+    slices contribute exactly zero opacity, so results are bit-identical —
+    this tightens loop bounds, it does not approximate.  (The reference has
+    no empty-space skipping; its ray marcher samples every step,
+    Common/VolumePainter.cpp:837-900.)
+    """
+    ns = vol.shape[0]
+    nz = np.asarray(lut_alpha) > 0.0
+    prefix = np.concatenate([[0], np.cumsum(nz)])
+    flat = vol.reshape(ns, -1)
+    n0 = np.clip((flat.min(axis=1) - range_min) * inverse_range, 0.0, 1.0)
+    n1 = np.clip((flat.max(axis=1) - range_min) * inverse_range, 0.0, 1.0)
+    i0 = np.clip((n0 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
+                 COLOR_TABLE_SIZE - 1)
+    i1 = np.clip((n1 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
+                 COLOR_TABLE_SIZE - 1)
+    occupied = (prefix[i1 + 1] - prefix[i0]) > 0
+    if not occupied.any():
+        return int((ns << 16) | ns)
+    s_lo = int(np.argmax(occupied))
+    s_hi = ns - int(np.argmax(occupied[::-1]))
+    return int((s_lo << 16) | s_hi)
+
+
+def compute_slice_bounds_batch(
+    slice_min: np.ndarray,  # [L, S] per-slice minima along the march axis
+    slice_max: np.ndarray,  # [L, S] per-slice maxima
+    lut_alpha: np.ndarray,  # [256]
+    range_min: float,
+    inverse_range: float,
+    n_slices: np.ndarray,  # [L] actual slice counts (<= S; rest is padding)
+) -> np.ndarray:
+    """Vectorized ``compute_slice_bounds`` over a piece table.
+
+    Returns packed ``(s_lo << 16) | s_hi`` int32 [L] for ``dims[:, 7]``.
+    Slices at or past ``n_slices`` are padding and never count as occupied.
+    """
+    num, cap = slice_min.shape
+    nz = np.asarray(lut_alpha) > 0.0
+    prefix = np.concatenate([[0], np.cumsum(nz)])
+    n0 = np.clip((slice_min - range_min) * inverse_range, 0.0, 1.0)
+    n1 = np.clip((slice_max - range_min) * inverse_range, 0.0, 1.0)
+    i0 = np.clip((n0 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
+                 COLOR_TABLE_SIZE - 1)
+    i1 = np.clip((n1 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
+                 COLOR_TABLE_SIZE - 1)
+    occupied = (prefix[i1 + 1] - prefix[i0]) > 0
+    occupied &= np.arange(cap)[None, :] < np.asarray(n_slices)[:, None]
+    any_occ = occupied.any(axis=1)
+    s_lo = np.argmax(occupied, axis=1)
+    s_hi = cap - np.argmax(occupied[:, ::-1], axis=1)
+    ns = np.asarray(n_slices, np.int64)
+    packed = np.where(any_occ, (s_lo << 16) | s_hi, (ns << 16) | ns)
+    return packed.astype(np.int32)
 
 
 def build_log_lut(color_table: np.ndarray) -> np.ndarray:

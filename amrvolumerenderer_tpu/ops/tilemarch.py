@@ -132,6 +132,10 @@ def _kernel(
         perm = [dims_ref[bi, 3 + i] for i in range(3)]
         nv_stride = dims_ref[bi, 6]
         nv_stride = jnp.where(nv_stride > 0, nv_stride, nv)
+        # occupied slice bounds (slicemarch.compute_slice_bounds packing)
+        s_bounds = dims_ref[bi, 7]
+        s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
+        s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
 
         def pick(vecs, p):
             out = vecs[2]
@@ -169,7 +173,8 @@ def _kernel(
 
         def body(k, carry):
             acc_r, acc_g, acc_b, acc_a = carry
-            k_eff = jnp.where(backward, n_slices - 1 - k, k)
+            k_rev = s_lo + s_hi - 1 - k
+            k_eff = jnp.where(backward, k_rev, k)
             z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
             t_k = (z_k - eye[0]) * inv_da
             pos_u = eye[1] + d[1] * t_k
@@ -189,8 +194,7 @@ def _kernel(
 
             s_f = gather_vreg(vol_buf[slot, k], row, col, SUBLANES)
             s_b = gather_vreg(
-                vol_buf[slot, jnp.maximum(n_slices - 1 - k, 0)], row, col,
-                SUBLANES,
+                vol_buf[slot, jnp.maximum(k_rev, 0)], row, col, SUBLANES
             )
             scalar = jnp.where(backward, s_b, s_f)
 
@@ -218,7 +222,7 @@ def _kernel(
 
         zero = plane_x * 0.0
         l_r, l_g, l_b, l_a = jax.lax.fori_loop(
-            0, max_slices, body, (zero, zero, zero, zero)
+            s_lo, jnp.minimum(s_hi, max_slices), body, (zero, zero, zero, zero)
         )
         l_r = jnp.clip(l_r, 0.0, 1.0)
         l_g = jnp.clip(l_g, 0.0, 1.0)

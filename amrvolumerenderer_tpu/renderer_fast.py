@@ -77,6 +77,8 @@ def prepare_slicemarch_scene(
 
     lut = build_color_table(alpha_scale, 1.0, scalar_range, color_map)
     packed_lut = sm.build_log_lut(lut)
+    range_span = scalar_range[1] - scalar_range[0]
+    inv_range = 1.0 / range_span if range_span != 0.0 else 1.0
 
     pieces = []
     for parent, brick in enumerate(bricks):
@@ -93,6 +95,11 @@ def prepare_slicemarch_scene(
             dims4 = np.zeros(8, np.int32)
             dims4[:3] = (ns, nu, nv)
             dims4[3:6] = axes
+            # empty-space skipping: march only transfer-function-occupied
+            # slices (exact — skipped slices have zero alpha everywhere)
+            dims4[7] = sm.compute_slice_bounds(
+                vol, lut[:, 3], scalar_range[0], inv_range
+            )
             pieces.append((vol, meta, dims4, parent, np.asarray(mn), np.asarray(mx)))
 
     num_layers = len(pieces)

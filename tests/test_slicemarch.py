@@ -395,3 +395,151 @@ def test_raymarch_converges_to_slicemarch(camera):
     assert err_fine < err_coarse
     assert err_finest < err_fine
     assert err_finest < 0.004, f"not converging: {err_finest:.4f}"
+
+
+class TestSliceBounds:
+    """Empty-space skipping: occupied-slice loop bounds (dims[7])."""
+
+    def test_compute_slice_bounds_basic(self):
+        from amrvolumerenderer_tpu.ops.slicemarch import compute_slice_bounds
+
+        ns = 10
+        vol = np.zeros((ns, 8, 128), np.float32)
+        vol[3:7] = 0.9  # only slices 3..6 carry visible values
+        lut_alpha = np.zeros(256, np.float32)
+        lut_alpha[128:] = 0.5  # alpha only for normalized values >= ~0.5
+        packed = compute_slice_bounds(vol, lut_alpha)
+        assert packed >> 16 == 3
+        assert packed & 0xFFFF == 7
+
+        # fully transparent LUT -> zero-trip loop encoding
+        packed = compute_slice_bounds(vol, np.zeros(256, np.float32))
+        assert packed >> 16 == ns and (packed & 0xFFFF) == ns
+
+        # alpha everywhere -> full range
+        packed = compute_slice_bounds(vol, np.ones(256, np.float32))
+        assert packed >> 16 == 0 and (packed & 0xFFFF) == ns
+
+    @pytest.mark.parametrize(
+        "eye", [(0.5, 0.4, 3.0), (0.5, 0.4, -2.0), (0.5, 0.5, 0.5)]
+    )
+    def test_bounds_render_identical(self, eye):
+        """Rendering with tightened slice bounds is bit-identical to the
+        full-range march (fwd, bwd, and inside-the-brick mixed cases)."""
+        from amrvolumerenderer_tpu.camera import camera_basis
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        n = 16
+        coords = np.arange(n) / (n - 1)
+        field = np.zeros((n, n, n), np.float32)
+        field[:, :, 5:11] = (
+            coords[:, None, None] * 0.3 + 0.6
+        )  # visible band only in z slices 5..10
+        camera = CameraParameters(eye=eye, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0))
+        forward, right, up = camera_basis(camera)
+        axis = 2  # force march along z so the band maps to slice bounds
+        axes = [axis] + [a for a in range(3) if a != axis]
+
+        # custom transfer function with a transparent low region (the
+        # default map has alpha everywhere, which never skips)
+        lut = np.zeros((256, 4), np.float32)
+        lut[128:, :3] = 0.7
+        lut[128:, 3] = 0.5
+        packed_lut = sm.build_log_lut(lut)
+        range_min, inv_range = 0.0, 1.0
+
+        vol, (ns, nu, nv) = sm.pack_slice_volume(field, axis)
+        meta = np.zeros((1, 12), np.float32)
+        mn, mx = np.zeros(3), np.ones(3)
+        meta[0, 0:3] = mn[axes]
+        meta[0, 3:6] = mx[axes]
+        meta[0, 6:9] = 1.0 / np.array([ns, nu, nv])
+        dims = np.zeros((1, 8), np.int32)
+        dims[0, :3] = (ns, nu, nv)
+        dims[0, 3:6] = axes
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, 1.0, range_min, inv_range, 0.5 / n,
+        )
+        luts = packed_lut[None]
+
+        kw = dict(width=32, height=32, max_slices=ns, interpret=True)
+        base_c, base_d = sm.slicemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(luts), jnp.asarray(cam), **kw,
+        )
+
+        bounds = sm.compute_slice_bounds(vol, lut[:, 3], range_min, inv_range)
+        s_lo, s_hi = bounds >> 16, bounds & 0xFFFF
+        assert 0 < s_lo and s_hi < ns  # the test scene really skips slices
+        dims_b = dims.copy()
+        dims_b[0, 7] = bounds
+        got_c, got_d = sm.slicemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims_b),
+            jnp.asarray(luts), jnp.asarray(cam), **kw,
+        )
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(base_c))
+        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(base_d))
+
+    def test_bounds_zero_trip_empty_brick(self):
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+        from amrvolumerenderer_tpu.camera import camera_basis
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        n = 8
+        field = np.zeros((n, n, n), np.float32)  # all below the alpha ramp
+        camera = CameraParameters(
+            eye=(0.5, 0.5, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+        )
+        forward, right, up = camera_basis(camera)
+        axis = 2
+        axes = [axis] + [a for a in range(3) if a != axis]
+        lut = np.zeros((256, 4), np.float32)
+        lut[128:, :3] = 0.7
+        lut[128:, 3] = 0.5
+        vol, (ns, nu, nv) = sm.pack_slice_volume(field, axis)
+        bounds = sm.compute_slice_bounds(vol, lut[:, 3], 0.5, 2.0)
+        assert bounds >> 16 == ns and bounds & 0xFFFF == ns
+
+        meta = np.zeros((1, 12), np.float32)
+        meta[0, 3:6] = 1.0
+        meta[0, 6:9] = 1.0 / n
+        dims = np.zeros((1, 8), np.int32)
+        dims[0, :3] = (ns, nu, nv)
+        dims[0, 3:6] = axes
+        dims[0, 7] = bounds
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, 1.0, 0.5, 2.0, 0.5 / n,
+        )
+        colors, depths = sm.slicemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+            width=32, height=32, max_slices=ns, interpret=True,
+        )
+        assert float(jnp.abs(colors).max()) == 0.0
+        assert bool(jnp.all(jnp.isinf(depths)))
+
+    def test_compute_slice_bounds_batch(self):
+        from amrvolumerenderer_tpu.ops.slicemarch import (
+            compute_slice_bounds,
+            compute_slice_bounds_batch,
+        )
+
+        rng = np.random.default_rng(5)
+        num, cap = 6, 12
+        lut_alpha = np.zeros(256, np.float32)
+        lut_alpha[100:200] = 0.4
+        ns = rng.integers(4, cap + 1, num)
+        vols = []
+        for i in range(num):
+            v = np.zeros((cap, 8, 128), np.float32)
+            v[: ns[i]] = rng.random((ns[i], 8, 128)) * rng.random()
+            vols.append(v)
+        smin = np.stack([v.reshape(cap, -1).min(1) for v in vols])
+        smax = np.stack([v.reshape(cap, -1).max(1) for v in vols])
+        got = compute_slice_bounds_batch(smin, smax, lut_alpha, 0.0, 1.0, ns)
+        for i in range(num):
+            expected = compute_slice_bounds(vols[i][: ns[i]], lut_alpha)
+            assert got[i] == expected, (i, got[i] >> 16, got[i] & 0xFFFF)
