@@ -175,7 +175,7 @@ class FastSceneRenderer:
         self.piece_ranges = piece_ranges
         if piece_ranges is not None:
             self.visible = np.array(
-                [self._range_visible(vmin, vmax, lut)
+                [self._range_visible(vmin, vmax, self._lut_alpha)
                  for vmin, vmax in piece_ranges],
                 dtype=bool,
             )
@@ -193,6 +193,15 @@ class FastSceneRenderer:
             self.box_max[i] = mx
             self.dims_world[i] = dims
             self.parents[i] = parent
+        self._set_canonical(canonical)
+        self.owners = np.array(
+            [geometry.bricks[p].owner for p in self.parents], np.int32
+        )
+        self.geometry = geometry
+        self._lut_device = jnp.asarray(self._lut)
+
+    def _set_canonical(self, canonical: jnp.ndarray) -> None:
+        """(Re)place the device piece table and refresh value-derived state."""
         self.canonical = canonical
         # per-axis per-slice value extrema (device reduction, [L, cube] to
         # host) for fine-grained empty-space skipping: the march kernels
@@ -204,13 +213,67 @@ class FastSceneRenderer:
                 np.asarray(v.min(axis=(2, 3))),
                 np.asarray(v.max(axis=(2, 3))),
             )
-        self.owners = np.array(
-            [geometry.bricks[p].owner for p in self.parents], np.int32
-        )
-        self.geometry = geometry
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
-        self._lut_device = jnp.asarray(self._lut)
+
+    def update_data(self, brick_arrays) -> None:
+        """Per-timestep in-situ update: new scalar values, same brick layout.
+
+        The time-series workload (the reference's renderVolumeTime miniapp,
+        miniapps/renderVolumeTime.cpp) re-renders a fixed grid hierarchy as
+        values evolve under a fixed scalar range and transfer function.
+        This swaps the device piece table in place: pre-transform + cube
+        split + slice-extrema reduction run on device (jnp inputs never
+        visit the host); camera metadata, owners, hints and the LUT are
+        untouched.  ``brick_arrays`` must match ``geometry.bricks`` in order
+        and shape.
+        """
+        from .device_scene import _pretransform_device
+
+        bricks = self.geometry.bricks
+        if len(brick_arrays) != len(bricks):
+            raise ValueError(
+                f"expected {len(bricks)} brick arrays, got {len(brick_arrays)}"
+            )
+        t = self.geometry.scalar_transform
+        clip_start = float(np.clip(self.scalar_range[1], 0.0, 1.0))
+        apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
+
+        piece_arrays = []
+        piece_ranges = []
+        for brick, arr in zip(bricks, brick_arrays):
+            if tuple(arr.shape) != tuple(brick.data.shape):
+                raise ValueError(
+                    f"brick shape changed: {arr.shape} vs {brick.data.shape}"
+                )
+            v = _pretransform_device(jnp.asarray(arr), t, clip_start, apply_clip)
+            shape = v.shape
+            for i0 in range(0, shape[0], self.cube):
+                for j0 in range(0, shape[1], self.cube):
+                    for k0 in range(0, shape[2], self.cube):
+                        lo = np.array([i0, j0, k0])
+                        hi = np.minimum(lo + self.cube, shape)
+                        piece = v[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+                        pad = [
+                            (0, self.cube - (hi[d] - lo[d])) for d in range(3)
+                        ]
+                        piece_arrays.append(jnp.pad(piece, pad))
+                        piece_ranges.append(
+                            (float(piece.min()), float(piece.max()))
+                        )
+        canonical = jnp.stack(piece_arrays)
+        if canonical.shape != self.canonical.shape:
+            raise ValueError(
+                "piece table shape changed; construct a new renderer for a "
+                "regridded hierarchy"
+            )
+        self._set_canonical(canonical)
+        self.piece_ranges = piece_ranges
+        self.visible = np.array(
+            [self._range_visible(vmin, vmax, self._lut_alpha)
+             for vmin, vmax in piece_ranges],
+            dtype=bool,
+        )
 
     def set_transfer_function(
         self,
@@ -233,18 +296,20 @@ class FastSceneRenderer:
         self._lut_device = jnp.asarray(self._lut)
         if self.piece_ranges is not None:
             self.visible = np.array(
-                [self._range_visible(vmin, vmax, lut)
+                [self._range_visible(vmin, vmax, self._lut_alpha)
                  for vmin, vmax in self.piece_ranges],
                 dtype=bool,
             )
 
-    def _range_visible(self, vmin: float, vmax: float, lut: np.ndarray) -> bool:
+    def _range_visible(
+        self, vmin: float, vmax: float, lut_alpha: np.ndarray
+    ) -> bool:
         """Does any LUT entry within the piece's value range have alpha > 0?"""
         lo, hi = self.scalar_range
         span = hi - lo if hi != lo else 1.0
         i0 = int(np.clip((vmin - lo) / span * 255, 0, 255))
         i1 = int(np.clip((vmax - lo) / span * 255, 0, 255))
-        return bool(lut[i0 : i1 + 1, 3].max() > 0.0)
+        return bool(lut_alpha[i0 : i1 + 1].max() > 0.0)
 
     def render(
         self,

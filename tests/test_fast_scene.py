@@ -237,3 +237,56 @@ def test_device_histogram_exact_on_bin_centers():
     # degenerate range -> empty histogram
     counts, total = device_histogram([jnp.asarray(values)], t, bins, (1.0, 1.0))
     assert total == 0 and counts.sum() == 0
+
+
+def test_update_data_time_series(geometry):
+    """update_data re-renders evolving values on the fixed hierarchy and
+    matches a freshly constructed renderer on the same values (the
+    renderVolumeTime workload, without re-preparing the scene)."""
+    import jax.numpy as jnp
+
+    params = RenderParameters(width=32, height=32)
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+    )
+    fast = FastSceneRenderer(geometry, params)
+    frame0 = fast.render(cam, overlay=False)
+
+    # evolve: invert the field (stays inside the fixed scalar range)
+    new_arrays = [
+        jnp.asarray(
+            np.float32(geometry.scalar_range[1]) - np.asarray(b.data)
+            + np.float32(geometry.scalar_range[0])
+        )
+        for b in geometry.bricks
+    ]
+    fast.update_data(new_arrays)
+    frame1 = fast.render(cam, overlay=False)
+    assert np.abs(frame1[:, :4] - frame0[:, :4]).max() > 0.05  # really changed
+
+    # oracle: a fresh renderer built on the updated values
+    import copy
+
+    geom2 = copy.deepcopy(geometry)
+    for b, arr in zip(geom2.bricks, new_arrays):
+        b.data = np.asarray(arr)
+    fresh = FastSceneRenderer(geom2, params)
+    frame_fresh = fresh.render(cam, overlay=False)
+    # device (f32) vs host (f64) pre-transform: LUT indices may differ by
+    # one at bin boundaries on isolated pixels
+    diff = np.abs(frame1[:, :4] - frame_fresh[:, :4])
+    assert np.mean(diff) < 1e-3
+    assert np.quantile(diff, 0.999) < 0.02
+
+
+def test_update_data_validates_layout(geometry):
+    import jax.numpy as jnp
+
+    params = RenderParameters(width=32, height=32)
+    fast = FastSceneRenderer(geometry, params)
+    with pytest.raises(ValueError, match="brick arrays"):
+        fast.update_data([jnp.zeros((4, 4, 4))])
+    with pytest.raises(ValueError, match="shape changed"):
+        fast.update_data(
+            [jnp.zeros((4, 4, 4))] * len(geometry.bricks)
+        )
