@@ -96,6 +96,7 @@ class FastSceneRenderer:
         parameters: RenderParameters,
         color_map: Optional[ColorMap] = None,
         interpret: Optional[bool] = None,
+        precision: str = "float32",
     ):
         # host-side canonical piece table; the device-ingest path
         # (device_scene.prepare_device_scene) builds it with jnp ops instead
@@ -127,6 +128,7 @@ class FastSceneRenderer:
         self._init_from_canonical(
             geometry, parameters, color_map, jnp.asarray(canonical),
             piece_meta, piece_ranges=piece_ranges, interpret=interpret,
+            precision=precision,
         )
 
     def _init_from_canonical(
@@ -138,8 +140,12 @@ class FastSceneRenderer:
         piece_meta,  # list of (min_corner, max_corner, dims, parent)
         piece_ranges=None,  # optional [(vmin, vmax)] for transparency culling
         interpret: Optional[bool] = None,
+        precision: str = "float32",
     ):
         validate_render_parameters(parameters)
+        if precision not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported precision {precision!r}")
+        self.precision = precision
         self.parameters = parameters
         self.interpret = (
             jax.default_backend() == "cpu" if interpret is None else interpret
@@ -193,6 +199,12 @@ class FastSceneRenderer:
             self.box_max[i] = mx
             self.dims_world[i] = dims
             self.parents[i] = parent
+        if precision == "bfloat16":
+            # half the HBM traffic / VMEM per brick; the kernels upcast each
+            # slice vreg to f32 before the gather.  LUT-index quantization
+            # from the 8-bit mantissa stays well inside the 0.02 pixel-parity
+            # tolerance (BASELINE.md).
+            canonical = canonical.astype(jnp.bfloat16)
         self._set_canonical(canonical)
         self.owners = np.array(
             [geometry.bricks[p].owner for p in self.parents], np.int32
@@ -210,8 +222,8 @@ class FastSceneRenderer:
         for a in range(3):
             v = jnp.moveaxis(canonical, 1 + a, 1)
             self._slice_minmax[a] = (
-                np.asarray(v.min(axis=(2, 3))),
-                np.asarray(v.max(axis=(2, 3))),
+                np.asarray(v.min(axis=(2, 3)).astype(jnp.float32)),
+                np.asarray(v.max(axis=(2, 3)).astype(jnp.float32)),
             )
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
@@ -261,7 +273,7 @@ class FastSceneRenderer:
                         piece_ranges.append(
                             (float(piece.min()), float(piece.max()))
                         )
-        canonical = jnp.stack(piece_arrays)
+        canonical = jnp.stack(piece_arrays).astype(self.canonical.dtype)
         if canonical.shape != self.canonical.shape:
             raise ValueError(
                 "piece table shape changed; construct a new renderer for a "

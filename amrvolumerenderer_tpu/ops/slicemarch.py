@@ -228,17 +228,18 @@ def _kernel_body(
             flat = iu * nv_stride + iv
             row = flat // LANES
             col = flat % LANES
+            # slices may be stored bf16 (half the VMEM/HBM); upcast the
+            # whole vreg once, then gather in f32
+            def load(kk):
+                return vol_ref[0, kk].astype(jnp.float32)
+
             if mode == "fwd":
-                scalar = _gather_slice(vol_ref[0, k], row, col)
+                scalar = _gather_slice(load(k), row, col)
             elif mode == "bwd":
-                scalar = _gather_slice(
-                    vol_ref[0, jnp.maximum(k_rev, 0)], row, col
-                )
+                scalar = _gather_slice(load(jnp.maximum(k_rev, 0)), row, col)
             else:
-                s_fwd = _gather_slice(vol_ref[0, k], row, col)
-                s_bwd = _gather_slice(
-                    vol_ref[0, jnp.maximum(k_rev, 0)], row, col
-                )
+                s_fwd = _gather_slice(load(k), row, col)
+                s_bwd = _gather_slice(load(jnp.maximum(k_rev, 0)), row, col)
                 scalar = jnp.where(backward, s_bwd, s_fwd)
 
             normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)

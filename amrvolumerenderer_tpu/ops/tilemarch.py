@@ -192,9 +192,13 @@ def _kernel(
             row = flat // LANES
             col = flat % LANES
 
-            s_f = gather_vreg(vol_buf[slot, k], row, col, SUBLANES)
+            # bf16-storable slices: upcast the vreg once, gather in f32
+            s_f = gather_vreg(
+                vol_buf[slot, k].astype(jnp.float32), row, col, SUBLANES
+            )
             s_b = gather_vreg(
-                vol_buf[slot, jnp.maximum(k_rev, 0)], row, col, SUBLANES
+                vol_buf[slot, jnp.maximum(k_rev, 0)].astype(jnp.float32),
+                row, col, SUBLANES,
             )
             scalar = jnp.where(backward, s_b, s_f)
 
@@ -353,7 +357,7 @@ def tilemarch_render(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, s_max, SUBLANES, LANES), jnp.float32),
+            pltpu.VMEM((2, s_max, SUBLANES, LANES), vol.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -290,3 +290,24 @@ def test_update_data_validates_layout(geometry):
         fast.update_data(
             [jnp.zeros((4, 4, 4))] * len(geometry.bricks)
         )
+
+
+def test_bfloat16_storage_matches_f32_within_tolerance(geometry):
+    """precision="bfloat16" halves brick storage; frames stay within the
+    pixel-parity tolerance of the f32 path."""
+    params = RenderParameters(width=32, height=32)
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+    )
+    f32 = FastSceneRenderer(geometry, params)
+    bf16 = FastSceneRenderer(geometry, params, precision="bfloat16")
+    import jax.numpy as jnp
+
+    assert bf16.canonical.dtype == jnp.bfloat16
+    a = f32.render(cam, overlay=False)
+    b = bf16.render(cam, overlay=False)
+    diff = np.abs(a[:, :4] - b[:, :4])
+    assert diff.max() < 0.02, diff.max()
+
+    with pytest.raises(ValueError, match="precision"):
+        FastSceneRenderer(geometry, params, precision="fp8")
