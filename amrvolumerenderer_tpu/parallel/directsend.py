@@ -35,12 +35,31 @@ from ..ops.raymarch import render_bucket_impl
 AXIS = "ranks"
 
 
-def make_mesh(num_devices: int | None = None) -> Mesh:
-    """A 1D device mesh over the compositing axis."""
+def make_mesh(
+    num_devices: int | None = None, dcn_size: int | None = None
+) -> Mesh:
+    """A device mesh over the compositing axis.
+
+    ``dcn_size`` splits the devices into a 2D (dcn, ranks) mesh for
+    multi-host topologies: place the slow inter-host links on the outer
+    axis so XLA routes the bulk pixel exchange within hosts where possible.
+    All compositing collectives run over the flattened axis tuple, so the
+    pipelines below work unchanged on either shape.
+    """
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if dcn_size is not None:
+        if len(devices) % dcn_size:
+            raise ValueError("device count not divisible by dcn_size")
+        grid = np.asarray(devices).reshape(dcn_size, -1)
+        return Mesh(grid, ("dcn", AXIS))
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def mesh_axes(mesh: Mesh):
+    """The compositing axis spec: all mesh axes, flattened in order."""
+    return tuple(mesh.axis_names)
 
 
 def _encode_ubyte(colors: jnp.ndarray) -> jnp.ndarray:
@@ -58,6 +77,7 @@ def _compose_shard(
     layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
     hints: jnp.ndarray,  # [Lmax] this device's depth hints (+inf if invalid)
     transport: str = "float32",
+    axis=AXIS,
 ) -> jnp.ndarray:
     """Per-device body: exchange pixel chunks, fold in global order.
 
@@ -67,7 +87,7 @@ def _compose_shard(
 
     Returns this device's composited pixel shard [P / D, 5].
     """
-    num_devices = jax.lax.psum(1, AXIS)
+    num_devices = jax.lax.psum(1, axis)
     lmax, num_pixels, channels = layers.shape
     shard = num_pixels // num_devices
 
@@ -80,21 +100,22 @@ def _compose_shard(
             1, 0, 2, 3
         )
         d_chunks = depth.reshape(lmax, num_devices, shard).transpose(1, 0, 2)
-        rc = jax.lax.all_to_all(c_chunks, AXIS, split_axis=0, concat_axis=0)
-        rd = jax.lax.all_to_all(d_chunks, AXIS, split_axis=0, concat_axis=0)
+        rc = jax.lax.all_to_all(c_chunks, axis, split_axis=0, concat_axis=0)
+        rd = jax.lax.all_to_all(d_chunks, axis, split_axis=0, concat_axis=0)
         received = jnp.concatenate([_decode_ubyte(rc), rd[..., None]], axis=-1)
     else:
         chunks = layers.reshape(lmax, num_devices, shard, channels).transpose(
             1, 0, 2, 3
         )
-        received = jax.lax.all_to_all(chunks, AXIS, split_axis=0, concat_axis=0)
+        received = jax.lax.all_to_all(chunks, axis, split_axis=0, concat_axis=0)
     # received[s] = device s's layers restricted to *my* pixel shard
     all_layers = received.reshape(num_devices * lmax, shard, channels)
 
     # global depth-hint gather + sort (cpp:329-388).  The flattened
     # [device, local] layout is already (owner, local index) ordered, so a
     # stable argsort by depth yields the exact lexicographic order.
-    all_hints = jax.lax.all_gather(hints, AXIS)  # [D, Lmax]
+    all_hints = jax.lax.all_gather(hints, axis)  # [D, Lmax]
+    all_hints = all_hints.reshape(-1, lmax)  # tuple axes gather per-axis dims
     owners = jax.lax.broadcasted_iota(jnp.int32, (num_devices, lmax), 0)
     order = jnp.argsort(all_hints.reshape(-1), stable=True)
     sorted_layers = jnp.take(all_layers, order, axis=0)
@@ -116,13 +137,14 @@ def composite_layers_sharded(
     across devices)."""
     num_devices = mesh.devices.size
     assert layers.shape[1] % num_devices == 0
+    axes = mesh_axes(mesh)
 
     compose = jax.jit(
         jax.shard_map(
-            lambda l, h: _compose_shard(l, h, transport),
+            lambda l, h: _compose_shard(l, h, transport, axes),
             mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS)),
-            out_specs=P(AXIS),
+            in_specs=(P(axes), P(axes)),
+            out_specs=P(axes),
         )
     )
     return compose(layers, hints)
@@ -198,14 +220,15 @@ def render_and_composite_sharded(
         cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
         layers = jnp.where(mask, layers, cleared)
         hints = jnp.where(b_valid, b_hints, jnp.inf)
-        return _compose_shard(layers, hints)
+        return _compose_shard(layers, hints, "float32", axes)
 
+    axes = mesh_axes(mesh)
     sharded = jax.jit(
         jax.shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(AXIS),) * 8,
-            out_specs=P(AXIS),
+            in_specs=(P(axes),) * 8,
+            out_specs=P(axes),
         )
     )
     return sharded(
@@ -222,7 +245,7 @@ def render_and_composite_sharded(
 
 def shard_leading(mesh: Mesh, *arrays):
     """Place arrays with their leading axis sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(AXIS))
+    sharding = NamedSharding(mesh, P(mesh_axes(mesh)))
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
@@ -267,14 +290,15 @@ def render_and_composite_sharded_slicemarch(
         cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
         layers = jnp.where(mask, layers, cleared)
         hints = jnp.where(b_valid, b_hints, jnp.inf)
-        return _compose_shard(layers, hints, transport)
+        return _compose_shard(layers, hints, transport, axes)
 
+    axes = mesh_axes(mesh)
     sharded = jax.jit(
         jax.shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(AXIS),) * 6,
-            out_specs=P(AXIS),
+            in_specs=(P(axes),) * 6,
+            out_specs=P(axes),
             check_vma=False,  # pallas_call out_shape carries no vma info
         )
     )
@@ -306,7 +330,7 @@ def compose_flat_sharded(
         shard = num_pixels // num_devices
         chunks = img.reshape(num_devices, shard, channels)
         received = jax.lax.all_to_all(
-            chunks, AXIS, split_axis=0, concat_axis=0
+            chunks, axes, split_axis=0, concat_axis=0
         )  # [D, shard, C]: sender s's piece for my shard
 
         def body(i, acc):
@@ -317,9 +341,10 @@ def compose_flat_sharded(
         first = received[order[0]]
         return jax.lax.fori_loop(1, num_devices, body, first)
 
+    axes = mesh_axes(mesh)
     compose = jax.jit(
         jax.shard_map(
-            shard_body, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+            shard_body, mesh=mesh, in_specs=P(axes), out_specs=P(axes),
         )
     )
     return compose(images)
@@ -387,12 +412,13 @@ def composite_partials_sharded(
         _, num_pixels, channels = img.shape
         shard = num_pixels // num_devices
         chunks = img.reshape(num_devices, shard, channels)
-        received = jax.lax.all_to_all(chunks, AXIS, split_axis=0, concat_axis=0)
+        received = jax.lax.all_to_all(chunks, axes, split_axis=0, concat_axis=0)
         owners = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
         return _composite_sorted_runs(received, owners)
 
+    axes = mesh_axes(mesh)
     compose = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS))
+        jax.shard_map(body, mesh=mesh, in_specs=P(axes), out_specs=P(axes))
     )
     return compose(partials)
 
@@ -498,16 +524,17 @@ def render_depth_contiguous_slicemarch(
         # device order IS depth order: exchange + fold the D partials
         shard = num_pixels // num_devices
         chunks = partial.reshape(num_devices, shard, 5)
-        received = jax.lax.all_to_all(chunks, AXIS, split_axis=0, concat_axis=0)
+        received = jax.lax.all_to_all(chunks, axes, split_axis=0, concat_axis=0)
         owners = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
         return _composite_sorted_runs(received, owners)
 
+    axes = mesh_axes(mesh)
     sharded = jax.jit(
         jax.shard_map(
             step,
             mesh=mesh,
-            in_specs=(P(AXIS),) * 6,
-            out_specs=P(AXIS),
+            in_specs=(P(axes),) * 6,
+            out_specs=P(axes),
             check_vma=False,  # pallas_call out_shape carries no vma info
         )
     )

@@ -514,3 +514,64 @@ def test_depth_contiguous_end_to_end(r2_scene):
         layers, hints, np.arange(n, dtype=np.int32), np.zeros(n, np.int32)
     )
     np.testing.assert_allclose(got, expected, atol=2e-5)
+
+
+def test_multihost_mesh_composite_matches_host():
+    """The same compositing program runs on a 2D (dcn, ranks) multi-host
+    mesh shape: collectives over the flattened axis tuple reproduce the
+    host fold exactly."""
+    from amrvolumerenderer_tpu.parallel.directsend import (
+        composite_layers_sharded,
+        compose_flat_sharded,
+        make_mesh,
+        mesh_axes,
+    )
+
+    num_devices = 8
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(num_devices, dcn_size=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh_axes(mesh) == ("dcn", "ranks")
+
+    rng = np.random.default_rng(11)
+    lmax, num_pixels = 2, 64
+    layers, hints, _ = make_device_layers(rng, num_devices, lmax, num_pixels)
+    got = np.asarray(
+        composite_layers_sharded(mesh, jnp.asarray(layers), jnp.asarray(hints))
+    )
+    owners = np.repeat(np.arange(num_devices, dtype=np.int32), lmax)
+    local = np.tile(np.arange(lmax, dtype=np.int32), num_devices)
+    expected = composite_layers_host(layers, hints, owners, local)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    # ubyte transport on the 2D mesh
+    from amrvolumerenderer_tpu.image import byte_to_color, color_to_byte
+
+    got_u = np.asarray(
+        composite_layers_sharded(
+            mesh, jnp.asarray(layers), jnp.asarray(hints), transport="ubyte"
+        )
+    )
+    quantized = layers.copy()
+    quantized[..., :4] = byte_to_color(color_to_byte(layers[..., :4]))
+    expected_u = composite_layers_host(quantized, hints, owners, local)
+    np.testing.assert_allclose(got_u, expected_u, atol=1e-5)
+
+    # flat compose on the 2D mesh
+    from amrvolumerenderer_tpu.compositor import assemble_pieces, compose_flat_host
+    from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
+
+    images, buffers = [], []
+    for _ in range(num_devices):
+        img = ImageBuffer.create(ImageKind.RGBA_F32, 8, 8)
+        px = (rng.random((64, 4)) * 0.6).astype(np.float32)
+        img.pixels[:] = px
+        images.append(img)
+        buffers.append(px)
+    group_order = np.asarray(rng.permutation(num_devices), dtype=np.int32)
+    got_f = np.asarray(
+        compose_flat_sharded(mesh, jnp.asarray(np.stack(buffers)), group_order)
+    )
+    expected_f = assemble_pieces(compose_flat_host(images, group_order))
+    np.testing.assert_allclose(got_f, expected_f.pixels, atol=1e-6)
