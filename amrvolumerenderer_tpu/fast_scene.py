@@ -402,6 +402,7 @@ class FastSceneRenderer:
                 logical_width=self.render_width,
                 logical_height=self.render_height,
                 interpret=self.interpret,
+                sampling=self.parameters.sampling,
             )
             tiles_x = self.pad_w // sm.TILE_W
             tiles_y = self.pad_h // sm.TILE_H

@@ -74,6 +74,7 @@ def _kernel_body(
     max_slices: int,
     tile_w: int,
     tile_h: int,
+    sampling: str = "nearest",
 ):
     """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile.
 
@@ -223,23 +224,51 @@ def _kernel_body(
                 & (w > 0.0)
                 & (acc_a < 1.0)
             )
-            iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
-            iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-            flat = iu * nv_stride + iv
-            row = flat // LANES
-            col = flat % LANES
             # slices may be stored bf16 (half the VMEM/HBM); upcast the
             # whole vreg once, then gather in f32
             def load(kk):
                 return vol_ref[0, kk].astype(jnp.float32)
 
-            if mode == "fwd":
-                scalar = _gather_slice(load(k), row, col)
-            elif mode == "bwd":
-                scalar = _gather_slice(load(jnp.maximum(k_rev, 0)), row, col)
+            if sampling == "nearest":
+                iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
+                iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
+                flat = iu * nv_stride + iv
+                row = flat // LANES
+                col = flat % LANES
+
+                def sample(tile):
+                    return _gather_slice(tile, row, col)
             else:
-                s_fwd = _gather_slice(load(k), row, col)
-                s_bwd = _gather_slice(load(jnp.maximum(k_rev, 0)), row, col)
+                # trilinear: sample points sit exactly on the march axis'
+                # cell-center planes, so trilinear reduces to BILINEAR
+                # within the slice (4 gathers) — no second slice needed
+                pu = (pos_u - pmin[1]) / cell[1] - 0.5
+                pv = (pos_v - pmin[2]) / cell[2] - 0.5
+                fu0 = jnp.floor(pu)
+                fv0 = jnp.floor(pv)
+                wu = jnp.clip(pu - fu0, 0.0, 1.0)
+                wv = jnp.clip(pv - fv0, 0.0, 1.0)
+                iu0 = jnp.clip(fu0.astype(jnp.int32), 0, nu - 1)
+                iu1 = jnp.clip(iu0 + 1, 0, nu - 1)
+                iv0 = jnp.clip(fv0.astype(jnp.int32), 0, nv - 1)
+                iv1 = jnp.clip(iv0 + 1, 0, nv - 1)
+
+                def sample(tile):
+                    def at(iu_, iv_):
+                        flat = iu_ * nv_stride + iv_
+                        return _gather_slice(tile, flat // LANES, flat % LANES)
+
+                    v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
+                    v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
+                    return v0 * (1.0 - wv) + v1 * wv
+
+            if mode == "fwd":
+                scalar = sample(load(k))
+            elif mode == "bwd":
+                scalar = sample(load(jnp.maximum(k_rev, 0)))
+            else:
+                s_fwd = sample(load(k))
+                s_bwd = sample(load(jnp.maximum(k_rev, 0)))
                 scalar = jnp.where(backward, s_bwd, s_fwd)
 
             normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
@@ -365,7 +394,7 @@ TILE_H = 32
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret",
+        "interpret", "sampling",
     ),
 )
 def slicemarch_render(
@@ -381,9 +410,14 @@ def slicemarch_render(
     logical_width: Optional[int] = None,
     logical_height: Optional[int] = None,
     interpret: bool = False,
+    sampling: str = "nearest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense render: every brick against every pixel tile (with in-kernel
-    tile culling).  Returns row-major ([B, H*W, 4], [B, H*W])."""
+    tile culling).  Returns row-major ([B, H*W, 4], [B, H*W]).
+
+    ``sampling="trilinear"`` interpolates within each slice (sample points
+    lie on the march axis' cell-center planes, so trilinear == in-slice
+    bilinear); the reference is nearest-cell (VolumePainter.cpp:869-880)."""
     num_bricks = vol.shape[0]
     num_pixels = width * height
     assert width % TILE_W == 0 and height % TILE_H == 0
@@ -394,6 +428,7 @@ def slicemarch_render(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
+        sampling=sampling,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -436,7 +471,7 @@ def slicemarch_render(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret",
+        "interpret", "sampling",
     ),
 )
 def slicemarch_render_worklist(
@@ -455,6 +490,7 @@ def slicemarch_render_worklist(
     logical_width: Optional[int] = None,
     logical_height: Optional[int] = None,
     interpret: bool = False,
+    sampling: str = "nearest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render: only scheduled (brick, tile) pairs execute.
 
@@ -474,6 +510,7 @@ def slicemarch_render_worklist(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
+        sampling=sampling,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -526,7 +563,7 @@ def slicemarch_render_worklist(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret",
+        "interpret", "sampling",
     ),
 )
 def slicemarch_render_worklist_raw(
@@ -544,6 +581,7 @@ def slicemarch_render_worklist_raw(
     logical_width: Optional[int] = None,
     logical_height: Optional[int] = None,
     interpret: bool = False,
+    sampling: str = "nearest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render returning TILE-ordered, UNMASKED buffers
     ([B, T, TILE_P, 4], [B, T, SUBLANES, LANES]).  Unscheduled blocks are
@@ -560,6 +598,7 @@ def slicemarch_render_worklist_raw(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
+        sampling=sampling,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -895,6 +934,7 @@ def slicemarch_reference(
     height: int,
     range_min: float = 0.0,
     inverse_range: float = 1.0,
+    sampling: str = "nearest",
 ):
     """Scalar NumPy implementation of the exact kernel semantics."""
     axes = [axis] + [a for a in range(3) if a != axis]
@@ -953,11 +993,25 @@ def slicemarch_reference(
                 continue
             pu = e[1] + d[1] * t_k
             pv = e[2] + d[2] * t_k
-            fu = math.floor((pu - pmin[1]) / cell[1])
-            fv = math.floor((pv - pmin[2]) / cell[2])
-            fu = min(max(fu, 0), nu - 1)
-            fv = min(max(fv, 0), nv - 1)
-            scalar = vol[k, int(fu), int(fv)]
+            if sampling == "nearest":
+                fu = math.floor((pu - pmin[1]) / cell[1])
+                fv = math.floor((pv - pmin[2]) / cell[2])
+                fu = min(max(fu, 0), nu - 1)
+                fv = min(max(fv, 0), nv - 1)
+                scalar = vol[k, int(fu), int(fv)]
+            else:
+                cu = (pu - pmin[1]) / cell[1] - 0.5
+                cv = (pv - pmin[2]) / cell[2] - 0.5
+                fu0, fv0 = math.floor(cu), math.floor(cv)
+                wu = min(max(cu - fu0, 0.0), 1.0)
+                wv = min(max(cv - fv0, 0.0), 1.0)
+                iu0 = min(max(int(fu0), 0), nu - 1)
+                iu1 = min(iu0 + 1, nu - 1)
+                iv0 = min(max(int(fv0), 0), nv - 1)
+                iv1 = min(iv0 + 1, nv - 1)
+                v0 = vol[k, iu0, iv0] * (1 - wu) + vol[k, iu1, iv0] * wu
+                v1 = vol[k, iu0, iv1] * (1 - wu) + vol[k, iu1, iv1] * wu
+                scalar = v0 * (1 - wv) + v1 * wv
             normalized = min(max((scalar - range_min) * inverse_range, 0.0), 1.0)
             idx = min(max(int(normalized * 255), 0), 255)
             a_ref = alpha_tab[idx]

@@ -67,6 +67,7 @@ def _kernel(
     logical_width: int,
     logical_height: int,
     max_slices: int,
+    sampling: str = "nearest",
 ):
     t = pl.program_id(0)
     inf = jnp.float32(np.inf)
@@ -179,26 +180,51 @@ def _kernel(
             t_k = (z_k - eye[0]) * inv_da
             pos_u = eye[1] + d[1] * t_k
             pos_v = eye[2] + d[2] * t_k
-            fu = jnp.floor((pos_u - pmin[1]) / cell[1])
-            fv = jnp.floor((pos_v - pmin[2]) / cell[2])
             w = jnp.maximum(
                 jnp.minimum(t_k + 0.5 * dt, t_hi) - jnp.maximum(t_k - 0.5 * dt, t_lo),
                 0.0,
             )
             valid = hit & marchable & (k < n_slices) & (w > 0.0) & (acc_a < 1.0)
-            iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
-            iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-            flat = iu * nv_stride + iv
-            row = flat // LANES
-            col = flat % LANES
+
+            if sampling == "nearest":
+                fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+                fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+                iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
+                iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
+                flat = iu * nv_stride + iv
+                row = flat // LANES
+                col = flat % LANES
+
+                def sample(tile):
+                    return gather_vreg(tile, row, col, SUBLANES)
+            else:
+                # trilinear == in-slice bilinear (see slicemarch._kernel_body)
+                pu = (pos_u - pmin[1]) / cell[1] - 0.5
+                pv = (pos_v - pmin[2]) / cell[2] - 0.5
+                fu0 = jnp.floor(pu)
+                fv0 = jnp.floor(pv)
+                wu = jnp.clip(pu - fu0, 0.0, 1.0)
+                wv = jnp.clip(pv - fv0, 0.0, 1.0)
+                iu0 = jnp.clip(fu0.astype(jnp.int32), 0, nu - 1)
+                iu1 = jnp.clip(iu0 + 1, 0, nu - 1)
+                iv0 = jnp.clip(fv0.astype(jnp.int32), 0, nv - 1)
+                iv1 = jnp.clip(iv0 + 1, 0, nv - 1)
+
+                def sample(tile):
+                    def at(iu_, iv_):
+                        flat = iu_ * nv_stride + iv_
+                        return gather_vreg(
+                            tile, flat // LANES, flat % LANES, SUBLANES
+                        )
+
+                    v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
+                    v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
+                    return v0 * (1.0 - wv) + v1 * wv
 
             # bf16-storable slices: upcast the vreg once, gather in f32
-            s_f = gather_vreg(
-                vol_buf[slot, k].astype(jnp.float32), row, col, SUBLANES
-            )
-            s_b = gather_vreg(
-                vol_buf[slot, jnp.maximum(k_rev, 0)].astype(jnp.float32),
-                row, col, SUBLANES,
+            s_f = sample(vol_buf[slot, k].astype(jnp.float32))
+            s_b = sample(
+                vol_buf[slot, jnp.maximum(k_rev, 0)].astype(jnp.float32)
             )
             scalar = jnp.where(backward, s_b, s_f)
 
@@ -305,7 +331,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret",
+        "interpret", "sampling",
     ),
 )
 def tilemarch_render(
@@ -324,6 +350,7 @@ def tilemarch_render(
     logical_width: Optional[int] = None,
     logical_height: Optional[int] = None,
     interpret: bool = False,
+    sampling: str = "nearest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
 
@@ -342,6 +369,7 @@ def tilemarch_render(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices,
+        sampling=sampling,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

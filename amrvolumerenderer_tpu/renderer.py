@@ -53,6 +53,8 @@ def validate_render_parameters(parameters: RenderParameters) -> None:
     sqrt_aa = int(round(math.sqrt(parameters.antialiasing)))
     if sqrt_aa * sqrt_aa != parameters.antialiasing:
         raise ValueError("antialiasing must be a perfect square (1, 4, 9, ...)")
+    if parameters.sampling not in ("nearest", "trilinear"):
+        raise ValueError("sampling must be \"nearest\" or \"trilinear\"")
 
 
 def compute_global_bounds(geometry: SceneGeometry) -> VolumeBounds:

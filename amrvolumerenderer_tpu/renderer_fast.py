@@ -222,7 +222,7 @@ def render_composited_slicemarch(
         jnp.asarray(order), jnp.asarray(owners_sorted),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
-        interpret=interpret,
+        interpret=interpret, sampling=parameters.sampling,
     )
     frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
     frame = frame[:render_height, :render_width].reshape(-1, 5)
@@ -268,7 +268,7 @@ def render_layers_slicemarch(
         jnp.asarray(prep["wt"]), jnp.asarray(prep["coverage"]),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
-        interpret=interpret,
+        interpret=interpret, sampling=parameters.sampling,
     )
     num_layers = colors.shape[0]
     colors = np.asarray(colors).reshape(num_layers, prep["pad_h"], prep["pad_w"], 4)
@@ -287,6 +287,7 @@ def composited_frame(
     vol, meta, dims, lut, cam, work_bricks, work_tiles, coverage,
     order, owners_sorted, *, width, height, max_slices,
     logical_width=None, logical_height=None, interpret=False,
+    sampling="nearest",
 ):
     """Fully fused frame: work-list render -> Pallas tile-space composite
     -> single untile.  Every layer's pixels touch HBM exactly once.
@@ -306,7 +307,7 @@ def composited_frame(
         vol, meta, dims, lut, cam, work_bricks, work_tiles,
         width=width, height=height, max_slices=max_slices,
         logical_width=logical_width, logical_height=logical_height,
-        interpret=interpret,
+        interpret=interpret, sampling=sampling,
     )
     out_c, out_d = composite_tiles(
         colors, depths, order, owners_sorted, coverage, interpret=interpret
@@ -372,7 +373,7 @@ def render_composited_tilemarch(
         jnp.asarray(tbricks), jnp.asarray(towners),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
-        interpret=interpret,
+        interpret=interpret, sampling=parameters.sampling,
     )
     tiles_x = prep["pad_w"] // sm.TILE_W
     tiles_y = prep["pad_h"] // sm.TILE_H

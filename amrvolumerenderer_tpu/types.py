@@ -174,6 +174,9 @@ class RenderParameters:
     camera_seed: int = 91021
     camera_up: Optional[Vec3] = None  # None => default (0, 1, 0)
     print_camera: bool = False
+    # beyond-reference: "nearest" (reference semantics) or "trilinear"
+    # (in-slice bilinear at march-plane crossings; fast-path kernels only)
+    sampling: str = "nearest"
 
 
 @dataclasses.dataclass

@@ -543,3 +543,118 @@ class TestSliceBounds:
         for i in range(num):
             expected = compute_slice_bounds(vols[i][: ns[i]], lut_alpha)
             assert got[i] == expected, (i, got[i] >> 16, got[i] & 0xFFFF)
+
+
+class TestTrilinear:
+    """sampling="trilinear": in-slice bilinear at march-plane crossings."""
+
+    def _scene(self):
+        n = 16
+        rng = np.random.default_rng(9)
+        field = rng.random((n, n, n)).astype(np.float32)
+        from amrvolumerenderer_tpu.camera import camera_basis
+        from amrvolumerenderer_tpu.colormap import build_color_table
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        camera = CameraParameters(
+            eye=(2.1, 1.4, 2.6), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+        )
+        forward, right, up = camera_basis(camera)
+        axis = sm.choose_march_axis(forward)
+        axes = [axis] + [a for a in range(3) if a != axis]
+        lut = build_color_table(1.0, 1.0, (0.0, 1.0), None)
+        vol, (ns, nu, nv) = sm.pack_slice_volume(field, axis)
+        meta = np.zeros((1, 12), np.float32)
+        meta[0, 3:6] = 1.0
+        meta[0, 6:9] = 1.0 / np.array([ns, nu, nv])
+        dims = np.zeros((1, 8), np.int32)
+        dims[0, :3] = (ns, nu, nv)
+        dims[0, 3:6] = axes
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+            1.0, 0.0, 1.0, 0.5 / n,
+        )
+        return field, camera, forward, right, up, axis, lut, vol, meta, dims, cam, ns
+
+    def test_kernel_matches_numpy_oracle(self):
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+
+        (field, camera, forward, right, up, axis, lut, vol, meta, dims, cam,
+         ns) = self._scene()
+        w = h = 64
+        exp_c, exp_d = sm.slicemarch_reference(
+            field, np.zeros(3), np.ones(3), axis, lut, 0.5 / 16,
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, w, h, sampling="trilinear",
+        )
+        got_c, got_d = sm.slicemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+            width=w, height=h, max_slices=ns, interpret=True,
+            sampling="trilinear",
+        )
+        # f32 (kernel) vs f64 (oracle) interpolation can straddle a LUT bin
+        # edge on isolated pixels; everything else matches to float noise
+        diff = np.abs(np.asarray(got_c[0]) - exp_c)
+        assert np.quantile(diff, 0.999) < 5e-5
+        assert diff.max() < 5e-3
+        diff_nearest = np.abs(
+            np.asarray(
+                sm.slicemarch_render(
+                    jnp.asarray(vol[None]), jnp.asarray(meta),
+                    jnp.asarray(dims),
+                    jnp.asarray(sm.build_log_lut(lut)[None]),
+                    jnp.asarray(cam), width=w, height=h, max_slices=ns,
+                    interpret=True,
+                )[0][0]
+            )
+            - exp_c
+        ).max()
+        assert diff_nearest > 1e-3  # trilinear really differs from nearest
+
+    def test_tilemarch_trilinear_matches_slicemarch(self):
+        from amrvolumerenderer_tpu.camera import compute_box_depth_hints
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+        from amrvolumerenderer_tpu.ops import tilemarch as tm
+
+        (field, camera, forward, right, up, axis, lut, vol, meta, dims, cam,
+         ns) = self._scene()
+        w = h = 32
+        hints = compute_box_depth_hints(
+            np.zeros((1, 3)), np.ones((1, 3)), camera
+        )
+        offsets, tb, to = tm.build_tile_worklist(
+            np.zeros((1, 3)), np.ones((1, 3)), hints, np.zeros(1, np.int32),
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, w, h,
+        )
+        out_c, _ = tm.tilemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)), jnp.asarray(cam),
+            jnp.asarray(offsets), jnp.asarray(tb), jnp.asarray(to),
+            width=w, height=h, max_slices=ns, interpret=True,
+            sampling="trilinear",
+        )
+        tiles = w // tm.TILE_W
+        mega = (
+            np.asarray(out_c)
+            .reshape(tiles, tiles, 4, tm.TILE_H, tm.TILE_W)
+            .transpose(0, 3, 1, 4, 2)
+            .reshape(w * h, 4)
+        )
+        ref_c, _ = sm.slicemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+            width=w, height=h, max_slices=ns, interpret=True,
+            sampling="trilinear",
+        )
+        np.testing.assert_allclose(mega, np.asarray(ref_c[0]), atol=5e-5)
+
+    def test_parameter_validation(self):
+        from amrvolumerenderer_tpu.renderer import validate_render_parameters
+        from amrvolumerenderer_tpu.types import RenderParameters
+
+        validate_render_parameters(RenderParameters(sampling="trilinear"))
+        with pytest.raises(ValueError, match="sampling"):
+            validate_render_parameters(RenderParameters(sampling="cubic"))
