@@ -85,12 +85,15 @@ def box_list_subtract(boxes: List[IndexBox], cuts: Sequence[IndexBox]) -> List[I
 def convexify(
     levels: Sequence[Sequence[LevelBox]],
     refinement_ratios: Sequence[Sequence[int]],
+    materialize=np.ascontiguousarray,
 ) -> List[List[LevelBox]]:
     """Chop every coarse level's boxes around the next-finer level's
     coverage so levels tile space without overlap (``amrex::convexify``).
 
     ``refinement_ratios[l]`` is the (3,) ratio from level l to level l+1.
-    Box data is cropped (views copied) from the original arrays.
+    Box data is cropped from the original arrays through ``materialize``
+    (contiguous host copies by default; pass identity for device arrays —
+    jnp slices stay lazy views until consumed on device).
     """
     num_levels = len(levels)
     out: List[List[LevelBox]] = [list(levels[-1])] if num_levels else []
@@ -98,7 +101,7 @@ def convexify(
         return []
     out = [None] * num_levels  # type: ignore[list-item]
     out[num_levels - 1] = [
-        LevelBox(np.ascontiguousarray(b.data), np.asarray(b.lo)) for b in levels[-1]
+        LevelBox(materialize(b.data), np.asarray(b.lo)) for b in levels[-1]
     ]
     for level in range(num_levels - 2, -1, -1):
         ratio = refinement_ratios[level] if level < len(refinement_ratios) else (2, 2, 2)
@@ -125,7 +128,7 @@ def convexify(
                     offset[2] : offset[2] + shape[2],
                 ]
                 new_boxes.append(
-                    LevelBox(np.ascontiguousarray(data), np.asarray(piece.lo))
+                    LevelBox(materialize(data), np.asarray(piece.lo))
                 )
         out[level] = new_boxes
     return out  # type: ignore[return-value]

@@ -160,6 +160,7 @@ def prepare_device_scene(
     color_map: Optional[ColorMap] = None,
     log_scale_input: bool = False,
     interpret: Optional[bool] = None,
+    precision: str = "float32",
 ):
     """Device arrays -> a ready ``FastSceneRenderer``.
 
@@ -207,9 +208,76 @@ def prepare_device_scene(
     renderer = FastSceneRenderer.__new__(FastSceneRenderer)
     renderer._init_from_canonical(
         scene, parameters, color_map, canonical, piece_meta,
-        piece_ranges=piece_ranges, interpret=interpret,
+        piece_ranges=piece_ranges, interpret=interpret, precision=precision,
     )
     return renderer
+
+
+def prepare_device_amr(
+    level_data: Sequence[Sequence],  # per level: list of LevelBox or
+    #                                  (jnp data, lo index) tuples
+    level_geometry: Sequence,  # per level: scene.LevelGeometry
+    refinement_ratios: Sequence[Sequence[int]] = (),
+    parameters: Optional[RenderParameters] = None,
+    color_map: Optional[ColorMap] = None,
+    min_level: int = 0,
+    max_level: int = -1,
+    component: int = 0,
+    log_scale_input: bool = False,
+    interpret: Optional[bool] = None,
+    precision: str = "float32",
+):
+    """Multi-level in-situ ingestion entirely from device arrays.
+
+    The device counterpart of ``api.load_amr_geometry`` +
+    ``FastSceneRenderer`` (VolumeRendererApi.cpp:44-148): convexify runs on
+    box *metadata* (host integers) while every chopped piece stays a lazy
+    jnp slice of the level array — brick values never visit the host.
+    Returns a ready ``FastSceneRenderer``.
+    """
+    from .amr import convexify
+    from .scene import LevelBox
+
+    if not level_data:
+        raise ValueError("levelData must not be empty")
+    if len(level_geometry) < len(level_data):
+        raise ValueError("levelGeometry must cover every level")
+    finest = len(level_data) - 1
+    lo_level = max(0, min(min_level, finest))
+    hi_level = max_level
+    if hi_level < 0 or hi_level > finest:
+        hi_level = finest
+    if lo_level > hi_level:
+        raise RuntimeError("minLevel must not exceed maxLevel")
+    if hi_level > 0 and len(refinement_ratios) < hi_level:
+        raise ValueError(
+            "refinementRatios must provide ratios for each level transition"
+        )
+
+    levels = []
+    for boxes in level_data[: hi_level + 1]:
+        row = []
+        for b in boxes:
+            data, lo = (b.data, b.lo) if isinstance(b, LevelBox) else b
+            if data.ndim == 4:
+                data = data[..., component]
+            row.append(LevelBox(data, np.asarray(lo)))
+        levels.append(row)
+    ratios = [tuple(int(v) for v in r) for r in refinement_ratios[:hi_level]]
+    flattened = convexify(levels, ratios, materialize=lambda d: d)
+
+    bricks = []
+    for level in range(lo_level, hi_level + 1):
+        geom = level_geometry[level]
+        for b in flattened[level]:
+            mn = np.asarray(geom.prob_lo) + b.lo * np.asarray(geom.cell_size)
+            mx = mn + np.asarray(b.data.shape) * np.asarray(geom.cell_size)
+            bricks.append((jnp.asarray(b.data), mn, mx))
+    return prepare_device_scene(
+        bricks, parameters or RenderParameters(), color_map,
+        log_scale_input=log_scale_input, interpret=interpret,
+        precision=precision,
+    )
 
 
 # ---------------------------------------------------------------------------

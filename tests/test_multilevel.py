@@ -144,3 +144,63 @@ def test_golden_insitu_image(r2_scene):
     diff = np.abs(got - golden)
     bad = (diff > 0.02).any(axis=-1)
     assert bad.mean() <= 0.02, f"bad pixel fraction {bad.mean():.4f}"
+
+
+def test_device_amr_ingestion_matches_host():
+    """prepare_device_amr (device arrays + metadata convexify) renders the
+    same frame as the host pipeline (load_amr_geometry + FastSceneRenderer)."""
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.device_scene import prepare_device_amr
+    from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+    from amrvolumerenderer_tpu.types import CameraParameters
+
+    data = make_two_level_scene()
+    params = RenderParameters(width=32, height=32)
+    cam = CameraParameters(
+        eye=(2.2, 1.6, 2.8), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+    )
+
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    host = FastSceneRenderer(geometry, params)
+    frame_host = host.render(cam, overlay=False)
+
+    device_levels = [
+        [(jnp.asarray(np.asarray(b.data, np.float32)), b.lo) for b in boxes]
+        for boxes in data.level_data
+    ]
+    dev = prepare_device_amr(
+        device_levels, data.level_geometry, data.refinement_ratios,
+        parameters=params,
+    )
+    frame_dev = dev.render(cam, overlay=False)
+
+    diff = np.abs(frame_dev[:, :4] - frame_host[:, :4])
+    # device stats/pretransform run in f32 (host f64): isolated LUT-bin
+    # boundary pixels may shift one bin
+    assert np.mean(diff) < 1e-3
+    assert np.quantile(diff, 0.99) < 0.02
+
+
+def test_device_amr_level_selection():
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.device_scene import prepare_device_amr
+
+    data = make_two_level_scene()
+    device_levels = [
+        [(jnp.asarray(np.asarray(b.data, np.float32)), b.lo) for b in boxes]
+        for boxes in data.level_data
+    ]
+    only_fine = prepare_device_amr(
+        device_levels, data.level_geometry, data.refinement_ratios,
+        parameters=RenderParameters(width=32, height=32),
+        min_level=1,
+    )
+    # fine level alone: one 16^3 box -> one canonical piece
+    assert only_fine.canonical.shape[0] == 1
+    with pytest.raises(ValueError, match="refinementRatios"):
+        prepare_device_amr(
+            device_levels, data.level_geometry, [],
+            parameters=RenderParameters(width=32, height=32),
+        )
