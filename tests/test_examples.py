@@ -97,3 +97,15 @@ def test_render_from_arrays_example(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(tmp_path / "multifab-render.png")
+
+
+@slow
+def test_render_animation_example(tmp_path):
+    r = run_example(
+        "render_animation.py",
+        [str(tmp_path / "anim"), "--frames", "3", "--size", "32"],
+        str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    frames = os.listdir(tmp_path / "anim")
+    assert len(frames) == 3
