@@ -417,7 +417,10 @@ def slicemarch_render(
 
     ``sampling="trilinear"`` interpolates within each slice (sample points
     lie on the march axis' cell-center planes, so trilinear == in-slice
-    bilinear); the reference is nearest-cell (VolumePainter.cpp:869-880)."""
+    bilinear); the reference is nearest-cell (VolumePainter.cpp:869-880).
+    Interpolation clamps at brick/piece boundaries (no ghost cells), so
+    split bricks show C0 seams there — supply ghost layers in the brick
+    data if cross-brick continuity matters."""
     num_bricks = vol.shape[0]
     num_pixels = width * height
     assert width % TILE_W == 0 and height % TILE_H == 0

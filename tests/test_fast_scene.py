@@ -311,3 +311,20 @@ def test_bfloat16_storage_matches_f32_within_tolerance(geometry):
 
     with pytest.raises(ValueError, match="precision"):
         FastSceneRenderer(geometry, params, precision="fp8")
+
+
+def test_fast_scene_trilinear_smoke(geometry):
+    params = RenderParameters(width=32, height=32, sampling="trilinear")
+    fast = FastSceneRenderer(geometry, params)
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+    )
+    tri = fast.render(cam, overlay=False)
+    assert np.isfinite(tri[:, :4]).all()
+    assert tri[:, 3].max() > 0.1
+    near = FastSceneRenderer(
+        geometry, RenderParameters(width=32, height=32)
+    ).render(cam, overlay=False)
+    # smooth field: same frame to first order, not identical
+    assert np.abs(tri[:, :4] - near[:, :4]).max() > 1e-4
+    assert np.abs(tri[:, :4] - near[:, :4]).mean() < 0.05
