@@ -304,7 +304,10 @@ def _kernel_body(
     # on opacity saturation and a row-banded gather with per-row branch
     # skips both LOSE ~10-15% on the benchmark scene — branch overhead and
     # lost pipelining outweigh the skipped vector work.  Keep the straight
-    # fori_loop with the full 8-row gather.
+    # fori_loop with the full 8-row gather.  A byte-packed rgb LUT word
+    # (1 gather + mantissa decode instead of 3 gathers) is also a wash
+    # (16.4 -> 16.7 ms dense): the [2,128] LUT gathers are already cheap
+    # and the decode arithmetic costs what the gathers saved.
     def run_loop(mode):
         def run(_):
             # dynamic bounds: only occupied slices execute (s_lo/s_hi above);
