@@ -72,6 +72,8 @@ class RenderOptions:
     scalar_range: Optional[Tuple[float, float]] = None
     camera: Optional[CameraParameters] = None
     color_map: Optional[ColorMap] = None
+    # beyond-reference: "nearest" (reference semantics) or "trilinear"
+    sampling: str = "nearest"
 
 
 @dataclasses.dataclass
@@ -305,6 +307,7 @@ def render(
         antialiasing=options.antialiasing,
         use_visibility_graph=options.visibility_graph,
         write_visibility_graph=options.write_visibility_graph,
+        sampling=options.sampling,
     )
     validate_render_parameters(parameters)
     validate_scalar_range(options.scalar_range)

@@ -286,14 +286,20 @@ def _build_camera_arrays(camera: CameraParameters):
     )
 
 
-def resolve_render_method(method: str) -> str:
+def resolve_render_method(method: str, sampling: str = "nearest") -> str:
     """Resolve the render method: 'raymarch' (exact reference-semantics XLA
     kernel), 'slicemarch' (Pallas fast path), or 'auto' (slicemarch on TPU,
-    raymarch elsewhere)."""
+    raymarch elsewhere).  Trilinear sampling exists only in the slice-march
+    kernels, so it steers 'auto' there on any backend."""
     if method == "auto":
+        if sampling == "trilinear":
+            return "slicemarch"
         return "slicemarch" if jax.default_backend() == "tpu" else "raymarch"
     if method not in ("raymarch", "slicemarch", "tilemarch"):
         raise ValueError(f"unknown render method '{method}'")
+    if method == "raymarch" and sampling == "trilinear":
+        raise ValueError("sampling=\"trilinear\" requires the slicemarch "
+                         "or tilemarch method")
     return method
 
 
@@ -316,7 +322,7 @@ def render_layers(
     (VolumeRenderer.cpp:1200-1223) but batched per bucket through one
     jitted XLA program each.
     """
-    if resolve_render_method(method) == "slicemarch":
+    if resolve_render_method(method, parameters.sampling) == "slicemarch":
         from .renderer_fast import render_layers_slicemarch
 
         return render_layers_slicemarch(
@@ -449,7 +455,7 @@ def render_single_trial(
     reference_sample_distance = compute_reference_sample_distance(geometry, bounds)
     tight_bounds = compute_tight_bounds(geometry, bounds)
 
-    resolved = resolve_render_method(method)
+    resolved = resolve_render_method(method, parameters.sampling)
     fused = resolved in ("slicemarch", "tilemarch")
     t0 = time.perf_counter()
     if fused:

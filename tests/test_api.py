@@ -197,3 +197,26 @@ def test_log_scale_render_slicemarch_matches_raymarch(tmp_path, r2_scene):
     diff = np.abs(img_ray.pixels[:, :4] - img_slice.pixels[:, :4])
     assert diff.mean() < 0.015
     assert (diff > 0.02).any(axis=-1).mean() <= 0.12
+
+
+def test_render_sampling_option(r2_scene, tmp_path):
+    """RenderOptions.sampling="trilinear" flows to the kernels; bad values
+    are rejected at validation."""
+    from amrvolumerenderer_tpu import api
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    out = str(tmp_path / "tri.ppm")
+    opts = api.RenderOptions(
+        width=24, height=24, output_filename=out, sampling="trilinear"
+    )
+    image, _ = api.render(data, opts, verbose=False)
+    assert np.asarray(image.pixels)[:, 3].max() > 0.0
+
+    with pytest.raises(ValueError, match="sampling"):
+        api.render(
+            data,
+            api.RenderOptions(width=8, height=8, output_filename=out,
+                              sampling="bogus"),
+            verbose=False,
+        )
