@@ -307,7 +307,11 @@ def _kernel_body(
     # fori_loop with the full 8-row gather.  A byte-packed rgb LUT word
     # (1 gather + mantissa decode instead of 3 gathers) is also a wash
     # (16.4 -> 16.7 ms dense): the [2,128] LUT gathers are already cheap
-    # and the decode arithmetic costs what the gathers saved.
+    # and the decode arithmetic costs what the gathers saved.  bf16
+    # pair-packing (two cells per f32 lane, 4-row gather + shift unpack)
+    # is bit-exact vs bf16-rounded f32 but only ~1.5% faster (17.0 -> 16.8
+    # ms) — the loop is latency-bound, not gather-throughput-bound; use
+    # plain bf16 *storage* for the footprint win instead.
     def run_loop(mode):
         def run(_):
             # dynamic bounds: only occupied slices execute (s_lo/s_hi above);
