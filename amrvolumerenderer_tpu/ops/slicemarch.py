@@ -75,6 +75,7 @@ def _kernel_body(
     tile_w: int,
     tile_h: int,
     sampling: str = "nearest",
+    unroll: int = 1,
 ):
     """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile.
 
@@ -181,6 +182,116 @@ def _kernel_body(
     t_lo = jnp.maximum(tmin, 0.0)
     t_hi = tmax
 
+    def sample_slice(k, mode):
+        """One slice's contribution for loop index ``k`` in [s_lo, s_hi):
+        (color_r, color_g, color_b, sample_alpha), with out-of-range ``k``
+        (the tail of an unrolled pair) masked to zero alpha."""
+        # backward rays mirror within the occupied range
+        k_rev = s_lo + s_hi - 1 - k
+        if mode == "fwd":
+            k_eff = k
+        elif mode == "bwd":
+            k_eff = k_rev
+        else:
+            k_eff = jnp.where(backward, k_rev, k)
+        z_k = pmin[0] + (
+            (k_eff if mode == "mixed" else jnp.full((1, 1), k_eff)).astype(
+                jnp.float32
+            )
+            + 0.5
+        ) * cell[0]
+        t_k = (z_k - eye[0]) * inv_da
+
+        pos_u = eye[1] + d[1] * t_k
+        pos_v = eye[2] + d[2] * t_k
+        fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+        fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+        # exact quadrature: weight = overlap of this slice's half-cell
+        # window [t_k - dt/2, t_k + dt/2] with the ray's clipped
+        # intersection interval.  Windows of consecutive slices tile the
+        # ray exactly, so grazing corner slivers are integrated instead
+        # of dropped (unlike naive plane-crossing sampling).
+        w = jnp.maximum(
+            jnp.minimum(t_k + 0.5 * dt, t_hi) - jnp.maximum(t_k - 0.5 * dt, t_lo),
+            0.0,
+        )
+        valid = (
+            hit
+            & marchable
+            & (k < jnp.minimum(s_hi, n_slices))
+            & (w > 0.0)
+        )
+        # clamp loads for the masked unroll tail (k == s_hi)
+        k_load = jnp.minimum(k, jnp.maximum(s_hi - 1, 0))
+        k_rev_load = jnp.clip(s_lo + s_hi - 1 - k_load, 0, max_slices - 1)
+
+        # slices may be stored bf16 (half the VMEM/HBM); upcast the
+        # whole vreg once, then gather in f32
+        def load(kk):
+            return vol_ref[0, kk].astype(jnp.float32)
+
+        if sampling == "nearest":
+            iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
+            iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
+            flat = iu * nv_stride + iv
+            row = flat // LANES
+            col = flat % LANES
+
+            def sample(tile):
+                return _gather_slice(tile, row, col)
+        else:
+            # trilinear: sample points sit exactly on the march axis'
+            # cell-center planes, so trilinear reduces to BILINEAR
+            # within the slice (4 gathers) — no second slice needed
+            pu = (pos_u - pmin[1]) / cell[1] - 0.5
+            pv = (pos_v - pmin[2]) / cell[2] - 0.5
+            fu0 = jnp.floor(pu)
+            fv0 = jnp.floor(pv)
+            wu = jnp.clip(pu - fu0, 0.0, 1.0)
+            wv = jnp.clip(pv - fv0, 0.0, 1.0)
+            iu0 = jnp.clip(fu0.astype(jnp.int32), 0, nu - 1)
+            iu1 = jnp.clip(iu0 + 1, 0, nu - 1)
+            iv0 = jnp.clip(fv0.astype(jnp.int32), 0, nv - 1)
+            iv1 = jnp.clip(iv0 + 1, 0, nv - 1)
+
+            def sample(tile):
+                def at(iu_, iv_):
+                    flat = iu_ * nv_stride + iv_
+                    return _gather_slice(tile, flat // LANES, flat % LANES)
+
+                v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
+                v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
+                return v0 * (1.0 - wv) + v1 * wv
+
+        if mode == "fwd":
+            scalar = sample(load(k_load))
+        elif mode == "bwd":
+            scalar = sample(load(k_rev_load))
+        else:
+            s_fwd = sample(load(k_load))
+            s_bwd = sample(load(k_rev_load))
+            scalar = jnp.where(backward, s_bwd, s_fwd)
+
+        normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
+        lut_idx = jnp.clip(
+            (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+            0,
+            COLOR_TABLE_SIZE - 1,
+        )
+        s_r = _gather_lut(lut_r, lut_idx)
+        s_g = _gather_lut(lut_g, lut_idx)
+        s_b = _gather_lut(lut_b, lut_idx)
+        s_l = _gather_lut(lut_l, lut_idx)
+
+        # step-normalized opacity with the per-sample segment length:
+        # 1 - (1 - a)^(w/ref) = 1 - exp((w/ref) * L).  Guarded so that
+        # w == 0 with an opaque LUT entry (L = -inf) stays 0, not NaN.
+        # (No acc-saturation term: alpha = a * (1 - acc_a) is already 0 at
+        # acc_a == 1, and acc_a cannot exceed 1 by induction.)
+        q_k = w / ref_distance
+        sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
+        return s_r, s_g, s_b, sample_a
+
     def make_body(mode):
         """March loop body; ``mode`` in {"fwd", "bwd", "mixed"} selects the
         per-ray slice-direction handling (uniform-sign tiles skip the dual
@@ -188,111 +299,51 @@ def _kernel_body(
 
         def body(k, carry):
             acc_r, acc_g, acc_b, acc_a = carry
-            # k iterates [s_lo, s_hi); backward rays mirror within the range
-            k_rev = s_lo + s_hi - 1 - k
-            if mode == "fwd":
-                k_eff = k
-            elif mode == "bwd":
-                k_eff = k_rev
-            else:
-                k_eff = jnp.where(backward, k_rev, k)
-            z_k = pmin[0] + (
-                (k_eff if mode == "mixed" else jnp.full((1, 1), k_eff)).astype(
-                    jnp.float32
-                )
-                + 0.5
-            ) * cell[0]
-            t_k = (z_k - eye[0]) * inv_da
-
-            pos_u = eye[1] + d[1] * t_k
-            pos_v = eye[2] + d[2] * t_k
-            fu = jnp.floor((pos_u - pmin[1]) / cell[1])
-            fv = jnp.floor((pos_v - pmin[2]) / cell[2])
-            # exact quadrature: weight = overlap of this slice's half-cell
-            # window [t_k - dt/2, t_k + dt/2] with the ray's clipped
-            # intersection interval.  Windows of consecutive slices tile the
-            # ray exactly, so grazing corner slivers are integrated instead
-            # of dropped (unlike naive plane-crossing sampling).
-            w = jnp.maximum(
-                jnp.minimum(t_k + 0.5 * dt, t_hi) - jnp.maximum(t_k - 0.5 * dt, t_lo),
-                0.0,
-            )
-            valid = (
-                hit
-                & marchable
-                & (k < n_slices)
-                & (w > 0.0)
-                & (acc_a < 1.0)
-            )
-            # slices may be stored bf16 (half the VMEM/HBM); upcast the
-            # whole vreg once, then gather in f32
-            def load(kk):
-                return vol_ref[0, kk].astype(jnp.float32)
-
-            if sampling == "nearest":
-                iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
-                iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-                flat = iu * nv_stride + iv
-                row = flat // LANES
-                col = flat % LANES
-
-                def sample(tile):
-                    return _gather_slice(tile, row, col)
-            else:
-                # trilinear: sample points sit exactly on the march axis'
-                # cell-center planes, so trilinear reduces to BILINEAR
-                # within the slice (4 gathers) — no second slice needed
-                pu = (pos_u - pmin[1]) / cell[1] - 0.5
-                pv = (pos_v - pmin[2]) / cell[2] - 0.5
-                fu0 = jnp.floor(pu)
-                fv0 = jnp.floor(pv)
-                wu = jnp.clip(pu - fu0, 0.0, 1.0)
-                wv = jnp.clip(pv - fv0, 0.0, 1.0)
-                iu0 = jnp.clip(fu0.astype(jnp.int32), 0, nu - 1)
-                iu1 = jnp.clip(iu0 + 1, 0, nu - 1)
-                iv0 = jnp.clip(fv0.astype(jnp.int32), 0, nv - 1)
-                iv1 = jnp.clip(iv0 + 1, 0, nv - 1)
-
-                def sample(tile):
-                    def at(iu_, iv_):
-                        flat = iu_ * nv_stride + iv_
-                        return _gather_slice(tile, flat // LANES, flat % LANES)
-
-                    v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
-                    v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
-                    return v0 * (1.0 - wv) + v1 * wv
-
-            if mode == "fwd":
-                scalar = sample(load(k))
-            elif mode == "bwd":
-                scalar = sample(load(jnp.maximum(k_rev, 0)))
-            else:
-                s_fwd = sample(load(k))
-                s_bwd = sample(load(jnp.maximum(k_rev, 0)))
-                scalar = jnp.where(backward, s_bwd, s_fwd)
-
-            normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
-            lut_idx = jnp.clip(
-                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
-                0,
-                COLOR_TABLE_SIZE - 1,
-            )
-            s_r = _gather_lut(lut_r, lut_idx)
-            s_g = _gather_lut(lut_g, lut_idx)
-            s_b = _gather_lut(lut_b, lut_idx)
-            s_l = _gather_lut(lut_l, lut_idx)
-
-            # step-normalized opacity with the per-sample segment length:
-            # 1 - (1 - a)^(w/ref) = 1 - exp((w/ref) * L).  Guarded so that
-            # w == 0 with an opaque LUT entry (L = -inf) stays 0, not NaN.
-            q_k = w / ref_distance
-            sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
+            s_r, s_g, s_b, sample_a = sample_slice(k, mode)
             alpha = sample_a * (1.0 - acc_a)
             return (
                 acc_r + s_r * alpha,
                 acc_g + s_g * alpha,
                 acc_b + s_b * alpha,
                 acc_a + alpha,
+            )
+
+        return body
+
+    def make_body_unrolled(mode, n_unroll):
+        """Unrolled body: ``n_unroll`` INDEPENDENT slice samples per
+        iteration, combined with the associative over operator in a tree
+        before touching the accumulator — divides the loop-carried
+        dependency chain by ``n_unroll`` (the march loop is latency-bound,
+        see NOTE below)."""
+
+        def over(p, q):
+            pr, pg, pb, pa = p
+            qr, qg, qb, qa = q
+            t = 1.0 - pa
+            return (pr + qr * t, pg + qg * t, pb + qb * t, pa + qa * t)
+
+        def body(kn, carry):
+            acc_r, acc_g, acc_b, acc_a = carry
+            k0 = s_lo + n_unroll * kn
+            parts = []
+            for i in range(n_unroll):
+                r, g, b, a = sample_slice(k0 + i, mode)
+                parts.append((r * a, g * a, b * a, a))
+            while len(parts) > 1:
+                parts = [
+                    over(parts[i], parts[i + 1])
+                    if i + 1 < len(parts)
+                    else parts[i]
+                    for i in range(0, len(parts), 2)
+                ]
+            pr, pg, pb, pa = parts[0]
+            one_m = 1.0 - acc_a
+            return (
+                acc_r + pr * one_m,
+                acc_g + pg * one_m,
+                acc_b + pb * one_m,
+                acc_a + pa * one_m,
             )
 
         return body
@@ -316,9 +367,13 @@ def _kernel_body(
         def run(_):
             # dynamic bounds: only occupied slices execute (s_lo/s_hi above);
             # max_slices stays the static compile-time cap
-            return jax.lax.fori_loop(
-                s_lo, jnp.minimum(s_hi, max_slices), make_body(mode), init
-            )
+            hi = jnp.minimum(s_hi, max_slices)
+            if unroll > 1:
+                trips = (hi - s_lo + unroll - 1) // unroll
+                return jax.lax.fori_loop(
+                    0, trips, make_body_unrolled(mode, unroll), init
+                )
+            return jax.lax.fori_loop(s_lo, hi, make_body(mode), init)
 
         return run
 
@@ -401,7 +456,7 @@ TILE_H = 32
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling",
+        "interpret", "sampling", "unroll",
     ),
 )
 def slicemarch_render(
@@ -418,6 +473,7 @@ def slicemarch_render(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
+    unroll: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense render: every brick against every pixel tile (with in-kernel
     tile culling).  Returns row-major ([B, H*W, 4], [B, H*W]).
@@ -438,7 +494,7 @@ def slicemarch_render(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
-        sampling=sampling,
+        sampling=sampling, unroll=unroll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -481,7 +537,7 @@ def slicemarch_render(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling",
+        "interpret", "sampling", "unroll",
     ),
 )
 def slicemarch_render_worklist(
@@ -501,6 +557,7 @@ def slicemarch_render_worklist(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
+    unroll: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render: only scheduled (brick, tile) pairs execute.
 
@@ -520,7 +577,7 @@ def slicemarch_render_worklist(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
-        sampling=sampling,
+        sampling=sampling, unroll=unroll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -573,7 +630,7 @@ def slicemarch_render_worklist(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling",
+        "interpret", "sampling", "unroll",
     ),
 )
 def slicemarch_render_worklist_raw(
@@ -592,6 +649,7 @@ def slicemarch_render_worklist_raw(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
+    unroll: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render returning TILE-ordered, UNMASKED buffers
     ([B, T, TILE_P, 4], [B, T, SUBLANES, LANES]).  Unscheduled blocks are
@@ -608,7 +666,7 @@ def slicemarch_render_worklist_raw(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
-        sampling=sampling,
+        sampling=sampling, unroll=unroll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -837,10 +895,10 @@ def compute_slice_bounds(
     nonzero alpha (conservative: padding zeros widen the range, never shrink
     it).  Returns ``(s_lo << 16) | s_hi`` for ``dims[7]``; an all-transparent
     brick returns ``(ns << 16) | ns`` (a zero-trip march loop).  The skipped
-    slices contribute exactly zero opacity, so results are bit-identical —
-    this tightens loop bounds, it does not approximate.  (The reference has
-    no empty-space skipping; its ray marcher samples every step,
-    Common/VolumePainter.cpp:837-900.)
+    slices contribute exactly zero opacity — this tightens loop bounds, it
+    does not approximate (identical up to the FP combination order of the
+    unrolled march, <= 1e-6).  (The reference has no empty-space skipping;
+    its ray marcher samples every step, Common/VolumePainter.cpp:837-900.)
     """
     ns = vol.shape[0]
     nz = np.asarray(lut_alpha) > 0.0

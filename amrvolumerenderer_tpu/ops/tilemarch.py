@@ -68,6 +68,7 @@ def _kernel(
     logical_height: int,
     max_slices: int,
     sampling: str = "nearest",
+    unroll: int = 4,
 ):
     t = pl.program_id(0)
     inf = jnp.float32(np.inf)
@@ -172,8 +173,9 @@ def _kernel(
         t_lo = jnp.maximum(tmin, 0.0)
         t_hi = tmax
 
-        def body(k, carry):
-            acc_r, acc_g, acc_b, acc_a = carry
+        def sample_slice(k):
+            """One slice's (r, g, b, sample_alpha); out-of-range ``k`` (the
+            unroll tail) is masked to zero alpha."""
             k_rev = s_lo + s_hi - 1 - k
             k_eff = jnp.where(backward, k_rev, k)
             z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
@@ -184,7 +186,11 @@ def _kernel(
                 jnp.minimum(t_k + 0.5 * dt, t_hi) - jnp.maximum(t_k - 0.5 * dt, t_lo),
                 0.0,
             )
-            valid = hit & marchable & (k < n_slices) & (w > 0.0) & (acc_a < 1.0)
+            valid = (
+                hit & marchable & (k < jnp.minimum(s_hi, n_slices)) & (w > 0.0)
+            )
+            k_load = jnp.minimum(k, jnp.maximum(s_hi - 1, 0))
+            k_rev_load = jnp.clip(s_lo + s_hi - 1 - k_load, 0, max_slices - 1)
 
             if sampling == "nearest":
                 fu = jnp.floor((pos_u - pmin[1]) / cell[1])
@@ -222,10 +228,8 @@ def _kernel(
                     return v0 * (1.0 - wv) + v1 * wv
 
             # bf16-storable slices: upcast the vreg once, gather in f32
-            s_f = sample(vol_buf[slot, k].astype(jnp.float32))
-            s_b = sample(
-                vol_buf[slot, jnp.maximum(k_rev, 0)].astype(jnp.float32)
-            )
+            s_f = sample(vol_buf[slot, k_load].astype(jnp.float32))
+            s_b = sample(vol_buf[slot, k_rev_load].astype(jnp.float32))
             scalar = jnp.where(backward, s_b, s_f)
 
             normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
@@ -242,17 +246,44 @@ def _kernel(
 
             q_k = w / ref_distance
             sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
-            alpha = sample_a * (1.0 - acc_a)
+            return s_r, s_g, s_bl, sample_a
+
+        def over(p, q):
+            pr, pg, pb, pa = p
+            qr, qg, qb, qa = q
+            t = 1.0 - pa
+            return (pr + qr * t, pg + qg * t, pb + qb * t, pa + qa * t)
+
+        def body(kn, carry):
+            # unrolled: ``unroll`` independent samples combined in a tree
+            # before the accumulator (see slicemarch.make_body_unrolled)
+            acc_r, acc_g, acc_b, acc_a = carry
+            k0 = s_lo + unroll * kn
+            parts = []
+            for i in range(unroll):
+                r, g, b, a = sample_slice(k0 + i)
+                parts.append((r * a, g * a, b * a, a))
+            while len(parts) > 1:
+                parts = [
+                    over(parts[i], parts[i + 1])
+                    if i + 1 < len(parts)
+                    else parts[i]
+                    for i in range(0, len(parts), 2)
+                ]
+            pr, pg, pb, pa = parts[0]
+            one_m = 1.0 - acc_a
             return (
-                acc_r + s_r * alpha,
-                acc_g + s_g * alpha,
-                acc_b + s_bl * alpha,
-                acc_a + alpha,
+                acc_r + pr * one_m,
+                acc_g + pg * one_m,
+                acc_b + pb * one_m,
+                acc_a + pa * one_m,
             )
 
         zero = plane_x * 0.0
+        hi_k = jnp.minimum(s_hi, max_slices)
+        trips = (hi_k - s_lo + unroll - 1) // unroll
         l_r, l_g, l_b, l_a = jax.lax.fori_loop(
-            s_lo, jnp.minimum(s_hi, max_slices), body, (zero, zero, zero, zero)
+            0, trips, body, (zero, zero, zero, zero)
         )
         l_r = jnp.clip(l_r, 0.0, 1.0)
         l_g = jnp.clip(l_g, 0.0, 1.0)
@@ -331,7 +362,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling",
+        "interpret", "sampling", "unroll",
     ),
 )
 def tilemarch_render(
@@ -351,6 +382,7 @@ def tilemarch_render(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
+    unroll: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
 
@@ -370,6 +402,7 @@ def tilemarch_render(
         logical_height=logical_height or height,
         max_slices=max_slices,
         sampling=sampling,
+        unroll=unroll,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

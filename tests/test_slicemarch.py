@@ -424,8 +424,9 @@ class TestSliceBounds:
         "eye", [(0.5, 0.4, 3.0), (0.5, 0.4, -2.0), (0.5, 0.5, 0.5)]
     )
     def test_bounds_render_identical(self, eye):
-        """Rendering with tightened slice bounds is bit-identical to the
-        full-range march (fwd, bwd, and inside-the-brick mixed cases)."""
+        """Rendering with tightened slice bounds equals the full-range march
+        up to the FP combination order of the unrolled loop (fwd, bwd, and
+        inside-the-brick mixed cases)."""
         from amrvolumerenderer_tpu.camera import camera_basis
         from amrvolumerenderer_tpu.ops import slicemarch as sm
         from amrvolumerenderer_tpu.types import CameraParameters
@@ -479,8 +480,12 @@ class TestSliceBounds:
             jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims_b),
             jnp.asarray(luts), jnp.asarray(cam), **kw,
         )
-        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(base_c))
-        np.testing.assert_array_equal(np.asarray(got_d), np.asarray(base_d))
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(base_c), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_d), np.asarray(base_d), atol=1e-6
+        )
 
     def test_bounds_zero_trip_empty_brick(self):
         from amrvolumerenderer_tpu.ops import slicemarch as sm
