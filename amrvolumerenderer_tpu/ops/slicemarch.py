@@ -362,7 +362,10 @@ def _kernel_body(
     # pair-packing (two cells per f32 lane, 4-row gather + shift unpack)
     # is bit-exact vs bf16-rounded f32 but only ~1.5% faster (17.0 -> 16.8
     # ms) — the loop is latency-bound, not gather-throughput-bound; use
-    # plain bf16 *storage* for the footprint win instead.
+    # plain bf16 *storage* for the footprint win instead.  The latency
+    # bound is attacked by the unrolled tree combine instead: unroll=2/4/8
+    # measured 14.5/13.3/14.3 ms vs 16.8 rolled — 4 is the sweet spot
+    # (8 spills registers).
     def run_loop(mode):
         def run(_):
             # dynamic bounds: only occupied slices execute (s_lo/s_hi above);

@@ -663,3 +663,47 @@ class TestTrilinear:
         validate_render_parameters(RenderParameters(sampling="trilinear"))
         with pytest.raises(ValueError, match="sampling"):
             validate_render_parameters(RenderParameters(sampling="cubic"))
+
+
+class TestUnroll:
+    """The unrolled march (tree over-combine) equals the rolled loop."""
+
+    @pytest.mark.parametrize("eye", [(2.3, 1.7, 2.9), (0.5, 0.4, -2.0),
+                                     (0.5, 0.5, 0.5)])
+    @pytest.mark.parametrize("u", [2, 4])
+    def test_unroll_matches_rolled(self, eye, u):
+        from amrvolumerenderer_tpu.camera import camera_basis
+        from amrvolumerenderer_tpu.colormap import build_color_table
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        n = 17  # odd slice count exercises the unroll tail masking
+        rng = np.random.default_rng(4)
+        field = rng.random((n, n, n)).astype(np.float32)
+        camera = CameraParameters(eye=eye, look_at=(0.5, 0.5, 0.5),
+                                  up=(0, 1, 0))
+        forward, right, up = camera_basis(camera)
+        axis = 2
+        axes = [axis] + [a for a in range(3) if a != axis]
+        lut = build_color_table(1.0, 1.0, (0.0, 1.0), None)
+        vol, (ns, nu, nv) = sm.pack_slice_volume(field, axis)
+        meta = np.zeros((1, 12), np.float32)
+        meta[0, 3:6] = 1.0
+        meta[0, 6:9] = 1.0 / np.array([ns, nu, nv])
+        dims = np.zeros((1, 8), np.int32)
+        dims[0, :3] = (ns, nu, nv)
+        dims[0, 3:6] = axes
+        dims[0, 7] = (3 << 16) | 14  # odd occupied range too
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, 1.0, 0.0, 1.0, 0.5 / n,
+        )
+        kw = dict(width=32, height=32, max_slices=ns, interpret=True)
+        args = (
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+        )
+        a, ad = sm.slicemarch_render(*args, unroll=1, **kw)
+        b, bd = sm.slicemarch_render(*args, unroll=u, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ad), np.asarray(bd), atol=1e-6)
