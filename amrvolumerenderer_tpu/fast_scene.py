@@ -86,9 +86,11 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
 class FastSceneRenderer:
     """Device-resident scene prepared once; per-camera frames on demand.
 
-    Parameters mirror ``renderer.render_scene``; the scalar range and LUT
-    are fixed at construction (per-frame transparency/colormap changes
-    require a new instance, matching the reference's per-run options)."""
+    Parameters mirror ``renderer.render_scene``.  The scalar range and
+    brick layout are fixed at construction; ``set_transfer_function``
+    swaps the colormap / box transparency per frame and ``update_data``
+    ingests new timestep values in place (the reference re-prepares the
+    whole pipeline per run, miniapps/renderVolume*.cpp)."""
 
     def __init__(
         self,
