@@ -1,6 +1,7 @@
 """PPM/PNG writer tests: byte parity and row order."""
 
 import numpy as np
+import pytest
 
 from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
 from amrvolumerenderer_tpu.io import load_png, load_ppm, save_png, save_ppm
@@ -63,3 +64,21 @@ def test_partial_region_blended_onto_blank(tmp_path):
     assert data[0].sum() == 0.0  # first row empty
     assert data[1].min() == 1.0  # middle rows white
     assert data[3].sum() == 0.0
+
+
+def test_load_rejects_malformed_files(tmp_path):
+    bad = tmp_path / "bad.ppm"
+    bad.write_bytes(b"P3\n# not binary\n")
+    with pytest.raises(Exception):
+        load_ppm(str(bad))
+
+    not_png = tmp_path / "bad.png"
+    not_png.write_bytes(b"\x89PNJUNK\r\n\x1a\n")
+    with pytest.raises(Exception):
+        load_png(str(not_png))
+
+    truncated = tmp_path / "trunc.png"
+    # valid signature, truncated stream
+    truncated.write_bytes(b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR")
+    with pytest.raises(Exception):
+        load_png(str(truncated))

@@ -204,3 +204,33 @@ def test_device_amr_level_selection():
             device_levels, data.level_geometry, [],
             parameters=RenderParameters(width=32, height=32),
         )
+
+
+def test_golden_trilinear_image(r2_scene):
+    """Pixel regression of the trilinear slice-march path (same golden
+    protocol as test_golden_insitu_image)."""
+    from amrvolumerenderer_tpu.image import color_to_byte
+    from amrvolumerenderer_tpu.io import load_ppm
+
+    golden_path = os.path.join(GOLDEN_DIR, "insitu_r2_64_trilinear.ppm")
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    image, _ = render_scene(
+        "", RenderParameters(width=64, height=64, sampling="trilinear"),
+        geometry, verbose=False, method="slicemarch",
+    )
+    got = color_to_byte(image.pixels[:, :3]).reshape(64, 64, 3) / 255.0
+
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        from amrvolumerenderer_tpu.io import save_ppm
+
+        save_ppm(image, golden_path)
+        pytest.skip("golden image generated; rerun to compare")
+
+    golden, w, h = load_ppm(golden_path)
+    assert (w, h) == (64, 64)
+    diff = np.abs(got - golden)
+    bad = (diff > 0.02).any(axis=-1)
+    assert bad.mean() <= 0.02, f"bad pixel fraction {bad.mean():.4f}"

@@ -130,3 +130,73 @@ def test_convexify_three_levels():
     for level, expect in ((0, 1.0), (1, 2.0), (2, 3.0)):
         for b in out[level]:
             assert np.all(b.data == expect)
+
+
+def test_box_subtract_property_random(rng):
+    """Property test: subtraction pieces are disjoint, inside the box, and
+    together with the cut cover exactly the original cells (the amrex::Box
+    algebra contract)."""
+    for _ in range(50):
+        lo = rng.integers(-4, 4, 3)
+        hi = lo + rng.integers(1, 8, 3)
+        clo = rng.integers(-6, 6, 3)
+        chi = clo + rng.integers(1, 10, 3)
+        box = IndexBox(tuple(lo), tuple(hi))
+        cut = IndexBox(tuple(clo), tuple(chi))
+        pieces = box_subtract(box, cut)
+
+        def cells(b):
+            return {
+                (x, y, z)
+                for x in range(b.lo[0], b.hi[0] + 1)
+                for y in range(b.lo[1], b.hi[1] + 1)
+                for z in range(b.lo[2], b.hi[2] + 1)
+            }
+
+        box_cells = cells(box)
+        cut_cells = cells(cut)
+        got = set()
+        for p in pieces:
+            pc = cells(p)
+            assert not (pc & got), "pieces overlap"
+            assert pc <= box_cells, "piece escapes the box"
+            assert not (pc & cut_cells), "piece overlaps the cut"
+            got |= pc
+        assert got == box_cells - cut_cells
+
+
+def test_convexify_property_random(rng):
+    """Convexified levels tile space: every coarse cell under fine coverage
+    is removed exactly once, data values are preserved per cell."""
+    for trial in range(10):
+        n = 8
+        coarse_data = rng.random((n, n, n))
+        coarse = LevelBox(coarse_data, np.zeros(3, dtype=int))
+        # 1-2 random fine boxes in the 2x refined index space
+        fines = []
+        for _ in range(int(rng.integers(1, 3))):
+            lo = rng.integers(0, 2 * n - 4, 3)
+            shape = rng.integers(2, 6, 3)
+            hi = np.minimum(lo + shape, 2 * n)
+            fines.append(
+                LevelBox(rng.random(tuple(hi - lo)), lo.astype(int))
+            )
+        out = convexify([[coarse], fines], [(2, 2, 2)])
+
+        covered = np.zeros((n, n, n), dtype=int)
+        for b in out[0]:
+            lo = b.lo
+            s = b.data.shape
+            covered[lo[0]:lo[0]+s[0], lo[1]:lo[1]+s[1], lo[2]:lo[2]+s[2]] += 1
+            np.testing.assert_array_equal(
+                b.data,
+                coarse_data[lo[0]:lo[0]+s[0], lo[1]:lo[1]+s[1],
+                            lo[2]:lo[2]+s[2]],
+            )
+        # fine footprint in coarse cells
+        fine_mask = np.zeros((n, n, n), dtype=bool)
+        for f in fines:
+            l0 = f.lo // 2
+            h0 = (f.lo + np.asarray(f.data.shape) - 1) // 2
+            fine_mask[l0[0]:h0[0]+1, l0[1]:h0[1]+1, l0[2]:h0[2]+1] = True
+        np.testing.assert_array_equal(covered, (~fine_mask).astype(int))
