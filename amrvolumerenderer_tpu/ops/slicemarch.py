@@ -476,7 +476,7 @@ def slicemarch_render(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
-    unroll: int = 4,
+    unroll: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense render: every brick against every pixel tile (with in-kernel
     tile culling).  Returns row-major ([B, H*W, 4], [B, H*W]).
@@ -492,6 +492,9 @@ def slicemarch_render(
     assert width % TILE_W == 0 and height % TILE_H == 0
     num_tiles = num_pixels // TILE_P
 
+    # default: 4x on hardware (-21%, latency-bound loop); 1x in interpret
+    # mode, where unrolling only multiplies Python-level emulation cost
+    unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
         _kernel_dense, width=width, height=height,
         logical_width=logical_width or width,
@@ -560,7 +563,7 @@ def slicemarch_render_worklist(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
-    unroll: int = 4,
+    unroll: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render: only scheduled (brick, tile) pairs execute.
 
@@ -575,6 +578,7 @@ def slicemarch_render_worklist(
     num_tiles = num_pixels // TILE_P
     num_work = work_bricks.shape[0]
 
+    unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
         _kernel_worklist, width=width, height=height,
         logical_width=logical_width or width,
@@ -652,7 +656,7 @@ def slicemarch_render_worklist_raw(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
-    unroll: int = 4,
+    unroll: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render returning TILE-ordered, UNMASKED buffers
     ([B, T, TILE_P, 4], [B, T, SUBLANES, LANES]).  Unscheduled blocks are
@@ -664,6 +668,7 @@ def slicemarch_render_worklist_raw(
     num_tiles = num_pixels // TILE_P
     num_work = work_bricks.shape[0]
 
+    unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
         _kernel_worklist, width=width, height=height,
         logical_width=logical_width or width,

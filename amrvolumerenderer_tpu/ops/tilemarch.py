@@ -382,7 +382,7 @@ def tilemarch_render(
     logical_height: Optional[int] = None,
     interpret: bool = False,
     sampling: str = "nearest",
-    unroll: int = 4,
+    unroll: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
 
@@ -394,6 +394,7 @@ def tilemarch_render(
     num_tiles = num_pixels // TILE_P
     s_max = vol.shape[1]
 
+    unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
         _kernel,
         width=width,
