@@ -169,3 +169,35 @@ def test_fused_frame_matches_unfused(r2_scene):
     )
     expected = composite_layers_host(layers, hints, owners, local)
     np.testing.assert_allclose(fused, expected, atol=1e-5)
+
+
+def test_hbm_streaming_composite_matches_vmem(rng):
+    """composite_tiles_hbm (double-buffered DMA, O(1) VMEM in layers)
+    equals the single-pass VMEM kernel."""
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.ops.composite import (
+        composite_tiles,
+        composite_tiles_hbm,
+    )
+
+    L, T = 7, 3
+    colors = rng.random((L, T, 4, 8, 128)).astype(np.float32) * 0.8
+    depths = (rng.random((L, T, 8, 128)) * 9).astype(np.float32)
+    coverage = rng.random((L, T)) > 0.3
+    colors[~coverage] = np.nan  # unscheduled blocks are undefined
+    hints = rng.random(L).astype(np.float32)
+    owners = rng.integers(0, 3, L).astype(np.int32)
+    order = np.lexsort((np.arange(L), owners, hints)).astype(np.int32)
+    sowners = owners[order]
+
+    a = composite_tiles(
+        jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(order),
+        jnp.asarray(sowners), jnp.asarray(coverage), interpret=True,
+    )
+    b = composite_tiles_hbm(
+        jnp.asarray(colors), jnp.asarray(depths), jnp.asarray(order),
+        jnp.asarray(sowners), jnp.asarray(coverage), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
