@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .image import ImageBuffer, blend_depth_sort, blend_pixels
+from .image import ImageBuffer, blend_depth_sort
 
 
 def piece_range(image_size: int, piece_index: int, num_pieces: int) -> Tuple[int, int]:
