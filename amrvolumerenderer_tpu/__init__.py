@@ -63,9 +63,12 @@ def render(
     camera_near: Optional[float] = None,
     camera_far: Optional[float] = None,
     color_map=None,
+    devices: Optional[int] = None,
 ) -> int:
     """Render a plotfile; the exact kwarg surface of the reference binding
-    (python/amrVolumeRenderer/module.cpp:276-303)."""
+    (python/amrVolumeRenderer/module.cpp:276-303).  ``devices`` is
+    beyond-reference: distribute the render across that many mesh devices
+    (the reference distributes by launching under ``mpirun -n``)."""
     from .driver import RunOptions, run_options
 
     options = RunOptions(
@@ -81,6 +84,10 @@ def render(
     options.parameters.antialiasing = antialiasing
     options.parameters.use_visibility_graph = visibility_graph
     options.parameters.write_visibility_graph = write_visibility_graph
+    if devices is not None:
+        if int(devices) <= 0:
+            raise ValueError("devices must be a positive device count")
+        options.parameters.devices = int(devices)
     if output is not None:
         if not output:
             raise ValueError("output filename must not be empty")

@@ -74,6 +74,11 @@ class RenderOptions:
     color_map: Optional[ColorMap] = None
     # beyond-reference: "nearest" (reference semantics) or "trilinear"
     sampling: str = "nearest"
+    # beyond-reference: distribute the render across N mesh devices
+    # (the reference distributes by running under mpirun -n N)
+    devices: Optional[int] = None
+    # beyond-reference render kernel selection (see RenderParameters)
+    render_method: str = "auto"
 
 
 @dataclasses.dataclass
@@ -308,6 +313,8 @@ def render(
         use_visibility_graph=options.visibility_graph,
         write_visibility_graph=options.write_visibility_graph,
         sampling=options.sampling,
+        devices=options.devices,
+        render_method=options.render_method,
     )
     validate_render_parameters(parameters)
     validate_scalar_range(options.scalar_range)

@@ -48,6 +48,9 @@ USAGE = """Usage: volume_renderer [options] plotfile
   --print-camera   Emit the camera parameters selected automatically
   --log-scale      Apply natural log scaling before normalizing the input field
   --output FILE    Output filename (supports .ppm or .png; default: volume-renderer.ppm)
+  --devices N      Distribute the render across N mesh devices (default: 1;
+                   the TPU equivalent of running the reference under mpirun -n N)
+  --render-method M  Kernel selection: auto, raymarch, slicemarch, tilemarch
   -h, --help       Show this help message
 """
 
@@ -137,6 +140,19 @@ def parse_options(argv: List[str]) -> RunOptions:
             parsed.parameters.camera_up = up / length
         elif arg == "--print-camera":
             parsed.parameters.print_camera = True
+        elif arg == "--devices":
+            parsed.parameters.devices = int(require_value(arg))
+            if parsed.parameters.devices <= 0:
+                raise RuntimeError("device count must be positive")
+        elif arg == "--render-method":
+            parsed.parameters.render_method = require_value(arg)
+            if parsed.parameters.render_method not in (
+                "auto", "raymarch", "slicemarch", "tilemarch"
+            ):
+                raise RuntimeError(
+                    "render method must be one of auto, raymarch, "
+                    "slicemarch, tilemarch"
+                )
         elif arg == "--plotfile":
             parsed.plotfile_path = require_value(arg)
         elif arg in ("--help", "-h"):
@@ -342,7 +358,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     if options.exit_early:
         return 0
-    return run_options(options)
+    try:
+        return run_options(options)
+    except Exception as error:  # noqa: BLE001 - main.cpp:27-33 catches all
+        # the reference prints "Error on rank N: what()" then MPI_Aborts;
+        # rank is always 0 here (single logical process over the mesh)
+        print(f"Error on rank 0: {error}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -262,8 +262,11 @@ def render_and_composite_sharded_slicemarch(
     width: int,
     height: int,
     max_slices: int,
+    logical_width: int | None = None,
+    logical_height: int | None = None,
     interpret: bool = False,
     transport: str = "float32",
+    sampling: str = "nearest",
 ):
     """Multi-chip frame on the production slice-march kernel.
 
@@ -283,7 +286,8 @@ def render_and_composite_sharded_slicemarch(
         colors, depths = slicemarch_render(
             b_vol, b_meta, b_dims, b_lut, cam,
             width=width, height=height, max_slices=max_slices,
-            interpret=interpret,
+            logical_width=logical_width, logical_height=logical_height,
+            interpret=interpret, sampling=sampling,
         )
         layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
         mask = b_valid[:, None, None]
@@ -468,6 +472,44 @@ def pack_depth_contiguous(
     return tuple(packed), valid, packed_hints
 
 
+def pack_contiguous(
+    num_devices: int,
+    depth_hints: np.ndarray,
+    *arrays: np.ndarray,
+):
+    """Host-side packer for the *layered* multi-chip pipeline.
+
+    Splits brick arrays (leading axis = brick, already in (owner, local
+    index) order) into ``num_devices`` contiguous chunks padded to a common
+    ``Bmax``, preserving brick order.  The flattened [device, slot] layout of
+    the packed table is then exactly the global (owner, local) order, so the
+    stable depth-hint argsort inside ``_compose_shard`` reproduces the
+    reference's (depth, owner, local) lexicographic layer order
+    (DirectSendBase.cpp:378-388).
+
+    Returns ``(packed_arrays, valid, packed_hints)``.
+    """
+    n = len(depth_hints)
+    base, extra = n // num_devices, n % num_devices
+    counts = [base + (1 if d < extra else 0) for d in range(num_devices)]
+    bmax = max(max(counts), 1)
+    total = num_devices * bmax
+
+    valid = np.zeros(total, dtype=bool)
+    packed_hints = np.full(total, np.inf, dtype=np.float32)
+    packed = [np.zeros((total,) + a.shape[1:], dtype=a.dtype) for a in arrays]
+    pos = 0
+    for d in range(num_devices):
+        for slot in range(counts[d]):
+            dst = d * bmax + slot
+            valid[dst] = True
+            packed_hints[dst] = depth_hints[pos]
+            for p, a in zip(packed, arrays):
+                p[dst] = a[pos]
+            pos += 1
+    return tuple(packed), valid, packed_hints
+
+
 def render_depth_contiguous_slicemarch(
     mesh: Mesh,
     vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] depth-contiguous packing
@@ -481,7 +523,10 @@ def render_depth_contiguous_slicemarch(
     width: int,
     height: int,
     max_slices: int,
+    logical_width: int | None = None,
+    logical_height: int | None = None,
     interpret: bool = False,
+    sampling: str = "nearest",
 ):
     """Depth-contiguous multi-chip frame: minimal-ICI-traffic pipeline.
 
@@ -505,7 +550,8 @@ def render_depth_contiguous_slicemarch(
         colors, depths = slicemarch_render(
             b_vol, b_meta, b_dims, b_lut, cam,
             width=width, height=height, max_slices=max_slices,
-            interpret=interpret,
+            logical_width=logical_width, logical_height=logical_height,
+            interpret=interpret, sampling=sampling,
         )
         layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
         mask = b_valid[:, None, None]

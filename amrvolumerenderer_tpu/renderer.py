@@ -55,6 +55,17 @@ def validate_render_parameters(parameters: RenderParameters) -> None:
         raise ValueError("antialiasing must be a perfect square (1, 4, 9, ...)")
     if parameters.sampling not in ("nearest", "trilinear"):
         raise ValueError("sampling must be \"nearest\" or \"trilinear\"")
+    if parameters.render_method not in (
+        "auto", "raymarch", "slicemarch", "tilemarch"
+    ):
+        raise ValueError(
+            "render method must be one of auto, raymarch, slicemarch, "
+            "tilemarch"
+        )
+    if parameters.multichip_pipeline not in ("auto", "depth", "layered"):
+        raise ValueError(
+            "multichip pipeline must be one of auto, depth, layered"
+        )
 
 
 def compute_global_bounds(geometry: SceneGeometry) -> VolumeBounds:
@@ -455,10 +466,61 @@ def render_single_trial(
     reference_sample_distance = compute_reference_sample_distance(geometry, bounds)
     tight_bounds = compute_tight_bounds(geometry, bounds)
 
+    # visibility ordering first: its permutation feeds depth-hint
+    # tie-breaking in every composite below (the reference computes it
+    # between paint and composite, VolumeRenderer.cpp:1234-1245, but only
+    # the composite consumes it; stage times are still reported per stage)
+    t0 = time.perf_counter()
+    if geometry.bricks:
+        box_min = np.stack([b.min_corner for b in geometry.bricks])
+        box_max = np.stack([b.max_corner for b in geometry.bricks])
+    else:
+        box_min = np.zeros((0, 3))
+        box_max = np.zeros((0, 3))
+    brick_owners = np.array([b.owner for b in geometry.bricks], dtype=np.int32)
+    rank_order = build_visibility_order(
+        camera,
+        aspect,
+        box_min,
+        box_max,
+        brick_owners,
+        num_ranks,
+        parameters.use_visibility_graph,
+        parameters.write_visibility_graph,
+        log=verbose,
+    )
+    timing.visibility_seconds = time.perf_counter() - t0
+
+    num_devices = parameters.devices or 1
+    if num_devices < 1:
+        raise ValueError("devices must be a positive device count")
+    if num_devices > len(jax.devices()):
+        raise ValueError(
+            f"requested {num_devices} devices but only "
+            f"{len(jax.devices())} are available"
+        )
+
     resolved = resolve_render_method(method, parameters.sampling)
     fused = resolved in ("slicemarch", "tilemarch")
     t0 = time.perf_counter()
-    if fused:
+    if num_devices > 1:
+        # multi-chip product path: shard the brick table over the mesh and
+        # composite with ICI collectives (the mpirun distribution of
+        # VolumeRenderer/main.cpp:19-36 + VolumeRenderer.cpp:1201-1249)
+        from .renderer_fast import render_composited_sharded
+
+        composited_np = render_composited_sharded(
+            geometry, parameters, camera, scalar_range,
+            reference_sample_distance, render_width, render_height,
+            color_map, num_devices,
+            interpret=jax.default_backend() == "cpu",
+            downsample_block=max(sqrt_aa, 1),
+            pipeline=parameters.multichip_pipeline,
+            rank_order=rank_order,
+        )
+        fused = True
+        layers = depth_hints = owners = local_indices = None
+    elif fused:
         # fused fast path: render + depth-sorted composite stay on device;
         # only the final frame crosses to the host
         from .renderer_fast import (
@@ -476,6 +538,7 @@ def render_single_trial(
             reference_sample_distance, render_width, render_height,
             color_map, interpret=jax.default_backend() == "cpu",
             downsample_block=max(sqrt_aa, 1),
+            rank_order=rank_order,
         )
         layers = depth_hints = owners = local_indices = None
     else:
@@ -494,28 +557,6 @@ def render_single_trial(
     timing.render_seconds = time.perf_counter() - t0
     if verbose:
         print(f"Render: per-box rendering took {timing.render_seconds:.4f} s")
-
-    t0 = time.perf_counter()
-    if geometry.bricks:
-        box_min = np.stack([b.min_corner for b in geometry.bricks])
-        box_max = np.stack([b.max_corner for b in geometry.bricks])
-    else:
-        box_min = np.zeros((0, 3))
-        box_max = np.zeros((0, 3))
-    brick_owners = np.array([b.owner for b in geometry.bricks], dtype=np.int32)
-    _rank_order = build_visibility_order(
-        camera,
-        aspect,
-        box_min,
-        box_max,
-        brick_owners,
-        num_ranks,
-        parameters.use_visibility_graph,
-        parameters.write_visibility_graph,
-        log=verbose,
-    )
-    timing.visibility_seconds = time.perf_counter() - t0
-    if verbose:
         print(
             "Render: visibility graph computation took "
             f"{timing.visibility_seconds:.4f} s"
@@ -525,8 +566,11 @@ def render_single_trial(
     if fused:
         composited = composited_np  # composited inside the render dispatch
     else:
+        from .renderer_fast import visibility_owner_keys
+
         composited = composite_layers_device(
-            jnp.asarray(layers), depth_hints, owners, local_indices
+            jnp.asarray(layers), depth_hints,
+            visibility_owner_keys(owners, rank_order), local_indices,
         )
         composited = np.asarray(jax.device_get(composited))
     timing.composite_seconds = time.perf_counter() - t0
@@ -596,6 +640,8 @@ def render_scene(
 ) -> Tuple[ImageBuffer, RenderTiming]:
     """Render with an explicit camera, or the seeded auto-orbit camera
     (VolumeRenderer.cpp:947-1101)."""
+    if method == "auto":
+        method = parameters.render_method
     validate_render_parameters(parameters)
     if verbose:
         # init banner (VolumeRenderer.cpp:582-585)

@@ -183,6 +183,7 @@ def render_composited_slicemarch(
     color_map: Optional[ColorMap],
     interpret: bool = False,
     downsample_block: int = 1,
+    rank_order: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Fully device-side frame: render + depth-sorted composite fused, only
     the final [render_width * render_height, 5] image crosses to the host.
@@ -198,7 +199,10 @@ def render_composited_slicemarch(
         render_width, render_height, color_map,
     )
     if prep is None:
-        out = np.zeros((render_width * render_height, 5), np.float32)
+        block = max(downsample_block, 1)
+        out = np.zeros(
+            ((render_width // block) * (render_height // block), 5), np.float32
+        )
         out[:, 4] = np.inf
         return out
 
@@ -207,13 +211,14 @@ def render_composited_slicemarch(
             geometry, parameters, camera, scalar_range,
             reference_sample_distance, render_width, render_height,
             color_map, interpret=interpret,
-            downsample_block=downsample_block,
+            downsample_block=downsample_block, rank_order=rank_order,
         )
 
+    owner_keys = visibility_owner_keys(prep["owners"], rank_order)
     order = sort_layers(
-        prep["depth_hints"], prep["owners"], prep["local_indices"]
+        prep["depth_hints"], owner_keys, prep["local_indices"]
     )
-    owners_sorted = prep["owners"][order]
+    owners_sorted = owner_keys[order]
     frame = composited_frame(
         jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
         jnp.asarray(prep["dims"]), jnp.asarray(prep["luts"]),
@@ -231,6 +236,166 @@ def render_composited_slicemarch(
             frame, render_width, render_height, downsample_block
         )
     return np.asarray(frame)
+
+
+def visibility_owner_keys(
+    owners: np.ndarray, rank_order: Optional[np.ndarray]
+) -> np.ndarray:
+    """Map layer owners to their position in the visibility rank order.
+
+    The returned keys replace the raw owner rank in the (depth, owner,
+    local) layer sort so depth-hint *ties* between different owners break in
+    visibility-graph order instead of rank order.  The reference breaks such
+    ties by communicator rank (DirectSendBase.cpp:378-388) — which ignores
+    the visibility permutation it just computed; using the graph position is
+    strictly more correct and makes the ordering it pays for consequential.
+    Identity when no order is supplied (or owners fall outside it).
+    """
+    owners = np.asarray(owners, dtype=np.int32)
+    if rank_order is None or len(rank_order) <= 1:
+        return owners
+    num_ranks = len(rank_order)
+    position = np.empty(num_ranks, dtype=np.int32)
+    position[np.asarray(rank_order, dtype=np.int32)] = np.arange(
+        num_ranks, dtype=np.int32
+    )
+    keys = owners.copy()
+    in_range = (owners >= 0) & (owners < num_ranks)
+    keys[in_range] = position[owners[in_range]]
+    return keys
+
+
+def render_composited_sharded(
+    geometry: SceneGeometry,
+    parameters: RenderParameters,
+    camera: CameraParameters,
+    scalar_range: Tuple[float, float],
+    reference_sample_distance: float,
+    render_width: int,
+    render_height: int,
+    color_map: Optional[ColorMap],
+    num_devices: int,
+    interpret: bool = False,
+    downsample_block: int = 1,
+    pipeline: str = "auto",
+    rank_order: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Multi-chip frame through the public pipeline: shard the brick table
+    over a device mesh, render + exchange + composite with collectives.
+
+    This is the product form of the reference's ``mpirun`` distribution
+    (VolumeRenderer/main.cpp:19-36; per-rank paint loop + compose at
+    VolumeRenderer.cpp:1201-1249): brick pieces are assigned to mesh
+    devices per frame and the composited frame comes back pixel-sharded.
+
+    ``pipeline`` selects the collective structure:
+      * ``"depth"`` (and ``"auto"``): depth-contiguous assignment — each
+        device owns a contiguous run of the global depth order, ICI traffic
+        is O(devices x pixels) (``render_depth_contiguous_slicemarch``).
+        Exact for the disjoint bricks ``convexify`` guarantees.
+      * ``"layered"``: static contiguous assignment + the full layered
+        exchange (``render_and_composite_sharded_slicemarch``), the direct
+        mapping of the reference's layered compose.
+
+    Returns the composited [render_width * render_height, 5] frame
+    (downsampled when ``downsample_block`` > 1), gathered to host.
+    """
+    from .compositor import sort_layers
+    from .parallel.directsend import (
+        make_mesh,
+        pack_contiguous,
+        pack_depth_contiguous,
+        render_and_composite_sharded_slicemarch,
+        render_depth_contiguous_slicemarch,
+    )
+
+    if pipeline not in ("auto", "depth", "layered"):
+        raise ValueError(f"unknown multichip pipeline '{pipeline}'")
+
+    prep = prepare_slicemarch_scene(
+        geometry, parameters, camera, scalar_range, reference_sample_distance,
+        render_width, render_height, color_map,
+    )
+    num_pixels = render_width * render_height
+    if prep is None:
+        block = max(downsample_block, 1)
+        out = np.zeros(
+            ((render_width // block) * (render_height // block), 5), np.float32
+        )
+        out[:, 4] = np.inf
+        return out
+
+    mesh = make_mesh(num_devices)
+    pad_pixels = prep["pad_w"] * prep["pad_h"]
+    if pad_pixels % num_devices:
+        raise ValueError(
+            f"padded frame ({prep['pad_w']}x{prep['pad_h']}) is not divisible "
+            f"by the device count {num_devices}"
+        )
+
+    owner_keys = visibility_owner_keys(prep["owners"], rank_order)
+    cam = jnp.asarray(prep["cam"])
+
+    if pipeline == "layered":
+        # static placement in global (owner, local) order so the in-shard
+        # stable depth argsort reproduces the reference layer order
+        key_order = np.lexsort((prep["local_indices"], owner_keys))
+        (p_vol, p_meta, p_dims, p_luts), valid, p_hints = pack_contiguous(
+            num_devices,
+            prep["depth_hints"][key_order],
+            prep["vol"][key_order],
+            prep["meta"][key_order],
+            prep["dims"][key_order],
+            prep["luts"][key_order],
+        )
+        frame = render_and_composite_sharded_slicemarch(
+            mesh,
+            jnp.asarray(p_vol), jnp.asarray(p_meta), jnp.asarray(p_dims),
+            jnp.asarray(p_luts), cam,
+            jnp.asarray(valid), jnp.asarray(p_hints),
+            width=prep["pad_w"], height=prep["pad_h"],
+            max_slices=prep["s_max"],
+            logical_width=render_width, logical_height=render_height,
+            interpret=interpret, sampling=parameters.sampling,
+        )
+    else:
+        # per-frame depth-contiguous placement: sort key must match the
+        # single-device fold exactly, so feed the same (hint, owner, local)
+        # lexicographic order through the packer
+        key_order = sort_layers(
+            prep["depth_hints"], owner_keys, prep["local_indices"]
+        )
+        (p_vol, p_meta, p_dims, p_luts), valid, p_hints = pack_depth_contiguous(
+            prep["depth_hints"][key_order],
+            np.arange(len(key_order), dtype=np.int32),
+            num_devices,
+            prep["vol"][key_order],
+            prep["meta"][key_order],
+            prep["dims"][key_order],
+            prep["luts"][key_order],
+        )
+        frame = render_depth_contiguous_slicemarch(
+            mesh,
+            jnp.asarray(p_vol), jnp.asarray(p_meta), jnp.asarray(p_dims),
+            jnp.asarray(p_luts), cam,
+            jnp.asarray(valid), jnp.asarray(p_hints),
+            width=prep["pad_w"], height=prep["pad_h"],
+            max_slices=prep["s_max"],
+            logical_width=render_width, logical_height=render_height,
+            interpret=interpret, sampling=parameters.sampling,
+        )
+
+    frame = np.asarray(frame).reshape(prep["pad_h"], prep["pad_w"], 5)
+    frame = frame[:render_height, :render_width].reshape(num_pixels, 5)
+    if downsample_block > 1:
+        block = downsample_block
+        tw, th = render_width // block, render_height // block
+        c = frame[:, :4].reshape(th, block, tw, block, 4).mean(axis=(1, 3))
+        out = np.empty((tw * th, 5), np.float32)
+        out[:, :4] = c.reshape(tw * th, 4)
+        out[:, 4] = np.inf
+        return out
+    return frame
 
 
 def render_layers_slicemarch(
@@ -332,6 +497,7 @@ def render_composited_tilemarch(
     color_map: Optional[ColorMap],
     interpret: bool = False,
     downsample_block: int = 1,
+    rank_order: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Frame via the tile-loop mega-kernel (ops/tilemarch.py): HBM use is
     independent of brick count, for deep-AMR scenes with many bricks."""
@@ -344,7 +510,10 @@ def render_composited_tilemarch(
     )
     num_pixels = render_width * render_height
     if prep is None:
-        out = np.zeros((num_pixels, 5), np.float32)
+        block = max(downsample_block, 1)
+        out = np.zeros(
+            ((render_width // block) * (render_height // block), 5), np.float32
+        )
         out[:, 4] = np.inf
         return out
 
@@ -360,7 +529,8 @@ def render_composited_tilemarch(
         box_max[i] = prep["meta"][i, 3:6][inv]
 
     offsets, tbricks, towners = tm.build_tile_worklist(
-        box_min, box_max, prep["depth_hints"], prep["owners"],
+        box_min, box_max, prep["depth_hints"],
+        visibility_owner_keys(prep["owners"], rank_order),
         np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
         prep["pad_w"], prep["pad_h"],
         logical_width=render_width, logical_height=render_height,

@@ -177,6 +177,17 @@ class RenderParameters:
     # beyond-reference: "nearest" (reference semantics) or "trilinear"
     # (in-slice bilinear at march-plane crossings; fast-path kernels only)
     sampling: str = "nearest"
+    # beyond-reference: number of mesh devices to distribute the render
+    # across (the ``mpirun -n`` of VolumeRenderer/main.cpp:19-36 expressed
+    # as a jax.sharding mesh).  None/1 = single device.
+    devices: Optional[int] = None
+    # multi-chip collective structure: "auto" (= depth-contiguous,
+    # O(devices x pixels) ICI traffic), "depth", or "layered" (the direct
+    # mapping of the reference's layered exchange)
+    multichip_pipeline: str = "auto"
+    # render kernel selection: "auto" (slicemarch on TPU, raymarch oracle
+    # elsewhere), "raymarch", "slicemarch", or "tilemarch"
+    render_method: str = "auto"
 
 
 @dataclasses.dataclass
