@@ -166,7 +166,13 @@ def _kernel_body(
         tmax = jnp.minimum(tmax, hi)
     hit = (tmax >= tmin) & (tmax > 0.0)
 
-    # per-ray march quantities along the dominant axis
+    # per-ray march quantities along the dominant axis.  The marchable
+    # guard excludes rays perpendicular to the march axis, which a
+    # perspective camera below fov 180 cannot produce (at fov 120 the
+    # corner ray still has |d_a| >= 0.38); wide-FOV/off-axis parity vs the
+    # raymarch oracle is locked by tests/test_widefov.py.  The reference
+    # has no guard (VolumePainter.cpp:775-809) but cannot reach the case
+    # either.
     d_a = d[0]
     marchable = jnp.abs(d_a) > 1e-8
     safe_da = jnp.where(marchable, d_a, 1.0)
