@@ -248,26 +248,18 @@ def compute_scene_histogram(scene: SceneGeometry, bin_count: int) -> ScalarHisto
     if not (range_width > 0.0) or not math.isfinite(range_width):
         return hist
 
-    t = scene.scalar_transform
-    counts = np.zeros(bin_count, dtype=np.uint64)
-    total = 0
-    for brick in scene.bricks:
-        raw = brick.data.astype(np.float64).ravel()
-        value = np.where(np.isfinite(raw), raw, 0.0)
-        if t.log_scale_input:
-            value = np.where(value > 0.0, np.maximum(value, t.positive_floor),
-                             t.positive_floor)
-            value = np.log(value)
-        if t.normalize_to_unit_range:
-            value = np.clip(
-                (value - t.normalization_min) * t.inverse_normalization_span, 0.0, 1.0
-            )
-        value = np.clip(value.astype(np.float32), range_min, range_max)
-        normalized = np.clip((value - range_min) / range_width, 0.0, 1.0)
-        idx = np.clip((normalized * bin_count).astype(np.int64), 0, bin_count - 1)
-        counts += np.bincount(idx, minlength=bin_count).astype(np.uint64)
-        total += raw.size
+    # one binning path for plotfile/API scenes and in-situ device scenes:
+    # the jitted transform + bincount of device_scene.device_histogram
+    # (the reference likewise bins on the GPU for both,
+    # SceneBuilder.cpp:445-577 / VolumeRenderer.cpp:880-897)
+    from .device_scene import device_histogram
 
+    counts, total = device_histogram(
+        [brick.data for brick in scene.bricks],
+        scene.scalar_transform,
+        bin_count,
+        hist.normalized_range,
+    )
     hist.bin_counts = counts
     hist.sample_count = total
     if not hist.has_processed_range or total == 0:

@@ -26,12 +26,12 @@ import sys
 import numpy as np
 
 
-def main() -> int:
+def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("output_dir")
     parser.add_argument("--frames", type=int, default=6)
     parser.add_argument("--size", type=int, default=256)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
 
     import jax.numpy as jnp

@@ -15,7 +15,7 @@ from pathlib import Path
 import amrvolumerenderer_tpu as avr
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("plotfile")
     parser.add_argument("--frames", type=int, default=36)
@@ -35,7 +35,7 @@ def main() -> None:
     parser.add_argument("--far", type=float, default=10.0)
     parser.add_argument("--output-dir", type=Path, default=Path("orbit_frames"))
     parser.add_argument("--output-prefix", default="frame")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     if args.frames <= 0:
         raise ValueError("--frames must be a positive integer")

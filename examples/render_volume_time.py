@@ -33,7 +33,7 @@ DEFAULT_COLOR_MAP = [
 ]
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("pattern", help="Glob pattern for plotfiles, e.g. 'run/plt*'")
     parser.add_argument("--width", type=int, default=512)
@@ -50,7 +50,7 @@ def main() -> None:
     )
     parser.add_argument("--use-default-colormap", action="store_true")
     parser.add_argument("--output-dir", type=Path, default=Path("time_frames"))
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     plotfiles = sorted(
         p for p in glob.glob(args.pattern) if os.path.isdir(p)

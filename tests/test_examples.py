@@ -12,13 +12,20 @@ from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
 
 EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
 
-# Each example runs in a fresh subprocess and pays a full XLA compile; the
-# orbit/time-series variants only re-exercise the same render() surface, so
-# they are opt-in to keep the default suite fast.
-slow = pytest.mark.skipif(
-    not os.environ.get("RUN_SLOW_TESTS"),
-    reason="set RUN_SLOW_TESTS=1 to run subprocess-heavy example tests",
-)
+def load_example(script):
+    """Import an example script as a module (examples/ is not a package)
+    so its main(argv) runs in-process, sharing this process's XLA compile
+    cache — the multi-frame examples then cost one compile total instead
+    of a fresh subprocess compile each."""
+    import importlib.util
+
+    path = os.path.join(EXAMPLES, script)
+    spec = importlib.util.spec_from_file_location(
+        "example_" + script.replace(".py", ""), path
+    )
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
 
 
 @pytest.fixture
@@ -55,29 +62,23 @@ def test_render_volume_example(plotfile, tmp_path):
     assert os.path.exists(out)
 
 
-@slow
 def test_render_volume_rotate_example(plotfile, tmp_path):
-    r = run_example(
-        "render_volume_rotate.py",
+    mod = load_example("render_volume_rotate.py")
+    mod.main(
         [plotfile, "--frames", "2", "--width", "16", "--height", "16",
-         "--output-dir", str(tmp_path / "orbit")],
-        str(tmp_path),
+         "--output-dir", str(tmp_path / "orbit")]
     )
-    assert r.returncode == 0, r.stderr[-2000:]
     frames = os.listdir(tmp_path / "orbit")
     assert len(frames) == 2
 
 
-@slow
 def test_render_volume_time_example(plotfile, tmp_path):
-    r = run_example(
-        "render_volume_time.py",
+    mod = load_example("render_volume_time.py")
+    mod.main(
         [os.path.join(os.path.dirname(plotfile), "plt*"),
          "--width", "16", "--height", "16",
-         "--output-dir", str(tmp_path / "time")],
-        str(tmp_path),
+         "--output-dir", str(tmp_path / "time")]
     )
-    assert r.returncode == 0, r.stderr[-2000:]
     assert len(os.listdir(tmp_path / "time")) == 1
 
 
@@ -99,13 +100,8 @@ def test_render_from_arrays_example(tmp_path):
     assert os.path.exists(tmp_path / "multifab-render.png")
 
 
-@slow
 def test_render_animation_example(tmp_path):
-    r = run_example(
-        "render_animation.py",
-        [str(tmp_path / "anim"), "--frames", "3", "--size", "32"],
-        str(tmp_path),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    mod = load_example("render_animation.py")
+    assert mod.main([str(tmp_path / "anim"), "--frames", "3", "--size", "32"]) == 0
     frames = os.listdir(tmp_path / "anim")
     assert len(frames) == 3
