@@ -79,6 +79,9 @@ class RenderOptions:
     devices: Optional[int] = None
     # beyond-reference render kernel selection (see RenderParameters)
     render_method: str = "auto"
+    # multi-chip collective structure / exchange payload (RenderParameters)
+    multichip_pipeline: str = "auto"
+    multichip_transport: str = "float32"
 
 
 @dataclasses.dataclass
@@ -315,6 +318,8 @@ def render(
         sampling=options.sampling,
         devices=options.devices,
         render_method=options.render_method,
+        multichip_pipeline=options.multichip_pipeline,
+        multichip_transport=options.multichip_transport,
     )
     validate_render_parameters(parameters)
     validate_scalar_range(options.scalar_range)

@@ -66,6 +66,8 @@ def validate_render_parameters(parameters: RenderParameters) -> None:
         raise ValueError(
             "multichip pipeline must be one of auto, depth, layered"
         )
+    if parameters.multichip_transport not in ("float32", "ubyte"):
+        raise ValueError("multichip transport must be float32 or ubyte")
 
 
 def compute_global_bounds(geometry: SceneGeometry) -> VolumeBounds:
@@ -516,6 +518,7 @@ def render_single_trial(
             interpret=jax.default_backend() == "cpu",
             downsample_block=max(sqrt_aa, 1),
             pipeline=parameters.multichip_pipeline,
+            transport=parameters.multichip_transport,
             rank_order=rank_order,
         )
         fused = True

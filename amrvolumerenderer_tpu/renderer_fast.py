@@ -278,6 +278,7 @@ def render_composited_sharded(
     interpret: bool = False,
     downsample_block: int = 1,
     pipeline: str = "auto",
+    transport: str = "float32",
     rank_order: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Multi-chip frame through the public pipeline: shard the brick table
@@ -302,9 +303,11 @@ def render_composited_sharded(
     """
     from .compositor import sort_layers
     from .parallel.directsend import (
+        coverage_rect,
         make_mesh,
         pack_contiguous,
         pack_depth_contiguous,
+        paste_rect,
         render_and_composite_sharded_slicemarch,
         render_depth_contiguous_slicemarch,
     )
@@ -335,6 +338,13 @@ def render_composited_sharded(
 
     owner_keys = visibility_owner_keys(prep["owners"], rank_order)
     cam = jnp.asarray(prep["cam"])
+    # coverage-compacted exchange: only the tile-aligned union screen rect
+    # of the brick bboxes crosses the ICI (sparse-transport parity with
+    # ImageSparseColorOnly.hpp:98-199, re-designed for static shapes)
+    rect = coverage_rect(
+        prep["coverage"], prep["pad_w"], prep["pad_h"],
+        sm.TILE_W, sm.TILE_H, num_devices,
+    )
 
     if pipeline == "layered":
         # static placement in global (owner, local) order so the in-shard
@@ -357,6 +367,7 @@ def render_composited_sharded(
             max_slices=prep["s_max"],
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
+            transport=transport, rect=rect,
         )
     else:
         # per-frame depth-contiguous placement: sort key must match the
@@ -383,9 +394,11 @@ def render_composited_sharded(
             max_slices=prep["s_max"],
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
+            transport=transport, rect=rect,
         )
 
-    frame = np.asarray(frame).reshape(prep["pad_h"], prep["pad_w"], 5)
+    frame = paste_rect(np.asarray(frame), rect, prep["pad_w"], prep["pad_h"])
+    frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
     frame = frame[:render_height, :render_width].reshape(num_pixels, 5)
     if downsample_block > 1:
         block = downsample_block

@@ -185,6 +185,10 @@ class RenderParameters:
     # O(devices x pixels) ICI traffic), "depth", or "layered" (the direct
     # mapping of the reference's layered exchange)
     multichip_pipeline: str = "auto"
+    # multi-chip exchange payload: "float32" (exact, default) or "ubyte"
+    # (the reference's color-ubyte compositing axis: 2.5x less ICI traffic
+    # for 1/255 color quantization)
+    multichip_transport: str = "float32"
     # render kernel selection: "auto" (slicemarch on TPU, raymarch oracle
     # elsewhere), "raymarch", "slicemarch", or "tilemarch"
     render_method: str = "auto"
