@@ -325,17 +325,16 @@ class FastSceneRenderer:
         i1 = int(np.clip((vmax - lo) / span * 255, 0, 255))
         return bool(lut_alpha[i0 : i1 + 1].max() > 0.0)
 
-    def render(
-        self,
-        camera: CameraParameters,
-        output_filename: Optional[str] = None,
-        overlay: bool = True,
-    ) -> np.ndarray:
-        """Render one frame; returns the output-resolution [W*H, 5] image.
+    def frame_inputs(self, camera: CameraParameters):
+        """Per-frame preparation for one camera: march-axis repack (device,
+        cached per axis), piece metadata / occupied-slice bounds, camera
+        packing, and the CSR tile work list with transparency culling.
 
-        ``overlay`` draws the tight-bounds wireframe (the reference always
-        does, VolumeRenderer.cpp:1311-1314); ``output_filename`` saves a
-        PPM/PNG like renderSingleTrial."""
+        This is ALL the work ``render`` does besides the device kernel call
+        itself — exposed so benchmarks can time per-frame host prep and the
+        device frame separately (the reference's per-stage timers,
+        VolumeRenderer.cpp:1121-1136).  Returns a dict of tilemarch kernel
+        arguments, or None when every work item was culled."""
         forward, right, up = camera_basis(camera)
         axis = sm.choose_march_axis(forward)
         axes = [axis] + [a for a in range(3) if a != axis]
@@ -391,15 +390,35 @@ class FastSceneRenderer:
             offsets = np.zeros(len(counts) + 1, dtype=np.int32)
             np.cumsum(counts, out=offsets[1:])
         if len(tbricks) == 0:
+            return None
+        return dict(
+            meta=jnp.asarray(meta), dims=jnp.asarray(dims),
+            cam=jnp.asarray(cam), offsets=jnp.asarray(offsets),
+            bricks=jnp.asarray(tbricks), owners=jnp.asarray(towners),
+        )
+
+    def render(
+        self,
+        camera: CameraParameters,
+        output_filename: Optional[str] = None,
+        overlay: bool = True,
+    ) -> np.ndarray:
+        """Render one frame; returns the output-resolution [W*H, 5] image.
+
+        ``overlay`` draws the tight-bounds wireframe (the reference always
+        does, VolumeRenderer.cpp:1311-1314); ``output_filename`` saves a
+        PPM/PNG like renderSingleTrial."""
+        inputs = self.frame_inputs(camera)
+        if inputs is None:
             # everything culled (e.g. fully transparent transfer function)
             frame = jnp.zeros(
                 (self.render_height * self.render_width, 5), jnp.float32
             ).at[:, 4].set(jnp.inf)
         else:
             out_c, out_d = tm.tilemarch_render(
-                self._packed_vol, jnp.asarray(meta), jnp.asarray(dims),
-                self._lut_device, jnp.asarray(cam), jnp.asarray(offsets),
-                jnp.asarray(tbricks), jnp.asarray(towners),
+                self._packed_vol, inputs["meta"], inputs["dims"],
+                self._lut_device, inputs["cam"], inputs["offsets"],
+                inputs["bricks"], inputs["owners"],
                 width=self.pad_w, height=self.pad_h, max_slices=self.cube,
                 logical_width=self.render_width,
                 logical_height=self.render_height,
