@@ -167,7 +167,7 @@ def prepare_device_scene(
     The canonical <=32^3 piece table is assembled with jitted pads/stacks;
     brick data never crosses to the host.
     """
-    from .fast_scene import MAX_CUBE, FastSceneRenderer
+    from .fast_scene import MAX_CUBE, FastSceneRenderer, _split_to_cubes
 
     scene = build_device_scene_geometry(bricks, log_scale_input)
 
@@ -175,40 +175,29 @@ def prepare_device_scene(
     apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
     t = scene.scalar_transform
 
+    # trilinear: ghost rings for seam-free cube splits (fast_scene.__init__)
+    ghost = 1 if parameters.sampling == "trilinear" else 0
+    core = MAX_CUBE - 2 * ghost
+
     piece_arrays: List[jnp.ndarray] = []
     piece_meta = []  # (min, max, dims, parent)
     piece_ranges = []
     for parent, b in enumerate(scene.bricks):
         data = _pretransform_device(b.data, t, clip_start, apply_clip)
-        shape = data.shape
-        spans = [
-            (b.max_corner[d] - b.min_corner[d]) / shape[d] for d in range(3)
-        ]
-        for i0 in range(0, shape[0], MAX_CUBE):
-            for j0 in range(0, shape[1], MAX_CUBE):
-                for k0 in range(0, shape[2], MAX_CUBE):
-                    lo = np.array([i0, j0, k0])
-                    hi = np.minimum(lo + MAX_CUBE, shape)
-                    piece = data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
-                    pad = [(0, MAX_CUBE - (hi[d] - lo[d])) for d in range(3)]
-                    piece_arrays.append(jnp.pad(piece, pad))
-                    piece_ranges.append(
-                        (float(piece.min()), float(piece.max()))
-                    )
-                    piece_meta.append(
-                        (
-                            b.min_corner + lo * spans,
-                            b.min_corner + hi * spans,
-                            hi - lo,
-                            parent,
-                        )
-                    )
+        for block, mn, mx, dims in _split_to_cubes(
+            data, b.min_corner, b.max_corner, core, ghost=ghost
+        ):
+            pad = [(0, MAX_CUBE - block.shape[d]) for d in range(3)]
+            piece_arrays.append(jnp.pad(block, pad))
+            piece_ranges.append((float(block.min()), float(block.max())))
+            piece_meta.append((mn, mx, dims, parent))
     canonical = jnp.stack(piece_arrays)
 
     renderer = FastSceneRenderer.__new__(FastSceneRenderer)
     renderer._init_from_canonical(
         scene, parameters, color_map, canonical, piece_meta,
         piece_ranges=piece_ranges, interpret=interpret, precision=precision,
+        ghost=ghost,
     )
     return renderer
 

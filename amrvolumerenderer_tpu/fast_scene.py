@@ -48,14 +48,24 @@ from .types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 MAX_CUBE = 32  # largest canonical piece edge (32*32 = one vreg slice)
 
 
-def _split_to_cubes(data, min_corner, max_corner, cube):
-    """Split a brick into <= cube^3 pieces (metadata-only views)."""
+def _split_to_cubes(data, min_corner, max_corner, cube, ghost=0):
+    """Split a brick into <= cube^3 CORE pieces.
+
+    Returns [(block, mn, mx, core_dims), ...].  ``cube`` is the core edge;
+    with ``ghost > 0`` each block carries a ``ghost``-cell ring on every
+    axis (neighbor data of the same brick at split boundaries,
+    edge-replicated at true brick faces) while ``mn``/``mx`` bound the core
+    — the layout ops/slicemarch._kernel_body expects for seam-free
+    trilinear.  Works for both host (np) and device (jnp) arrays; with
+    ``ghost == 0`` blocks are metadata-only views."""
+    xp = np if isinstance(data, np.ndarray) else jnp
     pieces = []
     shape = data.shape
     spans = [
         (max_corner[d] - min_corner[d]) / shape[d] if shape[d] else 1.0
         for d in range(3)
     ]
+    padded = xp.pad(data, ghost, mode="edge") if ghost else data
     for i0 in range(0, shape[0], cube):
         for j0 in range(0, shape[1], cube):
             for k0 in range(0, shape[2], cube):
@@ -63,9 +73,13 @@ def _split_to_cubes(data, min_corner, max_corner, cube):
                 hi = np.minimum(lo + cube, shape)
                 mn = np.asarray(min_corner) + lo * spans
                 mx = np.asarray(min_corner) + hi * spans
-                pieces.append(
-                    (data[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]], mn, mx)
-                )
+                # core cell i sits at padded index i + ghost: the block
+                # [lo, hi + 2*ghost) is the core plus its ring
+                g2 = 2 * ghost
+                block = padded[
+                    lo[0]: hi[0] + g2, lo[1]: hi[1] + g2, lo[2]: hi[2] + g2
+                ]
+                pieces.append((block, mn, mx, hi - lo))
     return pieces
 
 
@@ -110,27 +124,31 @@ class FastSceneRenderer:
         clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
         apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
         t = geometry.scalar_transform
+        # trilinear: 1-cell ghost rings make cube splits seam-free (core
+        # shrinks to MAX_CUBE - 2 so the stored block still fits the vreg)
+        ghost = 1 if parameters.sampling == "trilinear" else 0
+        core = MAX_CUBE - 2 * ghost
         pieces = []
         piece_meta = []
         piece_ranges = []
         for parent, brick in enumerate(geometry.bricks):
             data = _pretransform(brick.data, t, clip_start, apply_clip)
-            for d, mn, mx in _split_to_cubes(
-                data, brick.min_corner, brick.max_corner, MAX_CUBE
+            for d, mn, mx, dims in _split_to_cubes(
+                data, brick.min_corner, brick.max_corner, core, ghost=ghost
             ):
-                pieces.append((d, mn, mx))
-                piece_meta.append((mn, mx, np.asarray(d.shape), parent))
+                pieces.append(d)
+                piece_meta.append((mn, mx, dims, parent))
                 piece_ranges.append((float(np.min(d)), float(np.max(d))))
         num = len(pieces)
         if num == 0:
             raise ValueError("scene contains no bricks")
         canonical = np.zeros((num, MAX_CUBE, MAX_CUBE, MAX_CUBE), np.float32)
-        for i, (d, _mn, _mx) in enumerate(pieces):
+        for i, d in enumerate(pieces):
             canonical[i, : d.shape[0], : d.shape[1], : d.shape[2]] = d
         self._init_from_canonical(
             geometry, parameters, color_map, jnp.asarray(canonical),
             piece_meta, piece_ranges=piece_ranges, interpret=interpret,
-            precision=precision,
+            precision=precision, ghost=ghost,
         )
 
     def _init_from_canonical(
@@ -143,6 +161,7 @@ class FastSceneRenderer:
         piece_ranges=None,  # optional [(vmin, vmax)] for transparency culling
         interpret: Optional[bool] = None,
         precision: str = "float32",
+        ghost: int = 0,  # ghost-ring width baked into ``canonical``
     ):
         validate_render_parameters(parameters)
         if precision not in ("float32", "bfloat16"):
@@ -191,7 +210,9 @@ class FastSceneRenderer:
             self.visible = np.ones(canonical.shape[0], dtype=bool)
 
         num = canonical.shape[0]
-        self.cube = MAX_CUBE
+        self.cube = MAX_CUBE  # stored edge (= kernel row stride/max_slices)
+        self.ghost = ghost
+        self.core = MAX_CUBE - 2 * ghost  # largest piece core edge
         self.box_min = np.zeros((num, 3))
         self.box_max = np.zeros((num, 3))
         self.dims_world = np.zeros((num, 3), np.int32)
@@ -217,12 +238,18 @@ class FastSceneRenderer:
     def _set_canonical(self, canonical: jnp.ndarray) -> None:
         """(Re)place the device piece table and refresh value-derived state."""
         self.canonical = canonical
-        # per-axis per-slice value extrema (device reduction, [L, cube] to
+        # per-axis per-slice value extrema (device reduction, [L, core] to
         # host) for fine-grained empty-space skipping: the march kernels
-        # only visit slices whose values can map to nonzero alpha
+        # only visit slices whose values can map to nonzero alpha.  Core
+        # slice k is stored at k + ghost; its in-plane ghost ring joins the
+        # extrema (bilinear can sample into it — conservative, never skips
+        # a contributing slice)
+        g = self.ghost
         self._slice_minmax = {}
         for a in range(3):
             v = jnp.moveaxis(canonical, 1 + a, 1)
+            if g:
+                v = v[:, g: v.shape[1] - g]
             self._slice_minmax[a] = (
                 np.asarray(v.min(axis=(2, 3)).astype(jnp.float32)),
                 np.asarray(v.max(axis=(2, 3)).astype(jnp.float32)),
@@ -261,20 +288,13 @@ class FastSceneRenderer:
                     f"brick shape changed: {arr.shape} vs {brick.data.shape}"
                 )
             v = _pretransform_device(jnp.asarray(arr), t, clip_start, apply_clip)
-            shape = v.shape
-            for i0 in range(0, shape[0], self.cube):
-                for j0 in range(0, shape[1], self.cube):
-                    for k0 in range(0, shape[2], self.cube):
-                        lo = np.array([i0, j0, k0])
-                        hi = np.minimum(lo + self.cube, shape)
-                        piece = v[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
-                        pad = [
-                            (0, self.cube - (hi[d] - lo[d])) for d in range(3)
-                        ]
-                        piece_arrays.append(jnp.pad(piece, pad))
-                        piece_ranges.append(
-                            (float(piece.min()), float(piece.max()))
-                        )
+            for block, _mn, _mx, _dims in _split_to_cubes(
+                v, brick.min_corner, brick.max_corner, self.core,
+                ghost=self.ghost,
+            ):
+                pad = [(0, self.cube - block.shape[d]) for d in range(3)]
+                piece_arrays.append(jnp.pad(block, pad))
+                piece_ranges.append((float(block.min()), float(block.max())))
         canonical = jnp.stack(piece_arrays).astype(self.canonical.dtype)
         if canonical.shape != self.canonical.shape:
             raise ValueError(
@@ -424,6 +444,7 @@ class FastSceneRenderer:
                 logical_height=self.render_height,
                 interpret=self.interpret,
                 sampling=self.parameters.sampling,
+                ghost=self.ghost,
             )
             tiles_x = self.pad_w // sm.TILE_W
             tiles_y = self.pad_h // sm.TILE_H

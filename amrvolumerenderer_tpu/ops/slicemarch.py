@@ -76,8 +76,18 @@ def _kernel_body(
     tile_h: int,
     sampling: str = "nearest",
     unroll: int = 1,
+    ghost: int = 0,
 ):
     """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile.
+
+    ``ghost`` (static, uniform across the call) marks packs whose data
+    carries a ``ghost``-cell ring around the core on every axis: loads are
+    offset by ``ghost`` on all three axes while the world bounds in ``meta``
+    (and so entry/exit, slice positions, and integration windows) stay the
+    core's.  Trilinear sampling then interpolates into neighbor data at
+    split-piece boundaries instead of clamping (seam-free splits; the
+    ghost ring is edge-replicated at true brick boundaries so clamping
+    semantics are preserved there).
 
     ``width``/``height`` are the (tile-padded) buffer dims; NDC ray math
     uses ``logical_width``/``logical_height`` so padded frames render the
@@ -229,17 +239,20 @@ def _kernel_body(
         )
         # clamp loads for the masked unroll tail (k == s_hi)
         k_load = jnp.minimum(k, jnp.maximum(s_hi - 1, 0))
-        k_rev_load = jnp.clip(s_lo + s_hi - 1 - k_load, 0, max_slices - 1)
+        k_rev_load = jnp.clip(
+            s_lo + s_hi - 1 - k_load, 0, max_slices - 1 - ghost
+        )
 
         # slices may be stored bf16 (half the VMEM/HBM); upcast the
-        # whole vreg once, then gather in f32
+        # whole vreg once, then gather in f32.  ``ghost`` shifts core
+        # slice k to its data row (the ring is extra data, not world).
         def load(kk):
-            return vol_ref[0, kk].astype(jnp.float32)
+            return vol_ref[0, kk + ghost].astype(jnp.float32)
 
         if sampling == "nearest":
             iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
             iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-            flat = iu * nv_stride + iv
+            flat = (iu + ghost) * nv_stride + (iv + ghost)
             row = flat // LANES
             col = flat % LANES
 
@@ -248,21 +261,29 @@ def _kernel_body(
         else:
             # trilinear: sample points sit exactly on the march axis'
             # cell-center planes, so trilinear reduces to BILINEAR
-            # within the slice (4 gathers) — no second slice needed
+            # within the slice (4 gathers) — no second slice needed.
+            # Clamp-to-edge semantics: the coordinate is clipped into the
+            # available cell-center range FIRST (core plus the ghost ring,
+            # matching slicemarch_reference), so true brick faces take the
+            # constant edge value while split-piece boundaries interpolate
+            # one cell into the neighbor's data via the ring
+            g = jnp.float32(ghost)
             pu = (pos_u - pmin[1]) / cell[1] - 0.5
             pv = (pos_v - pmin[2]) / cell[2] - 0.5
+            pu = jnp.clip(pu, -g, (nu - 1).astype(jnp.float32) + g)
+            pv = jnp.clip(pv, -g, (nv - 1).astype(jnp.float32) + g)
             fu0 = jnp.floor(pu)
             fv0 = jnp.floor(pv)
             wu = jnp.clip(pu - fu0, 0.0, 1.0)
             wv = jnp.clip(pv - fv0, 0.0, 1.0)
-            iu0 = jnp.clip(fu0.astype(jnp.int32), 0, nu - 1)
-            iu1 = jnp.clip(iu0 + 1, 0, nu - 1)
-            iv0 = jnp.clip(fv0.astype(jnp.int32), 0, nv - 1)
-            iv1 = jnp.clip(iv0 + 1, 0, nv - 1)
+            iu0 = fu0.astype(jnp.int32)
+            iu1 = jnp.minimum(iu0 + 1, nu - 1 + ghost)
+            iv0 = fv0.astype(jnp.int32)
+            iv1 = jnp.minimum(iv0 + 1, nv - 1 + ghost)
 
             def sample(tile):
                 def at(iu_, iv_):
-                    flat = iu_ * nv_stride + iv_
+                    flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
                     return _gather_slice(tile, flat // LANES, flat % LANES)
 
                 v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
@@ -465,7 +486,7 @@ TILE_H = 32
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll",
+        "interpret", "sampling", "unroll", "ghost",
     ),
 )
 def slicemarch_render(
@@ -483,6 +504,7 @@ def slicemarch_render(
     interpret: bool = False,
     sampling: str = "nearest",
     unroll: Optional[int] = None,
+    ghost: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense render: every brick against every pixel tile (with in-kernel
     tile culling).  Returns row-major ([B, H*W, 4], [B, H*W]).
@@ -490,9 +512,12 @@ def slicemarch_render(
     ``sampling="trilinear"`` interpolates within each slice (sample points
     lie on the march axis' cell-center planes, so trilinear == in-slice
     bilinear); the reference is nearest-cell (VolumePainter.cpp:869-880).
-    Interpolation clamps at brick/piece boundaries (no ghost cells), so
-    split bricks show C0 seams there — supply ghost layers in the brick
-    data if cross-brick continuity matters."""
+    Boundary handling is clamp-to-edge over core + ghost ring: with
+    ``ghost > 0`` (packs from split_brick_for_slices/_split_to_cubes with
+    ghost rings) split-piece boundaries interpolate into neighbor data —
+    seam-free decompositions — while true brick faces take the constant
+    edge value.  Cross-BRICK boundaries still clamp (each brick's ring is
+    edge-replicated; tests/test_ghost.py locks both behaviors)."""
     num_bricks = vol.shape[0]
     num_pixels = width * height
     assert width % TILE_W == 0 and height % TILE_H == 0
@@ -506,7 +531,7 @@ def slicemarch_render(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
-        sampling=sampling, unroll=unroll,
+        sampling=sampling, unroll=unroll, ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -549,7 +574,7 @@ def slicemarch_render(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll",
+        "interpret", "sampling", "unroll", "ghost",
     ),
 )
 def slicemarch_render_worklist(
@@ -570,6 +595,7 @@ def slicemarch_render_worklist(
     interpret: bool = False,
     sampling: str = "nearest",
     unroll: Optional[int] = None,
+    ghost: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render: only scheduled (brick, tile) pairs execute.
 
@@ -590,7 +616,7 @@ def slicemarch_render_worklist(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
-        sampling=sampling, unroll=unroll,
+        sampling=sampling, unroll=unroll, ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -643,7 +669,7 @@ def slicemarch_render_worklist(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll",
+        "interpret", "sampling", "unroll", "ghost",
     ),
 )
 def slicemarch_render_worklist_raw(
@@ -663,6 +689,7 @@ def slicemarch_render_worklist_raw(
     interpret: bool = False,
     sampling: str = "nearest",
     unroll: Optional[int] = None,
+    ghost: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render returning TILE-ordered, UNMASKED buffers
     ([B, T, TILE_P, 4], [B, T, SUBLANES, LANES]).  Unscheduled blocks are
@@ -680,7 +707,7 @@ def slicemarch_render_worklist_raw(
         logical_width=logical_width or width,
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
-        sampling=sampling, unroll=unroll,
+        sampling=sampling, unroll=unroll, ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -846,55 +873,82 @@ def choose_march_axis(view_dir: np.ndarray) -> int:
 
 
 def split_brick_for_slices(
-    data: np.ndarray, min_corner: np.ndarray, max_corner: np.ndarray, axis: int
+    data: np.ndarray, min_corner: np.ndarray, max_corner: np.ndarray,
+    axis: int, ghost: int = 0,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Split a brick along the non-march axes until a slice fits one vreg.
 
-    Returns [(data, min_corner, max_corner), ...]; metadata-only split —
-    pieces view into the original array.
+    Returns [(data, min_corner, max_corner), ...].  With ``ghost == 0``
+    (nearest sampling) pieces are metadata-only views into the original
+    array.  With ``ghost > 0`` each returned array carries a ``ghost``-cell
+    ring on every axis — neighbor data of the same brick at split-piece
+    boundaries, edge-replicated at true brick faces — while the world
+    corners still bound the *core* region; trilinear sampling interpolates
+    into the ring instead of clamping, making piece splits seam-free
+    (the reference never splits, VolumePainter.cpp:775-809, so the clamped
+    variant has no parity anchor; this matches the unsplit render).
     """
     axes = [axis] + [a for a in range(3) if a != axis]
     nu_axis, nv_axis = axes[1], axes[2]
-    pieces = [(data, np.asarray(min_corner, float), np.asarray(max_corner, float))]
-    # split the larger transverse axis in half until the slice fits
+    shape = np.asarray(data.shape, int)
+    mn0 = np.asarray(min_corner, float)
+    mx0 = np.asarray(max_corner, float)
+    spans = np.where(shape > 0, (mx0 - mn0) / np.maximum(shape, 1), 1.0)
+    boxes = [(np.zeros(3, int), shape.copy())]  # core cell-index ranges
+    # split the larger transverse axis in half until the (ghosted) slice fits
     while True:
-        next_pieces = []
+        next_boxes = []
         done = True
-        for d, mn, mx in pieces:
-            nu, nv = d.shape[nu_axis], d.shape[nv_axis]
-            if nu * nv <= SLICE_CELLS:
-                next_pieces.append((d, mn, mx))
+        for lo, hi in boxes:
+            nu = hi[nu_axis] - lo[nu_axis]
+            nv = hi[nv_axis] - lo[nv_axis]
+            if (nu + 2 * ghost) * (nv + 2 * ghost) <= SLICE_CELLS:
+                next_boxes.append((lo, hi))
                 continue
             done = False
             split_axis = nu_axis if nu >= nv else nv_axis
-            n = d.shape[split_axis]
-            half = n // 2
-            cell = (mx[split_axis] - mn[split_axis]) / n
-            sl_lo = [slice(None)] * 3
-            sl_hi = [slice(None)] * 3
-            sl_lo[split_axis] = slice(0, half)
-            sl_hi[split_axis] = slice(half, n)
-            mn_hi = mn.copy()
-            mx_lo = mx.copy()
-            mx_lo[split_axis] = mn[split_axis] + half * cell
-            mn_hi[split_axis] = mx_lo[split_axis]
-            next_pieces.append((d[tuple(sl_lo)], mn, mx_lo))
-            next_pieces.append((d[tuple(sl_hi)], mn_hi, mx))
-        pieces = next_pieces
+            mid = lo[split_axis] + (hi[split_axis] - lo[split_axis]) // 2
+            hi_lo, lo_hi = hi.copy(), lo.copy()
+            hi_lo[split_axis] = mid
+            lo_hi[split_axis] = mid
+            next_boxes.append((lo, hi_lo))
+            next_boxes.append((lo_hi, hi))
+        boxes = next_boxes
         if done:
-            return pieces
+            break
+    padded = np.pad(data, ghost, mode="edge") if ghost else data
+    pieces = []
+    for lo, hi in boxes:
+        mn = mn0 + lo * spans
+        mx = mn0 + hi * spans
+        # core cell i sits at padded index i + ghost, so the ghosted block
+        # [lo, hi + 2*ghost) carries the ring around the core
+        block = padded[
+            lo[0]: hi[0] + 2 * ghost,
+            lo[1]: hi[1] + 2 * ghost,
+            lo[2]: hi[2] + 2 * ghost,
+        ]
+        pieces.append((block, mn, mx))
+    return pieces
 
 
-def pack_slice_volume(data: np.ndarray, axis: int) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+def pack_slice_volume(
+    data: np.ndarray, axis: int, ghost: int = 0
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """Permute so the march axis is first and flatten slices into [8, 128]
-    tiles (row-major over (u, v), zero padded)."""
+    tiles (row-major over (u, v), zero padded).
+
+    ``data`` may carry a ``ghost``-cell ring (split_brick_for_slices); the
+    returned dims are the CORE counts while the packed array keeps the full
+    stored extent (row stride = nv + 2*ghost, the kernels' ``dims[6]``)."""
     axes = [axis] + [a for a in range(3) if a != axis]
     vol = np.transpose(np.asarray(data, np.float32), axes)
-    ns, nu, nv = vol.shape
-    assert nu * nv <= SLICE_CELLS, (nu, nv)
-    flat = np.zeros((ns, SLICE_CELLS), dtype=np.float32)
-    flat[:, : nu * nv] = vol.reshape(ns, nu * nv)
-    return flat.reshape(ns, SUBLANES, LANES), (ns, nu, nv)
+    ns_st, nu_st, nv_st = vol.shape
+    assert nu_st * nv_st <= SLICE_CELLS, (nu_st, nv_st)
+    flat = np.zeros((ns_st, SLICE_CELLS), dtype=np.float32)
+    flat[:, : nu_st * nv_st] = vol.reshape(ns_st, nu_st * nv_st)
+    core = (ns_st - 2 * ghost, nu_st - 2 * ghost, nv_st - 2 * ghost)
+    return flat.reshape(ns_st, SUBLANES, LANES), core
 
 
 def compute_slice_bounds(
@@ -1082,8 +1136,14 @@ def slicemarch_reference(
                 fv = min(max(fv, 0), nv - 1)
                 scalar = vol[k, int(fu), int(fv)]
             else:
+                # clamp-to-edge (GL CLAMP_TO_EDGE / constant extension):
+                # clip the sample coordinate into the cell-center range
+                # FIRST so points in the outer half-cell take the edge
+                # value instead of a shifted interior stencil
                 cu = (pu - pmin[1]) / cell[1] - 0.5
                 cv = (pv - pmin[2]) / cell[2] - 0.5
+                cu = min(max(cu, 0.0), nu - 1.0)
+                cv = min(max(cv, 0.0), nv - 1.0)
                 fu0, fv0 = math.floor(cu), math.floor(cv)
                 wu = min(max(cu - fu0, 0.0), 1.0)
                 wv = min(max(cv - fv0, 0.0), 1.0)

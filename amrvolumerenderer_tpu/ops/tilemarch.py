@@ -69,7 +69,11 @@ def _kernel(
     max_slices: int,
     sampling: str = "nearest",
     unroll: int = 4,
+    ghost: int = 0,
 ):
+    # ``ghost`` marks packs carrying a ghost-cell ring (see
+    # slicemarch._kernel_body): loads shift by ``ghost`` on all three axes
+    # while world bounds / integration windows stay the core's.
     t = pl.program_id(0)
     inf = jnp.float32(np.inf)
 
@@ -190,35 +194,41 @@ def _kernel(
                 hit & marchable & (k < jnp.minimum(s_hi, n_slices)) & (w > 0.0)
             )
             k_load = jnp.minimum(k, jnp.maximum(s_hi - 1, 0))
-            k_rev_load = jnp.clip(s_lo + s_hi - 1 - k_load, 0, max_slices - 1)
+            k_rev_load = jnp.clip(
+                s_lo + s_hi - 1 - k_load, 0, max_slices - 1 - ghost
+            )
 
             if sampling == "nearest":
                 fu = jnp.floor((pos_u - pmin[1]) / cell[1])
                 fv = jnp.floor((pos_v - pmin[2]) / cell[2])
                 iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
                 iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
-                flat = iu * nv_stride + iv
+                flat = (iu + ghost) * nv_stride + (iv + ghost)
                 row = flat // LANES
                 col = flat % LANES
 
                 def sample(tile):
                     return gather_vreg(tile, row, col, SUBLANES)
             else:
-                # trilinear == in-slice bilinear (see slicemarch._kernel_body)
+                # trilinear == in-slice bilinear with clamp-to-edge over
+                # core + ghost ring (see slicemarch._kernel_body)
+                g = jnp.float32(ghost)
                 pu = (pos_u - pmin[1]) / cell[1] - 0.5
                 pv = (pos_v - pmin[2]) / cell[2] - 0.5
+                pu = jnp.clip(pu, -g, (nu - 1).astype(jnp.float32) + g)
+                pv = jnp.clip(pv, -g, (nv - 1).astype(jnp.float32) + g)
                 fu0 = jnp.floor(pu)
                 fv0 = jnp.floor(pv)
                 wu = jnp.clip(pu - fu0, 0.0, 1.0)
                 wv = jnp.clip(pv - fv0, 0.0, 1.0)
-                iu0 = jnp.clip(fu0.astype(jnp.int32), 0, nu - 1)
-                iu1 = jnp.clip(iu0 + 1, 0, nu - 1)
-                iv0 = jnp.clip(fv0.astype(jnp.int32), 0, nv - 1)
-                iv1 = jnp.clip(iv0 + 1, 0, nv - 1)
+                iu0 = fu0.astype(jnp.int32)
+                iu1 = jnp.minimum(iu0 + 1, nu - 1 + ghost)
+                iv0 = fv0.astype(jnp.int32)
+                iv1 = jnp.minimum(iv0 + 1, nv - 1 + ghost)
 
                 def sample(tile):
                     def at(iu_, iv_):
-                        flat = iu_ * nv_stride + iv_
+                        flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
                         return gather_vreg(
                             tile, flat // LANES, flat % LANES, SUBLANES
                         )
@@ -228,8 +238,9 @@ def _kernel(
                     return v0 * (1.0 - wv) + v1 * wv
 
             # bf16-storable slices: upcast the vreg once, gather in f32
-            s_f = sample(vol_buf[slot, k_load].astype(jnp.float32))
-            s_b = sample(vol_buf[slot, k_rev_load].astype(jnp.float32))
+            # (``ghost`` shifts core slice k to its data row)
+            s_f = sample(vol_buf[slot, k_load + ghost].astype(jnp.float32))
+            s_b = sample(vol_buf[slot, k_rev_load + ghost].astype(jnp.float32))
             scalar = jnp.where(backward, s_b, s_f)
 
             normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
@@ -362,7 +373,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll",
+        "interpret", "sampling", "unroll", "ghost",
     ),
 )
 def tilemarch_render(
@@ -383,6 +394,7 @@ def tilemarch_render(
     interpret: bool = False,
     sampling: str = "nearest",
     unroll: Optional[int] = None,
+    ghost: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
 
@@ -404,6 +416,7 @@ def tilemarch_render(
         max_slices=max_slices,
         sampling=sampling,
         unroll=unroll,
+        ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

@@ -267,6 +267,7 @@ def render_and_composite_sharded_slicemarch(
     interpret: bool = False,
     transport: str = "float32",
     sampling: str = "nearest",
+    ghost: int = 0,
     rect=None,
 ):
     """Multi-chip frame on the production slice-march kernel.
@@ -288,7 +289,7 @@ def render_and_composite_sharded_slicemarch(
             b_vol, b_meta, b_dims, b_lut, cam,
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
-            interpret=interpret, sampling=sampling,
+            interpret=interpret, sampling=sampling, ghost=ghost,
         )
         layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
         mask = b_valid[:, None, None]
@@ -592,6 +593,7 @@ def render_depth_contiguous_slicemarch(
     logical_height: int | None = None,
     interpret: bool = False,
     sampling: str = "nearest",
+    ghost: int = 0,
     transport: str = "float32",
     rect=None,
 ):
@@ -618,7 +620,7 @@ def render_depth_contiguous_slicemarch(
             b_vol, b_meta, b_dims, b_lut, cam,
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
-            interpret=interpret, sampling=sampling,
+            interpret=interpret, sampling=sampling, ghost=ghost,
         )
         layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
         mask = b_valid[:, None, None]

@@ -80,13 +80,18 @@ def prepare_slicemarch_scene(
     range_span = scalar_range[1] - scalar_range[0]
     inv_range = 1.0 / range_span if range_span != 0.0 else 1.0
 
+    # trilinear packs carry a 1-cell ghost ring so interpolation reaches
+    # neighbor data at split-piece boundaries (seam-free; ring values are
+    # convex-combination inputs, so slice occupancy below stays conservative)
+    ghost = 1 if parameters.sampling == "trilinear" else 0
+
     pieces = []
     for parent, brick in enumerate(bricks):
         data = _pretransform(brick.data, t, clip_start, apply_clip)
         for d, mn, mx in sm.split_brick_for_slices(
-            data, brick.min_corner, brick.max_corner, axis
+            data, brick.min_corner, brick.max_corner, axis, ghost=ghost
         ):
-            vol, (ns, nu, nv) = sm.pack_slice_volume(d, axis)
+            vol, (ns, nu, nv) = sm.pack_slice_volume(d, axis, ghost=ghost)
             pmin = np.asarray(mn, float)[axes]
             pmax = np.asarray(mx, float)[axes]
             cell = (pmax - pmin) / np.array([ns, nu, nv])
@@ -95,10 +100,13 @@ def prepare_slicemarch_scene(
             dims4 = np.zeros(8, np.int32)
             dims4[:3] = (ns, nu, nv)
             dims4[3:6] = axes
+            dims4[6] = nv + 2 * ghost  # stored row stride
             # empty-space skipping: march only transfer-function-occupied
-            # slices (exact — skipped slices have zero alpha everywhere)
+            # slices (exact — skipped slices have zero alpha everywhere);
+            # core slice k is stored at k + ghost, and its in-plane ghost
+            # ring joins the extrema (bilinear can sample into it)
             dims4[7] = sm.compute_slice_bounds(
-                vol, lut[:, 3], scalar_range[0], inv_range
+                vol[ghost: ghost + ns], lut[:, 3], scalar_range[0], inv_range
             )
             pieces.append((vol, meta, dims4, parent, np.asarray(mn), np.asarray(mx)))
 
@@ -156,7 +164,7 @@ def prepare_slicemarch_scene(
     return dict(
         vol=vol, meta=meta, dims=dims, luts=luts, cam=cam,
         wb=wb, wt=wt, coverage=coverage, s_max=s_max_all,
-        pad_w=pad_w, pad_h=pad_h,
+        pad_w=pad_w, pad_h=pad_h, ghost=ghost,
         depth_hints=depth_hints, owners=owners, local_indices=local_indices,
     )
 
@@ -228,6 +236,7 @@ def render_composited_slicemarch(
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
+        ghost=prep["ghost"],
     )
     frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
     frame = frame[:render_height, :render_width].reshape(-1, 5)
@@ -367,7 +376,7 @@ def render_composited_sharded(
             max_slices=prep["s_max"],
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
-            transport=transport, rect=rect,
+            ghost=prep["ghost"], transport=transport, rect=rect,
         )
     else:
         # per-frame depth-contiguous placement: sort key must match the
@@ -394,7 +403,7 @@ def render_composited_sharded(
             max_slices=prep["s_max"],
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
-            transport=transport, rect=rect,
+            ghost=prep["ghost"], transport=transport, rect=rect,
         )
 
     frame = paste_rect(np.asarray(frame), rect, prep["pad_w"], prep["pad_h"])
@@ -447,6 +456,7 @@ def render_layers_slicemarch(
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
+        ghost=prep["ghost"],
     )
     num_layers = colors.shape[0]
     colors = np.asarray(colors).reshape(num_layers, prep["pad_h"], prep["pad_w"], 4)
@@ -465,7 +475,7 @@ def composited_frame(
     vol, meta, dims, lut, cam, work_bricks, work_tiles, coverage,
     order, owners_sorted, *, width, height, max_slices,
     logical_width=None, logical_height=None, interpret=False,
-    sampling="nearest",
+    sampling="nearest", ghost=0,
 ):
     """Fully fused frame: work-list render -> Pallas tile-space composite
     -> single untile.  Every layer's pixels touch HBM exactly once.
@@ -485,7 +495,7 @@ def composited_frame(
         vol, meta, dims, lut, cam, work_bricks, work_tiles,
         width=width, height=height, max_slices=max_slices,
         logical_width=logical_width, logical_height=logical_height,
-        interpret=interpret, sampling=sampling,
+        interpret=interpret, sampling=sampling, ghost=ghost,
     )
     out_c, out_d = composite_tiles(
         colors, depths, order, owners_sorted, coverage, interpret=interpret
@@ -557,6 +567,7 @@ def render_composited_tilemarch(
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
+        ghost=prep["ghost"],
     )
     tiles_x = prep["pad_w"] // sm.TILE_W
     tiles_y = prep["pad_h"] // sm.TILE_H
