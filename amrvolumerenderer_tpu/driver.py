@@ -51,6 +51,8 @@ USAGE = """Usage: volume_renderer [options] plotfile
   --devices N      Distribute the render across N mesh devices (default: 1;
                    the TPU equivalent of running the reference under mpirun -n N)
   --render-method M  Kernel selection: auto, raymarch, slicemarch, tilemarch
+  --sampling MODE  Scalar sampling: nearest (reference semantics, default)
+                   or trilinear (seam-free interpolation, beyond reference)
   -h, --help       Show this help message
 """
 
@@ -152,6 +154,12 @@ def parse_options(argv: List[str]) -> RunOptions:
                 raise RuntimeError(
                     "render method must be one of auto, raymarch, "
                     "slicemarch, tilemarch"
+                )
+        elif arg == "--sampling":
+            parsed.parameters.sampling = require_value(arg)
+            if parsed.parameters.sampling not in ("nearest", "trilinear"):
+                raise RuntimeError(
+                    "sampling must be one of nearest, trilinear"
                 )
         elif arg == "--plotfile":
             parsed.plotfile_path = require_value(arg)

@@ -67,6 +67,28 @@ def test_parse_options_errors():
         parse_options(["p", "--width"])
 
 
+def test_parse_sampling_flag():
+    opts = parse_options(["--sampling", "trilinear", "plt0"])
+    assert opts.parameters.sampling == "trilinear"
+    with pytest.raises(RuntimeError, match="sampling must be one of"):
+        parse_options(["--sampling", "cubic", "plt0"])
+
+
+def test_cli_trilinear_render(tmp_path, plotfile):
+    """--sampling trilinear drives the ghost-ring slicemarch path
+    end-to-end from the CLI."""
+    out = str(tmp_path / "tri.ppm")
+    assert main(
+        ["--width", "32", "--height", "32", "--sampling", "trilinear",
+         "--render-method", "slicemarch", "--output", out, plotfile]
+    ) == 0
+    from amrvolumerenderer_tpu.io import load_ppm
+
+    data, w, h = load_ppm(out)
+    assert (w, h) == (32, 32)
+    assert data.max() > 0.1
+
+
 def test_main_help(capsys):
     assert main(["--help"]) == 0
     out = capsys.readouterr().out
