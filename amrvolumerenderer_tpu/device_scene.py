@@ -167,7 +167,9 @@ def prepare_device_scene(
     The canonical <=32^3 piece table is assembled with jitted pads/stacks;
     brick data never crosses to the host.
     """
-    from .fast_scene import MAX_CUBE, FastSceneRenderer, _split_to_cubes
+    from .fast_scene import (
+        MAX_CUBE, FastSceneRenderer, _ghost_fill_bricks, _split_to_cubes,
+    )
 
     scene = build_device_scene_geometry(bricks, log_scale_input)
 
@@ -179,13 +181,19 @@ def prepare_device_scene(
     ghost = 1 if parameters.sampling == "trilinear" else 0
     core = MAX_CUBE - 2 * ghost
 
+    datas = [
+        _pretransform_device(b.data, t, clip_start, apply_clip)
+        for b in scene.bricks
+    ]
+    padded_list = _ghost_fill_bricks(datas, scene.bricks, ghost)
     piece_arrays: List[jnp.ndarray] = []
     piece_meta = []  # (min, max, dims, parent)
     piece_ranges = []
     for parent, b in enumerate(scene.bricks):
-        data = _pretransform_device(b.data, t, clip_start, apply_clip)
+        data = datas[parent]
         for block, mn, mx, dims in _split_to_cubes(
-            data, b.min_corner, b.max_corner, core, ghost=ghost
+            data, b.min_corner, b.max_corner, core, ghost=ghost,
+            padded=padded_list[parent],
         ):
             pad = [(0, MAX_CUBE - block.shape[d]) for d in range(3)]
             piece_arrays.append(jnp.pad(block, pad))

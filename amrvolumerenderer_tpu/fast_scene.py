@@ -48,7 +48,20 @@ from .types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 MAX_CUBE = 32  # largest canonical piece edge (32*32 = one vreg slice)
 
 
-def _split_to_cubes(data, min_corner, max_corner, cube, ghost=0):
+def _ghost_fill_bricks(datas, bricks, ghost):
+    """Cross-BRICK ghost rings: per-brick padded arrays whose rings at true
+    brick faces carry neighbor-brick values (ghost.ghost_fill), so abutting
+    bricks interpolate seam-free.  Returns [None]*n when not applicable."""
+    if not ghost or len(bricks) < 2:
+        return [None] * len(bricks)
+    from .ghost import ghost_fill
+
+    return ghost_fill(
+        datas, [(b.min_corner, b.max_corner) for b in bricks], ghost
+    )
+
+
+def _split_to_cubes(data, min_corner, max_corner, cube, ghost=0, padded=None):
     """Split a brick into <= cube^3 CORE pieces.
 
     Returns [(block, mn, mx, core_dims), ...].  ``cube`` is the core edge;
@@ -57,7 +70,11 @@ def _split_to_cubes(data, min_corner, max_corner, cube, ghost=0):
     edge-replicated at true brick faces) while ``mn``/``mx`` bound the core
     — the layout ops/slicemarch._kernel_body expects for seam-free
     trilinear.  Works for both host (np) and device (jnp) arrays; with
-    ``ghost == 0`` blocks are metadata-only views."""
+    ``ghost == 0`` blocks are metadata-only views.
+
+    ``padded`` optionally supplies the ``ghost``-padded array so rings at
+    true brick faces carry neighbor-brick data (ghost.ghost_fill) instead
+    of edge replication."""
     xp = np if isinstance(data, np.ndarray) else jnp
     pieces = []
     shape = data.shape
@@ -65,7 +82,12 @@ def _split_to_cubes(data, min_corner, max_corner, cube, ghost=0):
         (max_corner[d] - min_corner[d]) / shape[d] if shape[d] else 1.0
         for d in range(3)
     ]
-    padded = xp.pad(data, ghost, mode="edge") if ghost else data
+    if padded is None:
+        padded = xp.pad(data, ghost, mode="edge") if ghost else data
+    else:
+        assert ghost and tuple(padded.shape) == tuple(
+            s + 2 * ghost for s in shape
+        )
     for i0 in range(0, shape[0], cube):
         for j0 in range(0, shape[1], cube):
             for k0 in range(0, shape[2], cube):
@@ -128,13 +150,19 @@ class FastSceneRenderer:
         # shrinks to MAX_CUBE - 2 so the stored block still fits the vreg)
         ghost = 1 if parameters.sampling == "trilinear" else 0
         core = MAX_CUBE - 2 * ghost
+        datas = [
+            _pretransform(brick.data, t, clip_start, apply_clip)
+            for brick in geometry.bricks
+        ]
+        padded_list = _ghost_fill_bricks(datas, geometry.bricks, ghost)
         pieces = []
         piece_meta = []
         piece_ranges = []
         for parent, brick in enumerate(geometry.bricks):
-            data = _pretransform(brick.data, t, clip_start, apply_clip)
+            data = datas[parent]
             for d, mn, mx, dims in _split_to_cubes(
-                data, brick.min_corner, brick.max_corner, core, ghost=ghost
+                data, brick.min_corner, brick.max_corner, core, ghost=ghost,
+                padded=padded_list[parent],
             ):
                 pieces.append(d)
                 piece_meta.append((mn, mx, dims, parent))
@@ -280,17 +308,23 @@ class FastSceneRenderer:
         clip_start = float(np.clip(self.scalar_range[1], 0.0, 1.0))
         apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
 
-        piece_arrays = []
-        piece_ranges = []
+        datas = []
         for brick, arr in zip(bricks, brick_arrays):
             if tuple(arr.shape) != tuple(brick.data.shape):
                 raise ValueError(
                     f"brick shape changed: {arr.shape} vs {brick.data.shape}"
                 )
-            v = _pretransform_device(jnp.asarray(arr), t, clip_start, apply_clip)
+            datas.append(
+                _pretransform_device(jnp.asarray(arr), t, clip_start, apply_clip)
+            )
+        padded_list = _ghost_fill_bricks(datas, bricks, self.ghost)
+        piece_arrays = []
+        piece_ranges = []
+        for parent, brick in enumerate(bricks):
+            v = datas[parent]
             for block, _mn, _mx, _dims in _split_to_cubes(
                 v, brick.min_corner, brick.max_corner, self.core,
-                ghost=self.ghost,
+                ghost=self.ghost, padded=padded_list[parent],
             ):
                 pad = [(0, self.cube - block.shape[d]) for d in range(3)]
                 piece_arrays.append(jnp.pad(block, pad))

@@ -874,7 +874,7 @@ def choose_march_axis(view_dir: np.ndarray) -> int:
 
 def split_brick_for_slices(
     data: np.ndarray, min_corner: np.ndarray, max_corner: np.ndarray,
-    axis: int, ghost: int = 0,
+    axis: int, ghost: int = 0, padded: Optional[np.ndarray] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Split a brick along the non-march axes until a slice fits one vreg.
 
@@ -887,6 +887,11 @@ def split_brick_for_slices(
     into the ring instead of clamping, making piece splits seam-free
     (the reference never splits, VolumePainter.cpp:775-809, so the clamped
     variant has no parity anchor; this matches the unsplit render).
+
+    ``padded`` optionally supplies the ``ghost``-padded array (shape
+    ``data.shape + 2*ghost`` per axis) so the ring at true brick faces can
+    carry neighbor-BRICK data instead of edge replication
+    (ghost.ghost_fill); when omitted the ring is edge-replicated here.
     """
     axes = [axis] + [a for a in range(3) if a != axis]
     nu_axis, nv_axis = axes[1], axes[2]
@@ -916,7 +921,10 @@ def split_brick_for_slices(
         boxes = next_boxes
         if done:
             break
-    padded = np.pad(data, ghost, mode="edge") if ghost else data
+    if padded is None:
+        padded = np.pad(data, ghost, mode="edge") if ghost else data
+    else:
+        assert ghost and padded.shape == tuple(shape + 2 * ghost)
     pieces = []
     for lo, hi in boxes:
         mn = mn0 + lo * spans

@@ -85,11 +85,26 @@ def prepare_slicemarch_scene(
     # convex-combination inputs, so slice occupancy below stays conservative)
     ghost = 1 if parameters.sampling == "trilinear" else 0
 
+    datas = [
+        _pretransform(brick.data, t, clip_start, apply_clip)
+        for brick in bricks
+    ]
+    # cross-BRICK ghost fill: rings at true brick faces take neighbor-brick
+    # values so abutting bricks interpolate seam-free (ghost.ghost_fill)
+    padded_list = [None] * len(bricks)
+    if ghost and len(bricks) > 1:
+        from .ghost import ghost_fill
+
+        padded_list = ghost_fill(
+            datas, [(b.min_corner, b.max_corner) for b in bricks], ghost
+        )
+
     pieces = []
     for parent, brick in enumerate(bricks):
-        data = _pretransform(brick.data, t, clip_start, apply_clip)
+        data = datas[parent]
         for d, mn, mx in sm.split_brick_for_slices(
-            data, brick.min_corner, brick.max_corner, axis, ghost=ghost
+            data, brick.min_corner, brick.max_corner, axis, ghost=ghost,
+            padded=padded_list[parent],
         ):
             vol, (ns, nu, nv) = sm.pack_slice_volume(d, axis, ghost=ghost)
             pmin = np.asarray(mn, float)[axes]

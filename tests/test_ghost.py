@@ -6,8 +6,10 @@ Common/VolumePainter.cpp:548), so its nearest-sampling has no seams to
 worry about.  This framework splits bricks to fit the [8, 128] vreg slice
 layout; trilinear sampling used to clamp interpolation at piece edges
 (C0 seams).  A 1-cell ghost ring — neighbor data of the same brick at
-split boundaries, edge-replicated at true brick faces — makes any piece
-decomposition render identically to the unsplit brick.
+split boundaries, neighbor-BRICK data at brick faces (ghost.ghost_fill),
+edge-replicated at the domain exterior — makes any piece decomposition
+render identically to the unsplit brick, and abutting bricks render
+identically to their unsplit union.
 """
 
 import numpy as np
@@ -159,12 +161,12 @@ class TestSeamFreeTrilinear:
         assert np.quantile(diff, 0.999) < 1e-4
         assert diff.max() < 1e-2
 
-    def test_cross_brick_boundary_still_clamps(self):
-        """Ghost rings are intra-brick: the same field pre-split into two
-        BRICKS edge-replicates at their shared face and visibly departs
-        from the unsplit oracle — this locks the seam signal the
-        intra-brick ghost test would otherwise miss, and documents the
-        cross-brick limitation."""
+    def test_cross_brick_boundary_seam_free(self):
+        """The same field pre-split into two BRICKS renders like the
+        unsplit oracle: ghost.ghost_fill gives each brick's ring the
+        neighbor brick's lattice-aligned values, so the interpolated field
+        is bit-identical to the unsplit brick's (before this wiring the
+        shared face edge-replicated and the seam error exceeded 0.02)."""
         field, camera, rd, oracle_c = self._setup()
         half = self.N // 2
         two_bricks = _identity_geometry([
@@ -172,8 +174,30 @@ class TestSeamFreeTrilinear:
             (field[half:], np.array([0.5, 0.0, 0.0]), np.ones(3)),
         ])
         got = self._render(two_bricks, camera, rd)
-        seam = np.abs(got - oracle_c).max()
-        assert seam > 0.02  # the clamped seam is a real pixel-level error
+        diff = np.abs(got - oracle_c)
+        assert np.quantile(diff, 0.999) < 1e-4
+        assert diff.max() < 1e-2
+
+    def test_cross_brick_fast_scene_seam_free(self):
+        """FastSceneRenderer's cube decomposition of two abutting bricks
+        also matches the unsplit oracle (the fill happens before the cube
+        split, so piece rings inherit neighbor-brick data)."""
+        from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+
+        field, camera, rd, oracle_c = self._setup()
+        half = self.N // 2
+        two_bricks = _identity_geometry([
+            (field[:half], np.zeros(3), np.array([0.5, 1.0, 1.0])),
+            (field[half:], np.array([0.5, 0.0, 0.0]), np.ones(3)),
+        ])
+        params = RenderParameters(
+            width=self.W, height=self.H, sampling="trilinear"
+        )
+        fast = FastSceneRenderer(two_bricks, params, interpret=True)
+        frame = fast.render(camera, overlay=False)
+        diff = np.abs(frame[:, :4] - oracle_c)
+        assert np.quantile(diff, 0.99) < 1e-4
+        assert diff.max() < 5e-3
 
     def test_fast_scene_cube_split_matches_worklist_split(self):
         """FastSceneRenderer's 30^3-core cube decomposition and the
@@ -214,3 +238,97 @@ class TestSeamFreeTrilinear:
         assert prep["ghost"] == 0
         fast = FastSceneRenderer(geometry, params, interpret=True)
         assert fast.ghost == 0 and fast.core == 32
+
+
+class TestGhostFill:
+    """Unit semantics of ghost.ghost_fill (cross-brick ring filling)."""
+
+    def test_same_level_abutting_bricks_exact(self):
+        """Rings at the shared face carry the neighbor's exact cell values
+        (same-level bricks are lattice-aligned after convexify); rings at
+        the domain exterior stay edge-replicated."""
+        from amrvolumerenderer_tpu.ghost import ghost_fill
+
+        rng = np.random.default_rng(11)
+        a = rng.random((4, 4, 4)).astype(np.float32)
+        b = rng.random((4, 4, 4)).astype(np.float32)
+        boxes = [
+            (np.zeros(3), np.array([1.0, 1.0, 1.0])),
+            (np.array([1.0, 0.0, 0.0]), np.array([2.0, 1.0, 1.0])),
+        ]
+        pa, pb = ghost_fill([a, b], boxes, ghost=1)
+        assert pa.shape == (6, 6, 6)
+        # cores untouched
+        np.testing.assert_array_equal(pa[1:5, 1:5, 1:5], a)
+        np.testing.assert_array_equal(pb[1:5, 1:5, 1:5], b)
+        # a's high-x ring plane = b's first x-plane (core region)
+        np.testing.assert_array_equal(pa[5, 1:5, 1:5], b[0])
+        # b's low-x ring plane = a's last x-plane
+        np.testing.assert_array_equal(pb[0, 1:5, 1:5], a[3])
+        # domain-exterior faces stay edge-replicated
+        np.testing.assert_array_equal(pa[0, 1:5, 1:5], a[0])
+        np.testing.assert_array_equal(pa[1:5, 0, 1:5], a[:, 0])
+        np.testing.assert_array_equal(pb[5, 1:5, 1:5], b[3])
+        # ring corners outside both bricks also edge-replicate
+        assert pa[0, 0, 0] == a[0, 0, 0]
+
+    def test_coarse_fine_boundary_nearest_samples_neighbor(self):
+        """A coarse brick's ring cell inside a finer neighbor takes the
+        fine brick's nearest cell (the center-containing fine cell)."""
+        from amrvolumerenderer_tpu.ghost import ghost_fill
+
+        rng = np.random.default_rng(13)
+        coarse = rng.random((4, 4, 4)).astype(np.float32)  # span 0.25
+        fine = rng.random((8, 8, 8)).astype(np.float32)    # span 0.125
+        boxes = [
+            (np.zeros(3), np.ones(3)),
+            (np.array([1.0, 0.0, 0.0]), np.array([2.0, 1.0, 1.0])),
+        ]
+        pc, pf = ghost_fill([coarse, fine], boxes, ghost=1)
+        # coarse ring cell (x=1.125, y=(j+0.5)*0.25, z=(k+0.5)*0.25) lands in
+        # fine cell (1, floor(y/0.125), floor(z/0.125)) = (1, 2j+1, 2k+1)
+        for j in range(4):
+            for k in range(4):
+                assert pc[5, 1 + j, 1 + k] == fine[1, 2 * j + 1, 2 * k + 1]
+        # fine ring cell (x=1-0.0625, (j+0.5)*0.125, ...) lands in coarse
+        # cell (3, floor(y/0.25), floor(z/0.25)) = (3, j//2, k//2)
+        for j in range(8):
+            for k in range(8):
+                assert pf[0, 1 + j, 1 + k] == coarse[3, j // 2, k // 2]
+
+    def test_jnp_bricks_match_numpy_fill(self):
+        """Device (jnp) brick arrays fill identically to the host path."""
+        import jax.numpy as jnp
+
+        from amrvolumerenderer_tpu.ghost import ghost_fill
+
+        rng = np.random.default_rng(17)
+        a = rng.random((4, 4, 4)).astype(np.float32)
+        b = rng.random((4, 4, 4)).astype(np.float32)
+        boxes = [
+            (np.zeros(3), np.ones(3)),
+            (np.array([0.0, 1.0, 0.0]), np.array([1.0, 2.0, 1.0])),
+        ]
+        host = ghost_fill([a, b], boxes, ghost=1)
+        dev = ghost_fill([jnp.asarray(a), jnp.asarray(b)], boxes, ghost=1)
+        for h, d in zip(host, dev):
+            assert isinstance(d, jnp.ndarray)
+            np.testing.assert_array_equal(h, np.asarray(d))
+
+    def test_diagonal_only_neighbor_fills_corner(self):
+        """Bricks sharing only an edge/corner still fill the overlapping
+        ring cells (the slab decomposition covers corners once)."""
+        from amrvolumerenderer_tpu.ghost import ghost_fill
+
+        rng = np.random.default_rng(19)
+        a = rng.random((4, 4, 4)).astype(np.float32)
+        b = rng.random((4, 4, 4)).astype(np.float32)
+        boxes = [
+            (np.zeros(3), np.ones(3)),
+            (np.array([1.0, 1.0, 0.0]), np.array([2.0, 2.0, 1.0])),
+        ]
+        pa, _pb = ghost_fill([a, b], boxes, ghost=1)
+        # the (x-high, y-high) ring edge cells lie inside b
+        np.testing.assert_array_equal(pa[5, 5, 1:5], b[0, 0])
+        # but the x-high face interior is NOT inside b -> edge-replicated
+        np.testing.assert_array_equal(pa[5, 1:5, 1:5], a[3])
