@@ -145,6 +145,7 @@ def compose_flat_host(
     rank_images: Sequence[ImageBuffer],
     group_order: np.ndarray,
     max_image_split: int = 1_000_000,
+    compress: bool = False,
 ) -> List[ImageBuffer]:
     """Flat direct-send compose (DirectSendBase.cpp:257-314) on the host.
 
@@ -152,7 +153,14 @@ def compose_flat_host(
     visibility permutation (group index -> real rank, earlier = on top).
     Returns one composited piece per receiver (receiver i = group member i),
     covering ``piece_range(num_pixels, i, num_receivers)``.
-    """
+
+    With ``compress=True`` each sent piece is compacted before "transport"
+    and the fold runs entirely in the compact domain (CompactImage.blend):
+    payload and blend work are bounded by the union of active ranges, never
+    the piece size — the reference's image-compress mode, where RLE images
+    travel AND blend compressed and uncompress only at the final gather
+    (ImageSparseColorOnly.hpp:98-199 compress on send, 214-382 sparse
+    blend).  The pixels are identical either way (same blend arithmetic)."""
     group_size = len(group_order)
     num_receivers = min(max_image_split, group_size)
     assert group_size >= 1
@@ -161,13 +169,15 @@ def compose_flat_host(
     pieces: List[ImageBuffer] = []
     for recv_idx in range(num_receivers):
         begin, end = piece_range(image_size, recv_idx, num_receivers)
-        acc: Optional[ImageBuffer] = None
+        acc = None
         # blend in group order: first member of the group is on top
         for send_idx in range(group_size):
             real_rank = int(group_order[send_idx])
             piece = rank_images[real_rank].window(begin, end)
+            if compress:
+                piece = piece.compress()
             acc = piece.deep_copy() if acc is None else acc.blend(piece)
-        pieces.append(acc)
+        pieces.append(acc.uncompress() if compress else acc)
     return pieces
 
 

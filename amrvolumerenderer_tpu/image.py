@@ -448,3 +448,98 @@ class CompactImage:
         out.pixels[begin : begin + len(self.pixels)] = self.pixels
         out.valid_viewport = self.valid_viewport
         return out
+
+    # -- compact-domain image algebra --------------------------------------
+    # The reference blends/windows its sparse images WITHOUT uncompressing
+    # (ImageSparseColorOnly.hpp:214-382 run-merging blend, 386-442
+    # window/copySubrange); these are the bounding-range equivalents — every
+    # operation costs O(active pixels), never O(region).
+
+    @property
+    def active_end(self) -> int:
+        return self.active_begin + len(self.pixels)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.region_end - self.region_begin
+
+    def _background_row(self) -> np.ndarray:
+        """One cleared pixel in this kind's layout (matches
+        ImageBuffer.clear: transparent color, far depth, +inf depth hint)."""
+        buf = ImageBuffer.create(self.kind, 1, 1)
+        buf.clear()
+        return buf.pixels[0]
+
+    def _dense_active(self, begin: int, end: int) -> np.ndarray:
+        """Materialize [begin, end) of the active domain: stored pixels where
+        covered, background elsewhere (still O(end-begin), not O(region))."""
+        out = np.tile(self._background_row(), (end - begin, 1))
+        lo = max(self.active_begin, begin)
+        hi = min(self.active_end, end)
+        if hi > lo:
+            out[lo - begin : hi - begin] = self.pixels[
+                lo - self.active_begin : hi - self.active_begin
+            ]
+        return out
+
+    def window(self, sub_begin: int, sub_end: int) -> "CompactImage":
+        """Zero-copy compact view of a subrange; offsets are relative to this
+        image's region (the Image.hpp window contract the sparse types keep,
+        ImageSparseColorOnly.hpp:386-442)."""
+        assert 0 <= sub_begin <= sub_end <= self.num_pixels
+        begin = self.region_begin + sub_begin
+        end = self.region_begin + sub_end
+        a0 = min(max(self.active_begin, begin), end)
+        a1 = max(min(self.active_end, end), a0)
+        if a1 == a0:  # empty: canonical form anchors at the region start
+            return CompactImage(
+                self.kind, self.width, self.height, begin, end, begin,
+                self.pixels[:0], self.valid_viewport,
+            )
+        return CompactImage(
+            self.kind,
+            self.width,
+            self.height,
+            begin,
+            end,
+            a0,
+            self.pixels[a0 - self.active_begin : a1 - self.active_begin],
+            self.valid_viewport,
+        )
+
+    def copy_subrange(self, sub_begin: int, sub_end: int) -> "CompactImage":
+        w = self.window(sub_begin, sub_end)
+        return dataclasses.replace(w, pixels=np.array(w.pixels))
+
+    def deep_copy(self) -> "CompactImage":
+        return self.copy_subrange(0, self.num_pixels)
+
+    def blend(self, bottom: "CompactImage") -> "CompactImage":
+        """Blend self over ``bottom`` entirely in the compact domain.
+
+        Union-region semantics match ImageBuffer.blend; the work and the
+        result size are bounded by the union of the two ACTIVE ranges — two
+        sparse layers blend cheaply no matter how large the region is
+        (the bandwidth/compute intent of ImageSparseColorOnly.hpp:214-382).
+        Pixels covered by neither stay background, so the result compacts
+        to exactly the union range."""
+        assert self.kind == bottom.kind
+        assert self.width == bottom.width and self.height == bottom.height
+        region_begin = min(self.region_begin, bottom.region_begin)
+        region_end = max(self.region_end, bottom.region_end)
+        vp = self.valid_viewport.intersect(bottom.valid_viewport)
+        nonempty = [im for im in (self, bottom) if len(im.pixels)]
+        if not nonempty:
+            return CompactImage(
+                self.kind, self.width, self.height, region_begin, region_end,
+                region_begin, self.pixels[:0], vp,
+            )
+        a0 = min(im.active_begin for im in nonempty)
+        a1 = max(im.active_end for im in nonempty)
+        out = blend_pixels(
+            self.kind, self._dense_active(a0, a1), bottom._dense_active(a0, a1)
+        )
+        return CompactImage(
+            self.kind, self.width, self.height, region_begin, region_end,
+            a0, out, vp,
+        )

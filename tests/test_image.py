@@ -180,3 +180,120 @@ def test_clear_depth_sort_sets_infinite_depth():
     img = ImageBuffer.create(ImageKind.RGBA_F32_DEPTH_SORT, 2, 2)
     img.clear((0, 0, 0, 0))
     assert np.all(np.isinf(img.pixels[:, 4]))
+
+
+# -- compact-domain image algebra (ImageSparseColorOnly.hpp:214-442) --------
+
+
+def _sparse_buffer(kind, w=8, h=8, region=(0, None), lo=20, hi=40, seed=0):
+    """Buffer that is background outside flat-pixel [lo, hi)."""
+    rng = np.random.default_rng(seed)
+    img = ImageBuffer.create(kind, w, h, region[0], region[1])
+    img.clear()
+    n = img.num_pixels
+    a = max(lo - img.region_begin, 0)
+    b = min(hi - img.region_begin, n)
+    if b > a:
+        if kind == ImageKind.RGBA_U8:
+            img.pixels[a:b] = rng.integers(1, 256, (b - a, 4)).astype(np.uint8)
+        else:
+            px = (rng.random((b - a, img.pixels.shape[1])) * 0.8 + 0.1).astype(
+                np.float32
+            )
+            if kind in (ImageKind.RGBA_U8_DEPTH_F32, ImageKind.RGB_F32_DEPTH_F32):
+                px[:, -1] = rng.random(b - a) * 0.9
+            if kind == ImageKind.RGBA_F32_DEPTH_SORT:
+                px[:, 4] = rng.random(b - a) * 10
+            img.pixels[a:b] = px
+    return img
+
+
+ALL_KINDS = [
+    ImageKind.RGBA_F32,
+    ImageKind.RGBA_U8,
+    ImageKind.RGBA_F32_DEPTH_SORT,
+    ImageKind.RGBA_U8_DEPTH_F32,
+    ImageKind.RGB_F32_DEPTH_F32,
+]
+
+
+@pytest.mark.parametrize("kind", ALL_KINDS)
+def test_compact_window_matches_buffer_window(kind):
+    img = _sparse_buffer(kind, lo=20, hi=40)
+    compact = img.compress()
+    for sub in [(0, 64), (10, 30), (25, 35), (45, 64), (0, 10), (30, 30)]:
+        got = compact.window(*sub)
+        want = img.window(*sub).compress()
+        assert got.region_begin == want.region_begin
+        assert got.region_end == want.region_end
+        assert got.active_begin == want.active_begin
+        np.testing.assert_array_equal(got.pixels, want.pixels)
+        # window is a view into the parent's pixel block
+        if len(got.pixels):
+            assert np.shares_memory(got.pixels, compact.pixels)
+
+
+def test_compact_window_of_window():
+    img = _sparse_buffer(ImageKind.RGBA_F32, lo=20, hi=40)
+    compact = img.compress()
+    w1 = compact.window(10, 50)  # region [10, 50)
+    w2 = w1.window(5, 25)        # region [15, 35) absolute
+    want = img.window(15, 35).compress()
+    assert (w2.region_begin, w2.region_end) == (15, 35)
+    assert w2.active_begin == want.active_begin
+    np.testing.assert_array_equal(w2.pixels, want.pixels)
+
+
+def test_compact_copy_subrange_is_independent():
+    img = _sparse_buffer(ImageKind.RGBA_F32, lo=20, hi=40)
+    compact = img.compress()
+    cp = compact.copy_subrange(0, compact.num_pixels)
+    cp.pixels[:] = -1.0
+    assert not np.any(compact.pixels == -1.0)
+
+
+@pytest.mark.parametrize("kind", ALL_KINDS)
+@pytest.mark.parametrize(
+    "regions",
+    [((0, 64), (0, 64)), ((0, 40), (24, 64)), ((16, 64), (0, 48))],
+)
+def test_compact_blend_matches_buffer_blend(kind, regions):
+    """Compact-domain blend == dense union-region blend, for every kind and
+    for unaligned regions (the 4-case runlength-walk semantics of
+    ImageSparseColorOnly.hpp:214-382, expressed on bounding ranges)."""
+    (tb, te), (bb, be) = regions
+    top = _sparse_buffer(kind, region=(tb, te), lo=tb + 4, hi=tb + 20, seed=1)
+    bot = _sparse_buffer(kind, region=(bb, be), lo=bb + 10, hi=bb + 30, seed=2)
+    got = top.compress().blend(bot.compress())
+    want = top.blend(bot)
+    assert (got.region_begin, got.region_end) == (want.region_begin, want.region_end)
+    np.testing.assert_allclose(
+        np.asarray(got.uncompress().pixels, np.float64),
+        np.asarray(want.pixels, np.float64),
+        atol=1e-6,
+    )
+
+
+def test_compact_blend_work_is_bounded_by_active_union():
+    """Two small blobs in a huge region blend in O(blob) — the result's
+    stored pixel block covers exactly the union of the active ranges."""
+    w = h = 128
+    top = _sparse_buffer(ImageKind.RGBA_F32, w, h, lo=1000, hi=1020, seed=3)
+    bot = _sparse_buffer(ImageKind.RGBA_F32, w, h, lo=1010, hi=1050, seed=4)
+    out = top.compress().blend(bot.compress())
+    assert out.active_begin == 1000
+    assert out.active_end == 1050
+    assert len(out.pixels) == 50  # not 128*128
+    np.testing.assert_allclose(
+        np.asarray(out.uncompress().pixels, np.float64),
+        np.asarray(top.blend(bot).pixels, np.float64),
+        atol=1e-6,
+    )
+
+
+def test_compact_blend_both_empty():
+    top = _sparse_buffer(ImageKind.RGBA_F32, lo=0, hi=0)
+    bot = _sparse_buffer(ImageKind.RGBA_F32, lo=0, hi=0)
+    out = top.compress().blend(bot.compress())
+    assert len(out.pixels) == 0
+    assert np.all(out.uncompress().pixels == 0.0)

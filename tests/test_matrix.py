@@ -94,6 +94,32 @@ def test_compositing_matrix_with_compression(rng, kind, num_ranks):
     )
 
 
+@pytest.mark.parametrize("kind", ALL_KINDS)
+@pytest.mark.parametrize("num_ranks", [2, 4, 8])
+def test_compositing_matrix_compact_fold(rng, kind, num_ranks):
+    """compose_flat_host(compress=True) folds entirely in the compact
+    domain (CompactImage.blend) and must match the dense fold — the
+    reference's image-compress mode blends RLE images without
+    uncompressing (ImageSparseColorOnly.hpp:214-382)."""
+    w = h = 8
+    images = [make_rank_image(rng, kind, w, h) for _ in range(num_ranks)]
+    for img in images:
+        # compression treats far-depth pixels as background and drops their
+        # color payload (ImageSparseColorDepth.hpp:89-92); clear them so the
+        # dense fold sees the same data the compact fold keeps
+        if kind in (ImageKind.RGBA_U8_DEPTH_F32, ImageKind.RGB_F32_DEPTH_F32):
+            img.pixels[img.pixels[:, -1] >= 1.0, :-1] = 0
+    group_order = np.asarray(rng.permutation(num_ranks), dtype=np.int32)
+
+    got = assemble_pieces(compose_flat_host(images, group_order, compress=True))
+    expected = assemble_pieces(compose_flat_host(images, group_order))
+    np.testing.assert_allclose(
+        np.asarray(got.pixels, np.float64),
+        np.asarray(expected.pixels, np.float64),
+        atol=1e-6,
+    )
+
+
 def test_piece_ranges_partition_pixels():
     for size in (16, 17, 100):
         for n in (1, 2, 3, 7):
