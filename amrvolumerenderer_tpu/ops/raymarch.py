@@ -16,8 +16,9 @@ Design notes (TPU-first):
   * All bricks in a bucket share a padded shape, so the whole bucket renders
     as one ``vmap`` over the brick axis — one XLA program, MXU/VPU-friendly.
   * Nearest-cell sampling is a flat 1D gather (``jnp.take``) from the brick
-    array; a Pallas kernel with VMEM-resident bricks is layered on top for
-    the performance path (see ``pallas_raymarch``).
+    array; the hardware performance paths are the slice-march kernels
+    (``ops/slicemarch.py`` / ``ops/tilemarch.py``), designed around the
+    [8, 128] vreg gather Mosaic actually compiles.
 """
 
 from __future__ import annotations
