@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -117,6 +117,58 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
     if pad:
         flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
     return flat.reshape(num, cube, sm.SUBLANES, sm.LANES)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "max_slices", "logical_width", "logical_height",
+        "interpret", "sampling", "ghost", "sqrt_aa", "bytes_out",
+    ),
+)
+def _render_batch_frames(
+    vol, lut, meta, dims, cams, offsets, bricks, owners, *,
+    width, height, max_slices, logical_width, logical_height,
+    interpret, sampling, ghost, sqrt_aa, bytes_out=False,
+):
+    """Scan the tile-loop mega-kernel over a [B]-frame camera batch.
+
+    ``vol``/``meta``/``dims`` are axis-fixed (identical for every frame in
+    the batch); only the camera pack and the CSR work list vary per frame.
+    Returns [B, out_pixels, 5] frames — one dispatch, one compile, however
+    many frames (the animation workload renders B frames for one host
+    round-trip instead of B)."""
+    tiles_x = width // sm.TILE_W
+    tiles_y = height // sm.TILE_H
+
+    def one(carry, per_frame):
+        cam, off, br, ow = per_frame
+        out_c, out_d = tm.tilemarch_render(
+            vol, meta, dims, lut, cam, off, br, ow,
+            width=width, height=height, max_slices=max_slices,
+            logical_width=logical_width, logical_height=logical_height,
+            interpret=interpret, sampling=sampling, ghost=ghost,
+        )
+        c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
+        c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, 4)
+        d = out_d.reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
+        d = d.transpose(0, 2, 1, 3).reshape(height, width)
+        frame = jnp.concatenate([c, d[..., None]], axis=-1)
+        frame = frame[:logical_height, :logical_width].reshape(-1, 5)
+        if sqrt_aa > 1:
+            frame = _device_downsample(
+                frame, logical_width, logical_height, sqrt_aa
+            )
+        if bytes_out:
+            # Mesa byte codec on device (image.color_to_byte): the readback
+            # shrinks 5x (4 u8 vs 4+1 f32 per pixel)
+            frame = jnp.clip(
+                (frame[:, :4] * jnp.float32(256.0)).astype(jnp.int32), 0, 255
+            ).astype(jnp.uint8)
+        return carry, frame
+
+    _, frames = jax.lax.scan(one, 0, (cams, offsets, bricks, owners))
+    return frames
 
 
 class FastSceneRenderer:
@@ -379,7 +431,7 @@ class FastSceneRenderer:
         i1 = int(np.clip((vmax - lo) / span * 255, 0, 255))
         return bool(lut_alpha[i0 : i1 + 1].max() > 0.0)
 
-    def frame_inputs(self, camera: CameraParameters):
+    def frame_inputs(self, camera: CameraParameters, as_numpy: bool = False):
         """Per-frame preparation for one camera: march-axis repack (device,
         cached per axis), piece metadata / occupied-slice bounds, camera
         packing, and the CSR tile work list with transparency culling.
@@ -445,6 +497,14 @@ class FastSceneRenderer:
             np.cumsum(counts, out=offsets[1:])
         if len(tbricks) == 0:
             return None
+        if as_numpy:
+            # batch path: keep host arrays so a whole chunk ships as ONE
+            # stacked transfer (per-array uploads each pay the full
+            # dispatch latency on a remote-accelerator link)
+            return dict(
+                meta=meta, dims=dims, cam=cam, offsets=offsets,
+                bricks=tbricks, owners=towners,
+            )
         return dict(
             meta=jnp.asarray(meta), dims=jnp.asarray(dims),
             cam=jnp.asarray(cam), offsets=jnp.asarray(offsets),
@@ -513,3 +573,136 @@ class FastSceneRenderer:
                 image_io.save_image(image, output_filename)
             return image.pixels
         return pixels
+
+    def render_batch(
+        self,
+        cameras,
+        overlay: bool = True,
+        output_pattern: Optional[str] = None,
+        max_chunk_bytes: int = 64 << 20,
+        bytes_out: bool = False,
+    ) -> np.ndarray:
+        """Render a camera sequence with ONE device dispatch per chunk.
+
+        The animation workloads (orbits, time series — the reference's
+        render_volume_rotate.py / render_volume_time.py drive one blocking
+        render() per frame) pay a host->device round trip per frame; on a
+        dispatch-latency-bound link that dominates the frame time.  This
+        batches consecutive same-march-axis frames into a single jitted
+        ``lax.scan`` over the tile-loop kernel: per chunk, one dispatch and
+        one [B, pixels, 5] readback (chunked under ``max_chunk_bytes``).
+
+        Only the 20-float camera pack and the CSR work list vary per frame
+        (brick metadata is axis-fixed), so work lists are padded to a
+        power-of-two bucket and chunks to a fixed size — a long orbit
+        compiles a handful of programs total.  Frames whose work list culls
+        away entirely come back as cleared frames, matching ``render``.
+
+        Returns [len(cameras), width*height, 5] float32 frames in input
+        order; ``output_pattern`` (e.g. "frame_{:04d}.ppm") saves each.
+        With ``bytes_out=True`` frames come back as [B, width*height, 4]
+        RGBA uint8 (the Mesa byte codec applied on device): the readback
+        shrinks 5x — the right mode when the frames are headed for
+        PPM/PNG anyway.  ``overlay`` requires float frames.
+        Beyond reference — the reference has no batched render entry.
+        """
+        cameras = list(cameras)
+        if bytes_out and overlay:
+            raise ValueError("bytes_out requires overlay=False (the "
+                             "wireframe overlay blends float pixels)")
+        num_out = self.parameters.width * self.parameters.height
+        chans = 4 if bytes_out else 5
+        frame_bytes = num_out * (4 if bytes_out else 5 * 4)
+        results: List[Optional[np.ndarray]] = [None] * len(cameras)
+
+        def flush(group):
+            """group: list of (frame index, inputs dict); one march axis.
+
+            All stacking/padding happens in host NumPy; each chunk ships as
+            FOUR device transfers (cams/offsets/bricks/owners) regardless of
+            frame count — per-array uploads would each pay the full dispatch
+            latency on a remote-accelerator link."""
+            if not group:
+                return
+            vol = group[0][2]
+            meta = jnp.asarray(group[0][1]["meta"])
+            dims = jnp.asarray(group[0][1]["dims"])
+            w_max = max(int(len(g[1]["bricks"])) for g in group)
+            w_pad = 1 << max(w_max - 1, 0).bit_length()  # pow2 bucket
+            chunk_max = int(max(1, min(16, max_chunk_bytes // frame_bytes)))
+            c0 = 0
+            while c0 < len(group):
+                # largest power-of-two sub-chunk that fits: no wasted frames,
+                # few distinct batch shapes to compile
+                n = len(group) - c0
+                size = min(chunk_max, 1 << (n.bit_length() - 1))
+                part = group[c0 : c0 + size]
+                c0 += size
+                cams = np.stack([p[1]["cam"] for p in part])
+                offs = np.stack([p[1]["offsets"] for p in part])
+                brs = np.zeros((len(part), w_pad), np.int32)
+                ows = np.zeros((len(part), w_pad), np.int32)
+                for row, (_idx, inp, _vol) in enumerate(part):
+                    w = len(inp["bricks"])
+                    brs[row, :w] = inp["bricks"]
+                    ows[row, :w] = inp["owners"]
+                frames = _render_batch_frames(
+                    vol, self._lut_device, meta, dims,
+                    jnp.asarray(cams), jnp.asarray(offs),
+                    jnp.asarray(brs), jnp.asarray(ows),
+                    width=self.pad_w, height=self.pad_h,
+                    max_slices=self.cube,
+                    logical_width=self.render_width,
+                    logical_height=self.render_height,
+                    interpret=self.interpret,
+                    sampling=self.parameters.sampling,
+                    ghost=self.ghost, sqrt_aa=self.sqrt_aa,
+                    bytes_out=bytes_out,
+                )
+                host = np.asarray(frames)  # one readback per chunk
+                for (idx, _inp, _vol), px in zip(part, host):
+                    results[idx] = px
+
+        group: List = []
+        group_axis = None
+        for i, camera in enumerate(cameras):
+            inputs = self.frame_inputs(camera, as_numpy=True)
+            if inputs is None:
+                if bytes_out:
+                    empty = np.zeros((num_out, chans), np.uint8)
+                else:
+                    empty = np.zeros((num_out, chans), np.float32)
+                    empty[:, 4] = np.inf
+                results[i] = empty
+                continue
+            axis = self._packed_axis
+            if group and axis != group_axis:
+                flush(group)
+                group = []
+            group_axis = axis
+            group.append((i, inputs, self._packed_vol))
+        flush(group)
+
+        out = np.stack(results)
+        if overlay or output_pattern:
+            from .image import ImageBuffer, ImageKind
+
+            kind = (
+                ImageKind.RGBA_U8 if bytes_out
+                else ImageKind.RGBA_F32_DEPTH_SORT
+            )
+            for i, camera in enumerate(cameras):
+                image = ImageBuffer(
+                    kind,
+                    self.parameters.width, self.parameters.height,
+                    out[i],
+                )
+                if overlay:
+                    render_bounding_box_overlay(
+                        self.tight_bounds, camera, 1, image
+                    )
+                if output_pattern:
+                    from . import io as image_io
+
+                    image_io.save_image(image, output_pattern.format(i))
+        return out

@@ -95,6 +95,21 @@ def main(argv=None) -> int:
         out = os.path.join(args.output_dir, f"frame{frame:04d}.png")
         renderer.render(camera, output_filename=out)
         print(f"wrote {out}")
+
+    # pure camera orbit at the final timestep: render_batch scans the whole
+    # sweep in one device dispatch per chunk (per-frame dispatch latency is
+    # what dominates animation wall-clock on a remote accelerator link)
+    orbit = []
+    for frame in range(args.frames):
+        angle = 2.0 * math.pi * frame / max(args.frames, 1)
+        orbit.append(CameraParameters(
+            eye=(0.5 + 2.2 * math.cos(angle), 0.9,
+                 0.5 + 2.2 * math.sin(angle)),
+            look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+        ))
+    pattern = os.path.join(args.output_dir, "orbit{:04d}.png")
+    renderer.render_batch(orbit, output_pattern=pattern)
+    print(f"wrote {args.frames} batched orbit frames")
     return 0
 
 

@@ -103,5 +103,11 @@ def test_render_from_arrays_example(tmp_path):
 def test_render_animation_example(tmp_path):
     mod = load_example("render_animation.py")
     assert mod.main([str(tmp_path / "anim"), "--frames", "3", "--size", "32"]) == 0
-    frames = os.listdir(tmp_path / "anim")
-    assert len(frames) == 3
+    names = os.listdir(tmp_path / "anim")
+    # 3 per-frame update_data renders + 3 batched orbit frames
+    assert sorted(n for n in names if n.startswith("frame")) == [
+        "frame0000.png", "frame0001.png", "frame0002.png"
+    ]
+    assert sorted(n for n in names if n.startswith("orbit")) == [
+        "orbit0000.png", "orbit0001.png", "orbit0002.png"
+    ]

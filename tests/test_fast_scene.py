@@ -328,3 +328,101 @@ def test_fast_scene_trilinear_smoke(geometry):
     # smooth field: same frame to first order, not identical
     assert np.abs(tri[:, :4] - near[:, :4]).max() > 1e-4
     assert np.abs(tri[:, :4] - near[:, :4]).mean() < 0.05
+
+
+class TestRenderBatch:
+    """Batched multi-camera rendering (one dispatch per axis/chunk group)."""
+
+    def _orbit(self, n, dist=3.0):
+        cams = []
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            eye = (0.5 + dist * np.sin(ang), 1.2, 0.5 + dist * np.cos(ang))
+            cams.append(CameraParameters(
+                eye=eye, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+                fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+            ))
+        return cams
+
+    def test_batch_matches_per_frame_render(self, geometry):
+        """A 6-frame orbit crossing march-axis changes: the batched path is
+        pixel-identical to per-frame render() (same kernel, same crop and
+        downsample ops, only scanned)."""
+        params = RenderParameters(width=32, height=32)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(6)
+        batch = fast.render_batch(cams, overlay=False)
+        assert batch.shape == (6, 32 * 32, 5)
+        for i, cam in enumerate(cams):
+            single = fast.render(cam, overlay=False)
+            # scanned-vs-standalone jit may reassociate fused float ops
+            np.testing.assert_allclose(batch[i], single, rtol=1e-6, atol=1e-6)
+
+    def test_batch_with_overlay_and_save(self, geometry, tmp_path):
+        params = RenderParameters(width=24, height=24)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(2)
+        pattern = str(tmp_path / "frame_{:03d}.ppm")
+        batch = fast.render_batch(cams, overlay=True, output_pattern=pattern)
+        for i, cam in enumerate(cams):
+            assert (tmp_path / f"frame_{i:03d}.ppm").exists()
+            single = fast.render(cam, overlay=True)
+            np.testing.assert_allclose(batch[i], single, rtol=1e-6, atol=1e-6)
+
+    def test_batch_chunking_small_budget(self, geometry):
+        """A tiny readback budget forces multiple chunks (with padding of
+        the last partial chunk); results stay identical and ordered."""
+        params = RenderParameters(width=32, height=32)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(3, dist=4.0)
+        big = fast.render_batch(cams, overlay=False)
+        small = fast.render_batch(cams, overlay=False, max_chunk_bytes=1)
+        np.testing.assert_array_equal(big, small)
+
+    def test_batch_culled_frame(self, geometry):
+        """A fully transparent transfer function culls every work item;
+        batched frames come back cleared, like render()."""
+        from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+        params = RenderParameters(width=16, height=16)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        clear = color_map_from_tuples(
+            [(0.0, 0.0, 0.0, 0.0, 0.0), (1.0, 0.0, 0.0, 0.0, 0.0)]
+        )
+        fast.set_transfer_function(color_map=clear)
+        batch = fast.render_batch(self._orbit(2), overlay=False)
+        assert np.all(batch[:, :, :4] == 0.0)
+        assert np.all(np.isinf(batch[:, :, 4]))
+
+    def test_batch_aa_supersampling(self, geometry):
+        params = RenderParameters(width=16, height=16, antialiasing=4)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(2)
+        batch = fast.render_batch(cams, overlay=False)
+        assert batch.shape == (2, 16 * 16, 5)
+        for i, cam in enumerate(cams):
+            np.testing.assert_allclose(
+                batch[i], fast.render(cam, overlay=False),
+                rtol=1e-6, atol=1e-6,
+            )
+
+    def test_batch_bytes_out(self, geometry, tmp_path):
+        """bytes_out returns device-converted RGBA u8 frames (Mesa codec)
+        matching the host byte conversion of the float frames, and saves
+        valid PPMs; overlay is rejected."""
+        from amrvolumerenderer_tpu.image import color_to_byte
+
+        params = RenderParameters(width=24, height=24)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(2)
+        with pytest.raises(ValueError):
+            fast.render_batch(cams, overlay=True, bytes_out=True)
+        pattern = str(tmp_path / "b{:02d}.ppm")
+        got = fast.render_batch(
+            cams, overlay=False, output_pattern=pattern, bytes_out=True
+        )
+        assert got.dtype == np.uint8 and got.shape == (2, 24 * 24, 4)
+        for i, cam in enumerate(cams):
+            single = fast.render(cam, overlay=False)
+            np.testing.assert_array_equal(got[i], color_to_byte(single[:, :4]))
+            assert (tmp_path / f"b{i:02d}.ppm").exists()
