@@ -31,6 +31,9 @@ def main() -> None:
     parser.add_argument("--frames", type=int, default=12)
     parser.add_argument("--save-first", default=None,
                         help="save the first frame to this PNG")
+    parser.add_argument("--batch", action="store_true",
+                        help="render the orbit through render_batch "
+                             "(one dispatch per chunk, byte-coded readback)")
     args = parser.parse_args()
 
     from amrvolumerenderer_tpu import api
@@ -69,16 +72,42 @@ def main() -> None:
 
     look = np.array([0.5, 0.5, 0.5])
     radius, height_off = 2.6, 1.2
-    times = []
+    cams = []
     for frame_idx in range(args.frames):
         angle = math.tau * frame_idx / args.frames
-        cam = CameraParameters(
+        cams.append(CameraParameters(
             eye=(look[0] + radius * math.cos(angle),
                  look[1] + height_off,
                  look[2] + radius * math.sin(angle)),
             look_at=look, up=(0, 1, 0),
             fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+        ))
+
+    if args.batch:
+        frames = fast.render_batch(cams, overlay=False, bytes_out=True)  # warm
+        t0 = time.perf_counter()
+        frames = fast.render_batch(cams, overlay=False, bytes_out=True)
+        dt = time.perf_counter() - t0
+        assert frames[:, :, 3].max() > 0
+        if args.save_first:
+            from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
+            from amrvolumerenderer_tpu.io import save_image
+
+            save_image(
+                ImageBuffer(ImageKind.RGBA_U8, args.width, args.height,
+                            frames[0]),
+                args.save_first,
+            )
+        print(
+            f"orbit (batched): {args.frames} frames at "
+            f"{args.width}x{args.height} AA={args.antialiasing}; "
+            f"{dt * 1e3 / args.frames:.1f} ms/frame "
+            f"({args.frames / dt:.1f} fps)"
         )
+        return
+
+    times = []
+    for frame_idx, cam in enumerate(cams):
         t0 = time.perf_counter()
         frame = fast.render(
             cam,
