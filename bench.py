@@ -89,6 +89,73 @@ def build_three_level_scene():
     return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
 
 
+def build_shell_scene():
+    """Single-level 128^3 domain (64 bricks of 32^3) holding a thin
+    spherical shell: most cubes cull on transparency and the occupied-slice
+    bounds trim the rest, so rays retire few samples — the scene class
+    where the >=1 Gray/s north star is about ray-setup rate, not sample
+    math throughput."""
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+    n = 128
+    c = (np.arange(n) + 0.5) / n
+    r = np.sqrt(
+        (c[:, None, None] - 0.5) ** 2
+        + (c[None, :, None] - 0.5) ** 2
+        + (c[None, None, :] - 0.5) ** 2
+    )
+    f = np.exp(-((r - 0.40) / 0.015) ** 2).astype(np.float64)
+    boxes = [
+        LevelBox(f[i:i + 32, j:j + 32, k:k + 32],
+                 np.array([i, j, k], dtype=int))
+        for i in range(0, n, 32)
+        for j in range(0, n, 32)
+        for k in range(0, n, 32)
+    ]
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+    return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+
+def measure_device_frame(fsr, camera, width, height, K=10):
+    """min-of-3 per-frame device time of K frames in one jitted fori_loop
+    (the dispatch-latency-proof measurement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.ops import tilemarch as tm
+
+    inputs = fsr.frame_inputs(camera)
+
+    @jax.jit
+    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners):
+        def body(_, acc):
+            out_c, _out_d = tm.tilemarch_render(
+                vol, meta, dims, lut, cam, offsets, bricks, owners,
+                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                logical_width=fsr.render_width,
+                logical_height=fsr.render_height,
+                interpret=fsr.interpret, sampling=fsr.parameters.sampling,
+            )
+            return acc + jnp.sum(out_c)
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    args = (
+        fsr._packed_vol, inputs["meta"], inputs["dims"], fsr._lut_device,
+        inputs["cam"], inputs["offsets"], inputs["bricks"], inputs["owners"],
+    )
+    checksum = float(frames(*args))
+    assert np.isfinite(checksum) and checksum > 0.0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(frames(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times) * 1e3 / K
+
+
 def exchange_payload_bytes(fsr, camera, num_devices: int):
     """Static per-frame ICI payload of the depth-contiguous multi-chip
     pipeline on this scene: (D-1) rect-compacted frames cross the links per
@@ -148,35 +215,7 @@ def main() -> None:
     # Host->device dispatch latency through the runtime can exceed the frame
     # time itself, so the per-frame number comes from a K-frame loop inside
     # one jitted program with a scalar readback.
-    K = 10
-
-    @jax.jit
-    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners):
-        def body(_, acc):
-            out_c, _out_d = tm.tilemarch_render(
-                vol, meta, dims, lut, cam, offsets, bricks, owners,
-                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
-                logical_width=fsr.render_width,
-                logical_height=fsr.render_height,
-                interpret=fsr.interpret, sampling=parameters.sampling,
-            )
-            return acc + jnp.sum(out_c)
-
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
-
-    args = (
-        fsr._packed_vol, inputs["meta"], inputs["dims"], fsr._lut_device,
-        inputs["cam"], inputs["offsets"], inputs["bricks"], inputs["owners"],
-    )
-    checksum = float(frames(*args))  # compile + warm up
-    assert np.isfinite(checksum) and checksum > 0.0
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(frames(*args))  # scalar readback forces completion
-        times.append(time.perf_counter() - t0)
-    frame_ms = min(times) * 1e3 / K
+    frame_ms = measure_device_frame(fsr, camera, width, height)
     mrays_per_s = (fsr.render_width * fsr.render_height) / (frame_ms * 1e-3) / 1e6
 
     # ---- end-to-end render() wall clock (host + dispatch + readback) ----
@@ -215,6 +254,34 @@ def main() -> None:
         eb.append(time.perf_counter() - t0)
     frame_ms_e2e_batch = min(eb) * 1e3 / B
 
+    # ---- kernel sample throughput ---------------------------------------
+    # The Gray/s north star is scene-dependent (a ray's cost is its marched
+    # samples, and multi-level scenes march several pieces per ray), so
+    # also report the scene-independent rate: (tile pixels x occupied
+    # slices) summed over the work list, per second.  This is the number
+    # the march loop actually retires.
+    np_inputs = fsr.frame_inputs(camera, as_numpy=True)
+    occ = np_inputs["dims"][np_inputs["bricks"], 7]
+    occupied_slices = (occ & 0xFFFF) - (occ >> 16)
+    tile_pixels = 8 * 128
+    samples_per_frame = float(np.maximum(occupied_slices, 0).sum()) * tile_pixels
+    gsamples_per_s = samples_per_frame / (frame_ms * 1e-3) / 1e9
+
+    # ---- sparse-shell scene: the Gray/s regime ---------------------------
+    # The dense multi-level frame is samples-bound (each ray retires ~40+
+    # samples), so Gray/s there measures sample math, not ray rate.  A thin
+    # shell — the common production case for interval/isosurface-like
+    # transfer functions — lets transparency culling and occupied-slice
+    # bounds cut samples/ray to a handful; this is where the >=1 Gray/s
+    # north star lives.
+    shell_geom = build_shell_scene()
+    shell_fsr = FastSceneRenderer(
+        shell_geom, RenderParameters(width=width, height=height)
+    )
+    shell_cam = auto_orbit_camera(shell_fsr.bounds)
+    shell_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
+    shell_grays = (width * height) / (shell_ms * 1e-3) / 1e9
+
     # ---- multi-chip exchange payload model -------------------------------
     bytes_f32, bytes_ubyte, rect_frac = exchange_payload_bytes(
         fsr, camera, EXCHANGE_DEVICES
@@ -234,6 +301,9 @@ def main() -> None:
                         f"pieces, {width}x{height}"
                     ),
                     "mrays_per_s_per_chip": round(mrays_per_s, 1),
+                    "gsamples_per_s": round(gsamples_per_s, 2),
+                    "sparse_shell_frame_ms": round(shell_ms, 2),
+                    "sparse_shell_grays_per_s": round(shell_grays, 3),
                     "host_prep_ms": round(host_prep_ms, 2),
                     "frame_ms_e2e": round(frame_ms_e2e, 2),
                     "frame_ms_e2e_batch8": round(frame_ms_e2e_batch, 2),
