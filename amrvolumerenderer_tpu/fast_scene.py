@@ -127,7 +127,7 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
     ),
 )
 def _render_batch_frames(
-    vol, lut, meta, dims, cams, offsets, bricks, owners, *,
+    vol, lut, meta, dims, cams, offsets, bricks, owners, ibounds, *,
     width, height, max_slices, logical_width, logical_height,
     interpret, sampling, ghost, sqrt_aa, bytes_out=False,
 ):
@@ -142,9 +142,9 @@ def _render_batch_frames(
     tiles_y = height // sm.TILE_H
 
     def one(carry, per_frame):
-        cam, off, br, ow = per_frame
+        cam, off, br, ow, ib = per_frame
         out_c, out_d = tm.tilemarch_render(
-            vol, meta, dims, lut, cam, off, br, ow,
+            vol, meta, dims, lut, cam, off, br, ow, ib,
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
@@ -167,7 +167,7 @@ def _render_batch_frames(
             ).astype(jnp.uint8)
         return carry, frame
 
-    _, frames = jax.lax.scan(one, 0, (cams, offsets, bricks, owners))
+    _, frames = jax.lax.scan(one, 0, (cams, offsets, bricks, owners, ibounds))
     return frames
 
 
@@ -326,6 +326,12 @@ class FastSceneRenderer:
         # a contributing slice)
         g = self.ghost
         self._slice_minmax = {}
+        self._slice_quad_minmax = {}
+        self._occ_bits_cache = {}  # axis -> [L, S] u16 (per LUT, see
+        #                            tm.block_occupancy_bits)
+        nq = 4  # (u, v) blocks per axis for per-(tile, brick) slice bounds
+        self._quad_blocks = nq
+        self._quad_split = self.cube // nq  # stored-coordinate block edge
         for a in range(3):
             v = jnp.moveaxis(canonical, 1 + a, 1)
             if g:
@@ -334,6 +340,17 @@ class FastSceneRenderer:
                 np.asarray(v.min(axis=(2, 3)).astype(jnp.float32)),
                 np.asarray(v.max(axis=(2, 3)).astype(jnp.float32)),
             )
+            # per-slice extrema over nq x nq stored (u, v) blocks for
+            # per-(tile, brick) slice bounds
+            # (ops.tilemarch.compute_item_slice_bounds); one stacked device
+            # reduction + one transfer per axis
+            num, s_cap, c, _ = v.shape
+            blocks = v.reshape(num, s_cap, nq, c // nq, nq, c // nq)
+            quads = jnp.stack([
+                blocks.min(axis=(3, 5)), blocks.max(axis=(3, 5)),
+            ]).astype(jnp.float32)  # [2(min/max), L, S, nq, nq]
+            host = np.asarray(quads)
+            self._slice_quad_minmax[a] = (host[0], host[1])
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
 
@@ -414,6 +431,7 @@ class FastSceneRenderer:
         self._lut = sm.build_log_lut(lut)
         self._lut_alpha = lut[:, 3].copy()
         self._lut_device = jnp.asarray(self._lut)
+        self._occ_bits_cache = {}  # block occupancy depends on the LUT
         if self.piece_ranges is not None:
             self.visible = np.array(
                 [self._range_visible(vmin, vmax, self._lut_alpha)
@@ -497,18 +515,55 @@ class FastSceneRenderer:
             np.cumsum(counts, out=offsets[1:])
         if len(tbricks) == 0:
             return None
+        # per-(tile, brick) slice bounds: tighten each work item's march
+        # range to its tile's footprint on the brick (sparse scenes march
+        # only the slices the tile's rays can actually hit)
+        occ_bits = self._occ_bits_cache.get(axis)
+        if occ_bits is None:
+            qmin, qmax = self._slice_quad_minmax[axis]
+            occ_bits = tm.block_occupancy_bits(
+                qmin, qmax, self._lut_alpha, range_min,
+                1.0 / span if span != 0.0 else 1.0,
+            )
+            self._occ_bits_cache[axis] = occ_bits
+        wt_final = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        item_bounds = tm.compute_item_slice_bounds(
+            meta, dims[:, 7], wt_final, tbricks,
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, axes, self.pad_w, self.pad_h,
+            self.render_width, self.render_height,
+            occ_bits, self._quad_blocks, self._quad_split,
+            ghost=self.ghost,
+        )
+        # drop fully-empty work items: a (tile, brick) whose tightened range
+        # is empty contributes nothing but still costs the brick DMA and
+        # the per-item setup in the kernel — on sparse transfer functions
+        # that is ~half the items
+        nonempty = (item_bounds >> 16) < (item_bounds & 0xFFFF)
+        if not nonempty.all():
+            counts = np.bincount(
+                wt_final[nonempty], minlength=len(offsets) - 1
+            )
+            tbricks = tbricks[nonempty]
+            towners = towners[nonempty]
+            item_bounds = item_bounds[nonempty]
+            offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            if len(tbricks) == 0:
+                return None
         if as_numpy:
             # batch path: keep host arrays so a whole chunk ships as ONE
             # stacked transfer (per-array uploads each pay the full
             # dispatch latency on a remote-accelerator link)
             return dict(
                 meta=meta, dims=dims, cam=cam, offsets=offsets,
-                bricks=tbricks, owners=towners,
+                bricks=tbricks, owners=towners, item_bounds=item_bounds,
             )
         return dict(
             meta=jnp.asarray(meta), dims=jnp.asarray(dims),
             cam=jnp.asarray(cam), offsets=jnp.asarray(offsets),
             bricks=jnp.asarray(tbricks), owners=jnp.asarray(towners),
+            item_bounds=jnp.asarray(item_bounds),
         )
 
     def render(
@@ -532,7 +587,7 @@ class FastSceneRenderer:
             out_c, out_d = tm.tilemarch_render(
                 self._packed_vol, inputs["meta"], inputs["dims"],
                 self._lut_device, inputs["cam"], inputs["offsets"],
-                inputs["bricks"], inputs["owners"],
+                inputs["bricks"], inputs["owners"], inputs["item_bounds"],
                 width=self.pad_w, height=self.pad_h, max_slices=self.cube,
                 logical_width=self.render_width,
                 logical_height=self.render_height,
@@ -642,14 +697,16 @@ class FastSceneRenderer:
                 offs = np.stack([p[1]["offsets"] for p in part])
                 brs = np.zeros((len(part), w_pad), np.int32)
                 ows = np.zeros((len(part), w_pad), np.int32)
+                ibs = np.zeros((len(part), w_pad), np.int32)
                 for row, (_idx, inp, _vol) in enumerate(part):
                     w = len(inp["bricks"])
                     brs[row, :w] = inp["bricks"]
                     ows[row, :w] = inp["owners"]
+                    ibs[row, :w] = inp["item_bounds"]
                 frames = _render_batch_frames(
                     vol, self._lut_device, meta, dims,
                     jnp.asarray(cams), jnp.asarray(offs),
-                    jnp.asarray(brs), jnp.asarray(ows),
+                    jnp.asarray(brs), jnp.asarray(ows), jnp.asarray(ibs),
                     width=self.pad_w, height=self.pad_h,
                     max_slices=self.cube,
                     logical_width=self.render_width,

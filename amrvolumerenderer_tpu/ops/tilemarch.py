@@ -23,7 +23,8 @@ written once.  VMEM: 2 brick buffers + the tile accumulator.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+import math
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,9 @@ def _kernel(
     offsets_ref,  # [T + 1] i32 CSR offsets into the per-tile brick list
     bricks_ref,  # [W] i32 CSR brick ids, front-to-back per tile
     owners_ref,  # [W] i32 owner of each work item (run grouping)
+    ibounds_ref,  # [W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
+    #               defaults to the brick's dims[7], tightened per tile by
+    #               compute_item_slice_bounds)
     # tensors
     vol_hbm,  # [B, S_max, 8, 128] f32 in HBM/ANY
     lut_ref,  # [4, LUT_ROWS, LANES] f32 in VMEM (shared table)
@@ -138,8 +142,10 @@ def _kernel(
         perm = [dims_ref[bi, 3 + i] for i in range(3)]
         nv_stride = dims_ref[bi, 6]
         nv_stride = jnp.where(nv_stride > 0, nv_stride, nv)
-        # occupied slice bounds (slicemarch.compute_slice_bounds packing)
-        s_bounds = dims_ref[bi, 7]
+        # occupied slice bounds, PER WORK ITEM (slicemarch
+        # compute_slice_bounds packing, optionally tightened to this tile's
+        # footprint on the brick by compute_item_slice_bounds)
+        s_bounds = ibounds_ref[work_idx]
         s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
         s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
 
@@ -385,6 +391,9 @@ def tilemarch_render(
     tile_offsets: jnp.ndarray,  # [T + 1] i32 CSR offsets
     tile_bricks: jnp.ndarray,  # [W] i32 brick per work item (depth sorted)
     tile_owners: jnp.ndarray,  # [W] i32 owner per work item
+    item_bounds: Optional[jnp.ndarray] = None,  # [W] i32 per-item slice
+    #   bounds ((lo<<16)|hi); None -> each item inherits its brick's
+    #   dims[:, 7] (identical behavior to the per-brick bounds)
     *,
     width: int,
     height: int,
@@ -405,6 +414,8 @@ def tilemarch_render(
     assert width % TILE_W == 0 and height % TILE_H == 0
     num_tiles = num_pixels // TILE_P
     s_max = vol.shape[1]
+    if item_bounds is None:
+        item_bounds = dims[tile_bricks, 7]
 
     unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
@@ -419,7 +430,7 @@ def tilemarch_render(
         ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
@@ -445,8 +456,175 @@ def tilemarch_render(
         ],
         interpret=interpret,
     )(
-        cam, meta, dims, tile_offsets, tile_bricks, tile_owners, vol, lut
+        cam, meta, dims, tile_offsets, tile_bricks, tile_owners,
+        item_bounds, vol, lut,
     )
+
+
+def block_occupancy_bits(
+    quad_min: np.ndarray,  # [L, S, Q, Q] per-slice block minima
+    quad_max: np.ndarray,  # [L, S, Q, Q] per-slice block maxima
+    lut_alpha: np.ndarray,  # [256]
+    range_min: float,
+    inverse_range: float,
+) -> np.ndarray:
+    """[L, S] uint16 bitmask: bit (qu * Q + qv) set when block (qu, qv) of
+    the slice can map to nonzero alpha under the current transfer function.
+    Depends only on (piece table, LUT) — cache per (axis, LUT), NOT per
+    frame (compute_item_slice_bounds consumes it every frame)."""
+    nz = np.asarray(lut_alpha) > 0.0
+    prefix = np.concatenate([[0], np.cumsum(nz)])
+    n0 = np.clip((quad_min - range_min) * inverse_range, 0.0, 1.0)
+    n1 = np.clip((quad_max - range_min) * inverse_range, 0.0, 1.0)
+    i0 = np.clip((n0 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
+                 COLOR_TABLE_SIZE - 1)
+    i1 = np.clip((n1 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
+                 COLOR_TABLE_SIZE - 1)
+    occ = (prefix[i1 + 1] - prefix[i0]) > 0  # [L, S, Q, Q]
+    num, cap, nq, _ = occ.shape
+    bit = (np.arange(nq)[:, None] * nq + np.arange(nq)[None, :]).astype(
+        np.uint16
+    )
+    return (
+        occ.astype(np.uint16) << bit[None, None]
+    ).reshape(num, cap, nq * nq).sum(axis=2, dtype=np.uint16)
+
+
+def compute_item_slice_bounds(
+    meta: np.ndarray,  # [L, 12] f32 permuted pmin/pmax/cell (march axis 1st)
+    brick_bounds: np.ndarray,  # [L] i32 per-brick packed (lo<<16)|hi
+    wt: np.ndarray,  # [W] tile index per work item
+    wb: np.ndarray,  # [W] brick index per work item
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    axes: Sequence[int],  # march-axis permutation (dims[:, 3:6])
+    width: int,
+    height: int,
+    logical_width: int,
+    logical_height: int,
+    occ_bits: np.ndarray,  # [L, S] uint16 from block_occupancy_bits
+    nq: int,  # blocks per axis (Q)
+    split: int,  # stored-coordinate block edge stride (stored_extent / Q)
+    ghost: int = 0,
+    return_mask: bool = False,
+) -> np.ndarray:
+    """Per-(tile, brick) occupied-slice bounds: tighten each work item's
+    march range to the slices whose values can be non-transparent WITHIN
+    the tile's footprint on the brick.
+
+    The per-brick range (slicemarch.compute_slice_bounds) is global over
+    the whole slice, so a thin curved feature (a shell, a front) occupies
+    some (u, v) of nearly every slice and defeats range skipping; per-tile
+    footprints restore the sparsity.  Conservative by construction:
+
+      * a ray's in-plane position at slice z is ``eye_u + (z-eye_a) *
+        d_u/d_a`` — LINEAR in z, and a Mobius function of the pixel
+        coordinates (monotone in each while ``d_a`` keeps one sign across
+        the tile), so the 4 corner rays evaluated at slice-SEGMENT
+        boundary planes bound each segment's footprint exactly; sign
+        changes / behind-eye planes fall back to the brick bounds;
+      * slices are grouped into segments of ``SEG_LEN`` so oblique rays'
+        transverse drift (up to one cell per slice at 45 degrees) widens
+        only the segment's footprint, not the whole brick's;
+      * the footprint is padded by ``ghost + 2`` cells (clamp-to-edge
+        sampling drift is < 1 cell; interpolation reaches ``ghost``);
+      * occupancy is tested per stored-(u, v) BLOCK of each slice
+        (Q x Q equal blocks of edge ``split``; extrema include vreg
+        padding zeros, widening ranges only).
+
+    Returns [W] i32 packed ``(s_lo << 16) | s_hi``; items whose footprint
+    maths cannot be trusted keep their brick's bounds.  (Beyond reference:
+    the reference marches every step of every box, VolumePainter.cpp:
+    837-900.)"""
+    wb = np.asarray(wb, np.int64)
+    wt = np.asarray(wt, np.int64)
+    bb = np.asarray(brick_bounds, np.int64)[wb]
+    blo = bb >> 16
+    bhi = bb & 0xFFFF
+
+    tiles_x = width // TILE_W
+    tx = wt % tiles_x
+    ty = wt // tiles_x
+    # extreme pixel centers of the tile (the kernel samples px + 0.5)
+    px = np.stack([tx * TILE_W + 0.5, tx * TILE_W + TILE_W - 0.5], -1)
+    py = np.stack([ty * TILE_H + 0.5, ty * TILE_H + TILE_H - 0.5], -1)
+    tan_half = math.tan(math.radians(fov_y_degrees) * 0.5)
+    aspect = logical_width / max(logical_height, 1)
+    plane_x = (px * (2.0 / logical_width) - 1.0) * tan_half * aspect
+    plane_y = (py * (2.0 / logical_height) - 1.0) * tan_half
+    # 4 corner rays, world dirs (unnormalized — ratios cancel below)
+    cx = plane_x[:, [0, 0, 1, 1]]
+    cy = plane_y[:, [0, 1, 0, 1]]
+    dirs = (
+        np.asarray(forward, np.float64)[None, None, :]
+        + cx[:, :, None] * np.asarray(right, np.float64)
+        + cy[:, :, None] * np.asarray(up, np.float64)
+    )  # [W, 4, 3]
+    axes = list(axes)
+    dp = dirs[:, :, axes]
+    eye_p = np.asarray(eye, np.float64)[axes]
+    pmin = np.asarray(meta, np.float64)[wb][:, 0:3]
+    cell = np.asarray(meta, np.float64)[wb][:, 6:9]
+
+    d_a = dp[:, :, 0]
+    sign_ok = (np.abs(d_a) > 1e-8).all(1) & (
+        (d_a > 0).all(1) | (d_a < 0).all(1)
+    )
+    cap = occ_bits.shape[1]
+    seg_len = 4
+    n_seg = (cap + seg_len - 1) // seg_len
+    # segment boundary slice centers: 0, L, 2L, ..., then cap-1
+    ks = np.minimum(np.arange(n_seg + 1) * seg_len, cap - 1)  # [G+1]
+    z = pmin[:, 0:1] + (ks[None, :] + 0.5) * cell[:, 0:1]  # [W, G+1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (z[:, None, :] - eye_p[0]) / d_a[:, :, None]  # [W, 4, G+1]
+        ok = sign_ok & (t > 0).all(axis=(1, 2))
+        u_pts = eye_p[1] + t * dp[:, :, 1:2]  # [W, 4, G+1]
+        v_pts = eye_p[2] + t * dp[:, :, 2:3]
+        cu = (u_pts - pmin[:, 1:2, None]) / cell[:, 1:2, None] + ghost
+        cv = (v_pts - pmin[:, 2:3, None]) / cell[:, 2:3, None] + ghost
+    margin = ghost + 2.0
+    # segment g's footprint = hull of the 4 corners at boundaries g, g+1
+    # (reduce over corners first, then over the two endpoints)
+    cu_min = cu.min(axis=1)  # [W, G+1]
+    cu_max = cu.max(axis=1)
+    cv_min = cv.min(axis=1)
+    cv_max = cv.max(axis=1)
+    cu_lo = np.minimum(cu_min[:, :-1], cu_min[:, 1:]) - margin  # [W, G]
+    cu_hi = np.maximum(cu_max[:, :-1], cu_max[:, 1:]) + margin
+    cv_lo = np.minimum(cv_min[:, :-1], cv_min[:, 1:]) - margin
+    cv_hi = np.maximum(cv_max[:, :-1], cv_max[:, 1:]) + margin
+    edges_lo = np.arange(nq) * split  # block q covers [q*split, (q+1)*split)
+    edges_hi = edges_lo + split
+    qu = (cu_lo[..., None] < edges_hi) & (cu_hi[..., None] > edges_lo)
+    qv = (cv_lo[..., None] < edges_hi) & (cv_hi[..., None] > edges_lo)
+    # footprint bitmask per segment: bit (a*Q+b) = u-block a AND v-block b
+    shift_u = (np.arange(nq, dtype=np.uint32) * nq)
+    fu = (qu.astype(np.uint32) << shift_u).sum(axis=2, dtype=np.uint32)
+    fv = (qv.astype(np.uint32) << np.arange(nq, dtype=np.uint32)).sum(
+        axis=2, dtype=np.uint32
+    )
+    # (Σ_a qu_a 2^(aQ)) * (Σ_b qv_b 2^b) = Σ_{a,b} qu_a qv_b 2^(aQ+b):
+    # the nibble products never carry because each partial bit is distinct
+    fmask = (fu * fv).astype(np.uint16)  # [W, G]
+    # expand to per-slice and AND against the cached block occupancy
+    seg_of_slice = np.minimum(np.arange(cap) // seg_len, n_seg - 1)
+    sel = (fmask[:, seg_of_slice] & occ_bits[wb]) != 0  # [W, S]
+    cap = sel.shape[1]
+    s_idx = np.arange(cap)[None, :]
+    sel &= (s_idx >= blo[:, None]) & (s_idx < bhi[:, None])
+    any_occ = sel.any(1)
+    lo = np.argmax(sel, 1)
+    hi = cap - np.argmax(sel[:, ::-1], 1)
+    packed = np.where(any_occ, (lo << 16) | hi, (bhi << 16) | bhi)
+    out = np.where(ok & (bhi > blo), packed, bb)
+    if return_mask:
+        # diagnostics/tests: the per-slice occupancy before range collapse
+        return out.astype(np.int32), sel, ok
+    return out.astype(np.int32)
 
 
 def build_tile_worklist(

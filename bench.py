@@ -282,6 +282,18 @@ def main() -> None:
     shell_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
     shell_grays = (width * height) / (shell_ms * 1e-3) / 1e9
 
+    # same shell under a transfer function with a transparent range (how
+    # production shells are actually visualized): the per-(tile, brick)
+    # slice bounds + empty-item culling get to cut real work
+    from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+    shell_fsr.set_transfer_function(color_map=color_map_from_tuples([
+        (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+        (0.5, 1.0, 0.5, 0.2, 0.4), (1.0, 1.0, 1.0, 1.0, 0.8),
+    ]))
+    shell_tf_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
+    shell_tf_grays = (width * height) / (shell_tf_ms * 1e-3) / 1e9
+
     # ---- multi-chip exchange payload model -------------------------------
     bytes_f32, bytes_ubyte, rect_frac = exchange_payload_bytes(
         fsr, camera, EXCHANGE_DEVICES
@@ -304,6 +316,8 @@ def main() -> None:
                     "gsamples_per_s": round(gsamples_per_s, 2),
                     "sparse_shell_frame_ms": round(shell_ms, 2),
                     "sparse_shell_grays_per_s": round(shell_grays, 3),
+                    "sparse_shell_tf_frame_ms": round(shell_tf_ms, 2),
+                    "sparse_shell_tf_grays_per_s": round(shell_tf_grays, 3),
                     "host_prep_ms": round(host_prep_ms, 2),
                     "frame_ms_e2e": round(frame_ms_e2e, 2),
                     "frame_ms_e2e_batch8": round(frame_ms_e2e_batch, 2),

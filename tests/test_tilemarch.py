@@ -195,3 +195,214 @@ def test_many_piece_scene_routes_to_tilemarch():
     np.testing.assert_allclose(
         img_auto.pixels[:, :4], img_tile.pixels[:, :4], atol=2e-5
     )
+
+
+class TestItemSliceBounds:
+    """Per-(tile, brick) occupied-slice bounds
+    (tm.compute_item_slice_bounds): must be exact (pixel parity with
+    per-brick bounds) and actually tighter on sparse scenes."""
+
+    def _shell_renderer(self, interpret=True):
+        from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+        from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+        from amrvolumerenderer_tpu.types import RenderParameters
+
+        n = 64
+        c = (np.arange(n) + 0.5) / n
+        r = np.sqrt(
+            (c[:, None, None] - 0.5) ** 2
+            + (c[None, :, None] - 0.5) ** 2
+            + (c[None, None, :] - 0.5) ** 2
+        )
+        f = np.exp(-((r - 0.40) / 0.015) ** 2)
+        boxes = [
+            LevelBox(f[i:i + 32, j:j + 32, k:k + 32],
+                     np.array([i, j, k], dtype=int))
+            for i in range(0, n, 32)
+            for j in range(0, n, 32)
+            for k in range(0, n, 32)
+        ]
+        geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+        data = api.AmrData(level_data=boxes and [boxes], level_geometry=geoms)
+        g = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+        return FastSceneRenderer(
+            g, RenderParameters(width=64, height=64), interpret=interpret
+        )
+
+    def _cams(self, fsr):
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        eyes = [
+            (0.5, 0.6, 3.2),       # axis 2, frontal
+            (3.1, 0.5, 0.4),       # axis 0
+            (-1.9, 2.3, -1.2),     # oblique, negative components
+            (0.52, 3.0, 0.55),     # axis 1, nearly top-down
+            (0.4, 0.45, 0.5),      # eye INSIDE the domain
+        ]
+        return [
+            CameraParameters(eye=e, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0))
+            for e in eyes
+        ]
+
+    def test_pixel_parity_with_brick_bounds(self):
+        """Tightened per-item bounds never change pixels (beyond the FP
+        combination-order jitter of re-grouped unrolled slices)."""
+        fsr = self._shell_renderer()
+        for cam in self._cams(fsr):
+            inputs = fsr.frame_inputs(cam)
+            if inputs is None:
+                continue
+            kw = dict(
+                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                logical_width=fsr.render_width,
+                logical_height=fsr.render_height, interpret=True,
+            )
+            tight_c, tight_d = tm.tilemarch_render(
+                fsr._packed_vol, inputs["meta"], inputs["dims"],
+                fsr._lut_device, inputs["cam"], inputs["offsets"],
+                inputs["bricks"], inputs["owners"], inputs["item_bounds"],
+                **kw,
+            )
+            full_c, full_d = tm.tilemarch_render(
+                fsr._packed_vol, inputs["meta"], inputs["dims"],
+                fsr._lut_device, inputs["cam"], inputs["offsets"],
+                inputs["bricks"], inputs["owners"], None,
+                **kw,
+            )
+            np.testing.assert_allclose(
+                np.asarray(tight_c), np.asarray(full_c), atol=2e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(tight_d), np.asarray(full_d), atol=2e-6
+            )
+
+    def test_bounds_are_tighter_on_shell(self):
+        """At a production frame size (tiles small relative to bricks) the
+        per-item ranges march meaningfully fewer slices than the per-brick
+        ranges.  With the DEFAULT colormap every LUT entry has alpha > 0,
+        so only the geometric cut fires (slices where the tile's rays miss
+        the brick cross-section); a transfer function with a transparent
+        range adds the value cut and tightens much further."""
+        from amrvolumerenderer_tpu.types import (
+            RenderParameters,
+            color_map_from_tuples,
+        )
+
+        fsr = self._shell_renderer()
+        big = type(fsr)(
+            fsr.geometry, RenderParameters(width=1024, height=1024),
+            interpret=True,
+        )
+
+        def ratio():
+            inputs = big.frame_inputs(self._cams(big)[0], as_numpy=True)
+            ib = inputs["item_bounds"].astype(np.int64)
+            bb = inputs["dims"][inputs["bricks"], 7].astype(np.int64)
+            tight = np.maximum((ib & 0xFFFF) - (ib >> 16), 0).sum()
+            full = np.maximum((bb & 0xFFFF) - (bb >> 16), 0).sum()
+            return tight / full
+
+        geometric = ratio()  # default colormap: geometric cut only
+        assert geometric < 0.95, geometric
+        big.set_transfer_function(color_map=color_map_from_tuples([
+            (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+            (0.5, 1, 0.5, 0.2, 0.4), (1.0, 1, 1, 1, 0.8),
+        ]))
+        value_cut = ratio()  # transparent range: value cut fires too
+        assert value_cut < 0.6, value_cut
+        assert value_cut < geometric
+
+    def test_bounds_within_brick_bounds(self):
+        """Item ranges are always sub-ranges of the brick's range."""
+        fsr = self._shell_renderer()
+        for cam in self._cams(fsr):
+            inputs = fsr.frame_inputs(cam, as_numpy=True)
+            if inputs is None:
+                continue
+            ib = inputs["item_bounds"].astype(np.int64)
+            bb = inputs["dims"][inputs["bricks"], 7].astype(np.int64)
+            assert np.all((ib >> 16) >= (bb >> 16))
+            assert np.all((ib & 0xFFFF) <= (bb & 0xFFFF))
+            assert np.all((ib >> 16) <= (ib & 0xFFFF))
+
+    def test_random_field_fuzz_parity(self):
+        """Random fields + random cameras: tightened bounds keep parity
+        (locks the conservativeness of footprints and quadrant tests)."""
+        from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+        from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+        from amrvolumerenderer_tpu.types import (
+            CameraParameters,
+            RenderParameters,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 32
+        f = (rng.random((n, n, n)) ** 3).astype(np.float64)  # mostly small
+        boxes = [
+            LevelBox(f[i:i + 16, j:j + 16, k:k + 16],
+                     np.array([i, j, k], dtype=int))
+            for i in range(0, n, 16)
+            for j in range(0, n, 16)
+            for k in range(0, n, 16)
+        ]
+        geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+        data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+        g = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+        fsr = FastSceneRenderer(
+            g, RenderParameters(width=32, height=32), interpret=True
+        )
+        for _ in range(4):
+            eye = tuple(rng.uniform(-2.5, 3.5, 3))
+            cam = CameraParameters(
+                eye=eye, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+            )
+            inputs = fsr.frame_inputs(cam)
+            if inputs is None:
+                continue
+            kw = dict(
+                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                logical_width=fsr.render_width,
+                logical_height=fsr.render_height, interpret=True,
+            )
+            args = (
+                fsr._packed_vol, inputs["meta"], inputs["dims"],
+                fsr._lut_device, inputs["cam"], inputs["offsets"],
+                inputs["bricks"], inputs["owners"],
+            )
+            tight_c, _ = tm.tilemarch_render(
+                *args, inputs["item_bounds"], **kw
+            )
+            full_c, _ = tm.tilemarch_render(*args, None, **kw)
+            np.testing.assert_allclose(
+                np.asarray(tight_c), np.asarray(full_c), atol=2e-6
+            )
+
+    def test_pixel_parity_with_transparent_range_tf(self):
+        """The value cut (transfer function with zero-alpha range) must
+        also keep pixel parity — skipped slices contribute zero alpha."""
+        from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+        fsr = self._shell_renderer()
+        fsr.set_transfer_function(color_map=color_map_from_tuples([
+            (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+            (0.5, 1, 0.5, 0.2, 0.4), (1.0, 1, 1, 1, 0.8),
+        ]))
+        for cam in self._cams(fsr)[:3]:
+            inputs = fsr.frame_inputs(cam)
+            if inputs is None:
+                continue
+            kw = dict(
+                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                logical_width=fsr.render_width,
+                logical_height=fsr.render_height, interpret=True,
+            )
+            args = (
+                fsr._packed_vol, inputs["meta"], inputs["dims"],
+                fsr._lut_device, inputs["cam"], inputs["offsets"],
+                inputs["bricks"], inputs["owners"],
+            )
+            tight_c, _ = tm.tilemarch_render(*args, inputs["item_bounds"], **kw)
+            full_c, _ = tm.tilemarch_render(*args, None, **kw)
+            np.testing.assert_allclose(
+                np.asarray(tight_c), np.asarray(full_c), atol=2e-6
+            )
