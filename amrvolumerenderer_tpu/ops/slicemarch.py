@@ -66,6 +66,8 @@ def _kernel_body(
     lut_ref,
     color_ref,
     depth_ref,
+    s_bounds_in=None,  # optional per-ITEM packed slice bounds (overrides
+    #                    dims[b, 7]; see tilemarch.compute_item_slice_bounds)
     *,
     width: int,
     height: int,
@@ -117,7 +119,9 @@ def _kernel_body(
     # occupied slice bounds (slot 7, packed (s_lo << 16) | s_hi): the march
     # loop only visits slices whose values can map to nonzero LUT alpha
     # (host-computed, compute_slice_bounds).  0 = unset = full range.
-    s_bounds = dims_ref[b, 7]
+    # The work-list kernels may tighten further per (brick, tile) item
+    # (s_bounds_in, from tilemarch.compute_item_slice_bounds).
+    s_bounds = dims_ref[b, 7] if s_bounds_in is None else s_bounds_in
     s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
     s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
 
@@ -454,13 +458,14 @@ def _kernel_dense(
 
 
 def _kernel_worklist(
-    cam_ref, meta_ref, dims_ref, wb_ref, wt_ref,
+    cam_ref, meta_ref, dims_ref, wb_ref, wt_ref, wbounds_ref,
     vol_ref, lut_ref, color_ref, depth_ref, **kw
 ):
     w = pl.program_id(0)
     _kernel_body(
         wb_ref[w], wt_ref[w],
         cam_ref, meta_ref, dims_ref, vol_ref, lut_ref, color_ref, depth_ref,
+        s_bounds_in=wbounds_ref[w],
         **kw,
     )
 
@@ -586,6 +591,8 @@ def slicemarch_render_worklist(
     work_bricks: jnp.ndarray,  # [W] i32 — brick per work item (sorted by brick)
     work_tiles: jnp.ndarray,  # [W] i32 — 2D tile index per work item
     coverage: jnp.ndarray,  # [B, T] bool — which (brick, tile) were scheduled
+    work_bounds: Optional[jnp.ndarray] = None,  # [W] i32 per-item slice
+    #   bounds; None -> each item inherits its brick's dims[:, 7]
     *,
     width: int,
     height: int,
@@ -609,6 +616,8 @@ def slicemarch_render_worklist(
     assert width % TILE_W == 0 and height % TILE_H == 0
     num_tiles = num_pixels // TILE_P
     num_work = work_bricks.shape[0]
+    if work_bounds is None:
+        work_bounds = dims[work_bricks, 7]
 
     unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
@@ -619,29 +628,33 @@ def slicemarch_render_worklist(
         sampling=sampling, unroll=unroll, ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_work,),
         in_specs=[
             pl.BlockSpec(
                 (1,) + vol.shape[1:],
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (wb[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 4, LUT_ROWS, LANES),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (wb[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, 1, 4, SUBLANES, LANES),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (
+                    wb[w], wt[w], 0, 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, SUBLANES, LANES),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (
+                    wb[w], wt[w], 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -658,7 +671,7 @@ def slicemarch_render_worklist(
             ),
         ],
         interpret=interpret,
-    )(cam, meta, dims, work_bricks, work_tiles, vol, lut)
+    )(cam, meta, dims, work_bricks, work_tiles, work_bounds, vol, lut)
 
     colors = jnp.where(coverage[:, :, None, None, None], colors, 0.0)
     depths = jnp.where(coverage[:, :, None, None], depths, jnp.inf)
@@ -680,6 +693,7 @@ def slicemarch_render_worklist_raw(
     cam: jnp.ndarray,
     work_bricks: jnp.ndarray,
     work_tiles: jnp.ndarray,
+    work_bounds: Optional[jnp.ndarray] = None,
     *,
     width: int,
     height: int,
@@ -700,6 +714,8 @@ def slicemarch_render_worklist_raw(
     assert width % TILE_W == 0 and height % TILE_H == 0
     num_tiles = num_pixels // TILE_P
     num_work = work_bricks.shape[0]
+    if work_bounds is None:
+        work_bounds = dims[work_bricks, 7]
 
     unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
@@ -710,29 +726,33 @@ def slicemarch_render_worklist_raw(
         sampling=sampling, unroll=unroll, ghost=ghost,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(num_work,),
         in_specs=[
             pl.BlockSpec(
                 (1,) + vol.shape[1:],
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (wb[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 4, LUT_ROWS, LANES),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], 0, 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (wb[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, 1, 4, SUBLANES, LANES),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (
+                    wb[w], wt[w], 0, 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, SUBLANES, LANES),
-                lambda w, cam_r, meta_r, dims_r, wb, wt: (wb[w], wt[w], 0, 0),
+                lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (
+                    wb[w], wt[w], 0, 0
+                ),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -749,7 +769,7 @@ def slicemarch_render_worklist_raw(
             ),
         ],
         interpret=interpret,
-    )(cam, meta, dims, work_bricks, work_tiles, vol, lut)
+    )(cam, meta, dims, work_bricks, work_tiles, work_bounds, vol, lut)
 
 
 def project_screen_bboxes(

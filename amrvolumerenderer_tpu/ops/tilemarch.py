@@ -507,7 +507,10 @@ def compute_item_slice_bounds(
     logical_height: int,
     occ_bits: np.ndarray,  # [L, S] uint16 from block_occupancy_bits
     nq: int,  # blocks per axis (Q)
-    split: int,  # stored-coordinate block edge stride (stored_extent / Q)
+    split,  # stored-coordinate block edge stride (stored_u_extent / Q);
+    #         scalar (uniform pieces, the canonical-cube path) or [L]
+    split_v=None,  # v-axis stride when it differs from ``split`` ([L] or
+    #                scalar; defaults to ``split``)
     ghost: int = 0,
     return_mask: bool = False,
 ) -> np.ndarray:
@@ -597,10 +600,23 @@ def compute_item_slice_bounds(
     cu_hi = np.maximum(cu_max[:, :-1], cu_max[:, 1:]) + margin
     cv_lo = np.minimum(cv_min[:, :-1], cv_min[:, 1:]) - margin
     cv_hi = np.maximum(cv_max[:, :-1], cv_max[:, 1:]) + margin
-    edges_lo = np.arange(nq) * split  # block q covers [q*split, (q+1)*split)
-    edges_hi = edges_lo + split
-    qu = (cu_lo[..., None] < edges_hi) & (cu_hi[..., None] > edges_lo)
-    qv = (cv_lo[..., None] < edges_hi) & (cv_hi[..., None] > edges_lo)
+    # block q covers stored [q*split, (q+1)*split); splits may vary per
+    # piece (work-list path) — broadcast [W, 1, Q] against [W, G, 1]
+    if split_v is None:
+        split_v = split
+    su = (np.asarray(split)[wb] if np.ndim(split) else
+          np.float64(split))
+    sv = (np.asarray(split_v)[wb] if np.ndim(split_v) else
+          np.float64(split_v))
+    qrange = np.arange(nq)
+    eu_lo = (np.multiply.outer(su, qrange))[:, None, :] \
+        if np.ndim(su) else (su * qrange)[None, None, :]
+    ev_lo = (np.multiply.outer(sv, qrange))[:, None, :] \
+        if np.ndim(sv) else (sv * qrange)[None, None, :]
+    eu_hi = eu_lo + (su[:, None, None] if np.ndim(su) else su)
+    ev_hi = ev_lo + (sv[:, None, None] if np.ndim(sv) else sv)
+    qu = (cu_lo[..., None] < eu_hi) & (cu_hi[..., None] > eu_lo)
+    qv = (cv_lo[..., None] < ev_hi) & (cv_hi[..., None] > ev_lo)
     # footprint bitmask per segment: bit (a*Q+b) = u-block a AND v-block b
     shift_u = (np.arange(nq, dtype=np.uint32) * nq)
     fu = (qu.astype(np.uint32) << shift_u).sum(axis=2, dtype=np.uint32)

@@ -23,6 +23,7 @@ import numpy as np
 from .camera import camera_basis, compute_box_depth_hint
 from .colormap import SOFT_CLIP_TOLERANCE, build_color_table, saturate_soft_tail_np
 from .ops import slicemarch as sm
+from .ops import tilemarch as tm
 from .types import CameraParameters, ColorMap, RenderParameters, SceneGeometry, VolumeBounds
 
 
@@ -144,12 +145,34 @@ def prepare_slicemarch_scene(
     dims = np.zeros((num_layers, 8), np.int32)
     box_min = np.zeros((num_layers, 3))
     box_max = np.zeros((num_layers, 3))
+    # per-piece per-slice 4x4 stored-(u, v) block extrema for the
+    # per-(tile, brick) slice bounds (tm.compute_item_slice_bounds);
+    # padding slices are (+inf, -inf) = never occupied
+    nq = 4
+    quad_min = np.full((num_layers, s_max_all, nq, nq), np.inf, np.float32)
+    quad_max = np.full((num_layers, s_max_all, nq, nq), -np.inf, np.float32)
+    split_u = np.zeros(num_layers, np.float64)
+    split_v = np.zeros(num_layers, np.float64)
     for i, (v, m, dd, _parent, mn, mx) in enumerate(pieces):
         vol[i, : v.shape[0]] = v
         meta[i] = m
         dims[i] = dd
         box_min[i] = mn
         box_max[i] = mx
+        ns, nu, nv = int(dd[0]), int(dd[1]), int(dd[2])
+        su_ext, sv_ext = nu + 2 * ghost, nv + 2 * ghost
+        stored = v.reshape(v.shape[0], -1)[:, : su_ext * sv_ext].reshape(
+            v.shape[0], su_ext, sv_ext
+        )[ghost: ghost + ns]  # core slices, full stored (u, v)
+        bu = -(-su_ext // nq)
+        bv = -(-sv_ext // nq)
+        split_u[i], split_v[i] = bu, bv
+        for a in range(nq):
+            for b in range(nq):
+                blk = stored[:, a * bu: (a + 1) * bu, b * bv: (b + 1) * bv]
+                if blk.size:
+                    quad_min[i, :ns, a, b] = blk.min(axis=(1, 2))
+                    quad_max[i, :ns, a, b] = blk.max(axis=(1, 2))
     luts = np.ascontiguousarray(
         np.broadcast_to(packed_lut[None], (num_layers,) + packed_lut.shape)
     )
@@ -159,6 +182,34 @@ def prepare_slicemarch_scene(
         camera.fov_y_degrees, pad_w, pad_h,
         logical_width=render_width, logical_height=render_height,
     )
+    occ_bits = tm.block_occupancy_bits(
+        quad_min, quad_max, lut[:, 3], scalar_range[0], inv_range
+    )
+    wbounds = tm.compute_item_slice_bounds(
+        meta, dims[:, 7], wt, wb, np.asarray(camera.eye), forward, right,
+        up, camera.fov_y_degrees, [axis] + [a for a in range(3) if a != axis],
+        pad_w, pad_h, render_width, render_height,
+        occ_bits, nq, split_u, split_v, ghost=ghost,
+    )
+    # cull fully-empty (piece, tile) items: clear their coverage bit so the
+    # composite masks treat the (unwritten) output block as background
+    nonempty = (wbounds >> 16) < (wbounds & 0xFFFF)
+    if not nonempty.all():
+        if not nonempty.any():
+            return None
+        wb2, wt2, wbounds2 = wb[nonempty], wt[nonempty], wbounds[nonempty]
+        removed_b = wb[~nonempty]
+        removed_t = wt[~nonempty]
+        coverage = coverage.copy()
+        coverage[removed_b, removed_t] = False
+        # re-pad to the original multiple (compute_worklist pads by
+        # repeating the last item; duplicates are benign rewrites)
+        pad = len(wb) - len(wb2)
+        wb = np.concatenate([wb2, np.full(pad, wb2[-1], wb2.dtype)])
+        wt = np.concatenate([wt2, np.full(pad, wt2[-1], wt2.dtype)])
+        wbounds = np.concatenate(
+            [wbounds2, np.full(pad, wbounds2[-1], wbounds2.dtype)]
+        )
 
     depth_hints = np.zeros(num_layers, dtype=np.float32)
     owners = np.zeros(num_layers, dtype=np.int32)
@@ -178,7 +229,7 @@ def prepare_slicemarch_scene(
 
     return dict(
         vol=vol, meta=meta, dims=dims, luts=luts, cam=cam,
-        wb=wb, wt=wt, coverage=coverage, s_max=s_max_all,
+        wb=wb, wt=wt, coverage=coverage, wbounds=wbounds, s_max=s_max_all,
         pad_w=pad_w, pad_h=pad_h, ghost=ghost,
         depth_hints=depth_hints, owners=owners, local_indices=local_indices,
     )
@@ -248,6 +299,7 @@ def render_composited_slicemarch(
         jnp.asarray(prep["cam"]), jnp.asarray(prep["wb"]),
         jnp.asarray(prep["wt"]), jnp.asarray(prep["coverage"]),
         jnp.asarray(order), jnp.asarray(owners_sorted),
+        jnp.asarray(prep["wbounds"]),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
@@ -468,6 +520,7 @@ def render_layers_slicemarch(
         jnp.asarray(prep["dims"]), jnp.asarray(prep["luts"]),
         jnp.asarray(prep["cam"]), jnp.asarray(prep["wb"]),
         jnp.asarray(prep["wt"]), jnp.asarray(prep["coverage"]),
+        jnp.asarray(prep["wbounds"]),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
@@ -488,7 +541,7 @@ def render_layers_slicemarch(
 
 def composited_frame(
     vol, meta, dims, lut, cam, work_bricks, work_tiles, coverage,
-    order, owners_sorted, *, width, height, max_slices,
+    order, owners_sorted, work_bounds=None, *, width, height, max_slices,
     logical_width=None, logical_height=None, interpret=False,
     sampling="nearest", ghost=0,
 ):
@@ -507,7 +560,7 @@ def composited_frame(
     )
 
     colors, depths = slicemarch_render_worklist_raw(
-        vol, meta, dims, lut, cam, work_bricks, work_tiles,
+        vol, meta, dims, lut, cam, work_bricks, work_tiles, work_bounds,
         width=width, height=height, max_slices=max_slices,
         logical_width=logical_width, logical_height=logical_height,
         interpret=interpret, sampling=sampling, ghost=ghost,

@@ -406,3 +406,69 @@ class TestItemSliceBounds:
             np.testing.assert_allclose(
                 np.asarray(tight_c), np.asarray(full_c), atol=2e-6
             )
+
+    def test_worklist_path_value_cut_parity(self):
+        """The one-shot work-list path (prepare_slicemarch_scene) also
+        carries per-item bounds + empty-item culling; with a transparent-
+        range transfer function the composited frame must equal the
+        untightened render."""
+        from amrvolumerenderer_tpu.camera import auto_orbit_camera
+        from amrvolumerenderer_tpu.renderer import compute_global_bounds
+        from amrvolumerenderer_tpu.renderer_fast import (
+            prepare_slicemarch_scene,
+        )
+        from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+        from amrvolumerenderer_tpu.types import (
+            RenderParameters,
+            color_map_from_tuples,
+        )
+
+        n = 64
+        c = (np.arange(n) + 0.5) / n
+        r = np.sqrt(
+            (c[:, None, None] - 0.5) ** 2
+            + (c[None, :, None] - 0.5) ** 2
+            + (c[None, None, :] - 0.5) ** 2
+        )
+        f = np.exp(-((r - 0.40) / 0.015) ** 2)
+        boxes = [
+            LevelBox(f[i:i + 32, j:j + 32, k:k + 32],
+                     np.array([i, j, k], dtype=int))
+            for i in range(0, n, 32)
+            for j in range(0, n, 32)
+            for k in range(0, n, 32)
+        ]
+        geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+        data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+        g = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+        cmap = color_map_from_tuples([
+            (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+            (0.5, 1, 0.5, 0.2, 0.4), (1.0, 1, 1, 1, 0.8),
+        ])
+        params = RenderParameters(width=64, height=64)
+        cam = auto_orbit_camera(compute_global_bounds(g))
+        prep = prepare_slicemarch_scene(
+            g, params, cam, g.scalar_range, 0.5 / n, 64, 64, cmap,
+        )
+        # the value cut fires: some items tightened or culled
+        bb = prep["dims"][prep["wb"], 7].astype(np.int64)
+        ib = prep["wbounds"].astype(np.int64)
+        assert (ib != bb).any()
+        kw = dict(
+            width=prep["pad_w"], height=prep["pad_h"],
+            max_slices=prep["s_max"], logical_width=64, logical_height=64,
+            interpret=True,
+        )
+        args = (
+            jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
+            jnp.asarray(prep["dims"]), jnp.asarray(prep["luts"]),
+            jnp.asarray(prep["cam"]), jnp.asarray(prep["wb"]),
+            jnp.asarray(prep["wt"]), jnp.asarray(prep["coverage"]),
+        )
+        tight_c, tight_d = sm.slicemarch_render_worklist(
+            *args, jnp.asarray(prep["wbounds"]), **kw
+        )
+        full_c, full_d = sm.slicemarch_render_worklist(*args, None, **kw)
+        np.testing.assert_allclose(
+            np.asarray(tight_c), np.asarray(full_c), atol=2e-6
+        )
