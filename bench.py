@@ -198,6 +198,16 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     width = height = 1024 if on_tpu else 128  # CPU fallback keeps CI fast
 
+    # soft wall-clock budget: the required metrics always complete and the
+    # JSON line ALWAYS prints; optional sections (batched orbit, shell
+    # scenes) are skipped once the budget is spent or on any error, so a
+    # driver-side timeout can't swallow the whole benchmark
+    bench_t0 = time.perf_counter()
+    budget_s = float(os.environ.get("AVR_BENCH_BUDGET_S", "900"))
+
+    def budget_left() -> bool:
+        return (time.perf_counter() - bench_t0) < budget_s
+
     geometry = build_three_level_scene()
     parameters = RenderParameters(width=width, height=height)
     fsr = FastSceneRenderer(geometry, parameters)
@@ -246,13 +256,18 @@ def main() -> None:
         )
     # bytes_out: frames leave the device already byte-coded (the PPM/PNG
     # consumer's format), shrinking the readback 5x
-    fsr.render_batch(orbit, overlay=False, bytes_out=True)  # warm (compile)
-    eb = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        fsr.render_batch(orbit, overlay=False, bytes_out=True)
-        eb.append(time.perf_counter() - t0)
-    frame_ms_e2e_batch = min(eb) * 1e3 / B
+    frame_ms_e2e_batch = None
+    try:
+        if budget_left():
+            fsr.render_batch(orbit, overlay=False, bytes_out=True)  # warm
+            eb = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fsr.render_batch(orbit, overlay=False, bytes_out=True)
+                eb.append(time.perf_counter() - t0)
+            frame_ms_e2e_batch = min(eb) * 1e3 / B
+    except Exception:
+        pass
 
     # ---- kernel sample throughput ---------------------------------------
     # The Gray/s north star is scene-dependent (a ray's cost is its marched
@@ -274,25 +289,33 @@ def main() -> None:
     # transfer functions — lets transparency culling and occupied-slice
     # bounds cut samples/ray to a handful; this is where the >=1 Gray/s
     # north star lives.
-    shell_geom = build_shell_scene()
-    shell_fsr = FastSceneRenderer(
-        shell_geom, RenderParameters(width=width, height=height)
-    )
-    shell_cam = auto_orbit_camera(shell_fsr.bounds)
-    shell_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
-    shell_grays = (width * height) / (shell_ms * 1e-3) / 1e9
+    shell_ms = shell_grays = shell_tf_ms = shell_tf_grays = None
+    try:
+        if budget_left():
+            shell_geom = build_shell_scene()
+            shell_fsr = FastSceneRenderer(
+                shell_geom, RenderParameters(width=width, height=height)
+            )
+            shell_cam = auto_orbit_camera(shell_fsr.bounds)
+            shell_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
+            shell_grays = (width * height) / (shell_ms * 1e-3) / 1e9
 
-    # same shell under a transfer function with a transparent range (how
-    # production shells are actually visualized): the per-(tile, brick)
-    # slice bounds + empty-item culling get to cut real work
-    from amrvolumerenderer_tpu.types import color_map_from_tuples
+        # same shell under a transfer function with a transparent range
+        # (how production shells are actually visualized): the per-(tile,
+        # brick) slice bounds + empty-item culling get to cut real work
+        if shell_ms is not None and budget_left():
+            from amrvolumerenderer_tpu.types import color_map_from_tuples
 
-    shell_fsr.set_transfer_function(color_map=color_map_from_tuples([
-        (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
-        (0.5, 1.0, 0.5, 0.2, 0.4), (1.0, 1.0, 1.0, 1.0, 0.8),
-    ]))
-    shell_tf_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
-    shell_tf_grays = (width * height) / (shell_tf_ms * 1e-3) / 1e9
+            shell_fsr.set_transfer_function(color_map=color_map_from_tuples([
+                (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+                (0.5, 1.0, 0.5, 0.2, 0.4), (1.0, 1.0, 1.0, 1.0, 0.8),
+            ]))
+            shell_tf_ms = measure_device_frame(
+                shell_fsr, shell_cam, width, height
+            )
+            shell_tf_grays = (width * height) / (shell_tf_ms * 1e-3) / 1e9
+    except Exception:
+        pass
 
     # ---- multi-chip exchange payload model -------------------------------
     bytes_f32, bytes_ubyte, rect_frac = exchange_payload_bytes(
@@ -300,6 +323,29 @@ def main() -> None:
     )
     ici_gbps = bytes_f32 / (frame_ms * 1e-3) / 1e9
 
+    def opt(value, digits):
+        return round(value, digits) if value is not None else None
+
+    extra = {
+        "scene": (
+            f"3-level AMR (convexify), {fsr.canonical.shape[0]} "
+            f"pieces, {width}x{height}"
+        ),
+        "mrays_per_s_per_chip": round(mrays_per_s, 1),
+        "gsamples_per_s": round(gsamples_per_s, 2),
+        "sparse_shell_frame_ms": opt(shell_ms, 2),
+        "sparse_shell_grays_per_s": opt(shell_grays, 3),
+        "sparse_shell_tf_frame_ms": opt(shell_tf_ms, 2),
+        "sparse_shell_tf_grays_per_s": opt(shell_tf_grays, 3),
+        "host_prep_ms": round(host_prep_ms, 2),
+        "frame_ms_e2e": round(frame_ms_e2e, 2),
+        "frame_ms_e2e_batch8": opt(frame_ms_e2e_batch, 2),
+        "ici_exchange_mb_f32": round(bytes_f32 / 1e6, 2),
+        "ici_exchange_mb_ubyte": round(bytes_ubyte / 1e6, 2),
+        "ici_rect_fraction": round(rect_frac, 3),
+        "ici_gbps_to_hide_f32": round(ici_gbps, 2),
+        "exchange_devices": EXCHANGE_DEVICES,
+    }
     print(
         json.dumps(
             {
@@ -307,26 +353,7 @@ def main() -> None:
                 "value": round(frame_ms, 2),
                 "unit": "ms",
                 "vs_baseline": round(TARGET_MS / frame_ms, 3),
-                "extra": {
-                    "scene": (
-                        f"3-level AMR (convexify), {fsr.canonical.shape[0]} "
-                        f"pieces, {width}x{height}"
-                    ),
-                    "mrays_per_s_per_chip": round(mrays_per_s, 1),
-                    "gsamples_per_s": round(gsamples_per_s, 2),
-                    "sparse_shell_frame_ms": round(shell_ms, 2),
-                    "sparse_shell_grays_per_s": round(shell_grays, 3),
-                    "sparse_shell_tf_frame_ms": round(shell_tf_ms, 2),
-                    "sparse_shell_tf_grays_per_s": round(shell_tf_grays, 3),
-                    "host_prep_ms": round(host_prep_ms, 2),
-                    "frame_ms_e2e": round(frame_ms_e2e, 2),
-                    "frame_ms_e2e_batch8": round(frame_ms_e2e_batch, 2),
-                    "ici_exchange_mb_f32": round(bytes_f32 / 1e6, 2),
-                    "ici_exchange_mb_ubyte": round(bytes_ubyte / 1e6, 2),
-                    "ici_rect_fraction": round(rect_frac, 3),
-                    "ici_gbps_to_hide_f32": round(ici_gbps, 2),
-                    "exchange_devices": EXCHANGE_DEVICES,
-                },
+                "extra": {k: v for k, v in extra.items() if v is not None},
             }
         )
     )
