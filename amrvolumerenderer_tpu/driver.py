@@ -51,6 +51,8 @@ USAGE = """Usage: volume_renderer [options] plotfile
   --devices N      Distribute the render across N mesh devices (default: 1;
                    the TPU equivalent of running the reference under mpirun -n N)
   --render-method M  Kernel selection: auto, raymarch, slicemarch, tilemarch
+  --trace-dir DIR  Capture a jax.profiler device trace of the render into DIR
+                   (view with TensorBoard/Perfetto; beyond reference)
   --sampling MODE  Scalar sampling: nearest (reference semantics, default)
                    or trilinear (seam-free interpolation, beyond reference)
   -h, --help       Show this help message
@@ -72,6 +74,7 @@ class RunOptions:
     camera: Optional[CameraParameters] = None
     scalar_range: Optional[Tuple[float, float]] = None
     color_map: Optional[ColorMap] = None
+    trace_dir: str = ""  # capture a jax.profiler trace of the render
 
 
 def parse_options(argv: List[str]) -> RunOptions:
@@ -161,6 +164,8 @@ def parse_options(argv: List[str]) -> RunOptions:
                 raise RuntimeError(
                     "sampling must be one of nearest, trilinear"
                 )
+        elif arg == "--trace-dir":
+            parsed.trace_dir = require_value(arg)
         elif arg == "--plotfile":
             parsed.plotfile_path = require_value(arg)
         elif arg in ("--help", "-h"):
@@ -319,14 +324,17 @@ def run_options(options: RunOptions, verbose: bool = True) -> int:
             far_plane=camera.far_plane,
         )
 
-    render_scene(
-        options.output_filename,
-        options.parameters,
-        geometry,
-        camera=camera,
-        color_map=normalized_color_map,
-        verbose=verbose,
-    )
+    from .utils.timers import device_trace
+
+    with device_trace(options.trace_dir or None):
+        render_scene(
+            options.output_filename,
+            options.parameters,
+            geometry,
+            camera=camera,
+            color_map=normalized_color_map,
+            verbose=verbose,
+        )
     return 0
 
 

@@ -81,6 +81,20 @@ def ghost_fill(
     dhi = maxs.max(axis=0)
     deps = 1e-6 * np.maximum(dhi - dlo, 1e-30)
 
+    # vectorized candidate search: brick j is a candidate for brick i when
+    # j's box overlaps i's ghost shell (an O(L^2) matrix op, not a Python
+    # double loop — 512-brick scenes stay fast)
+    span_arr = np.stack(spans)
+    glo_all = mins - ghost * span_arr
+    ghi_all = maxs + ghost * span_arr
+    eps_all = 1e-9 * np.maximum(np.abs(ghi_all - glo_all), 1.0)
+    overlap = np.all(
+        (maxs[None, :, :] > (glo_all + eps_all)[:, None, :])
+        & (mins[None, :, :] < (ghi_all - eps_all)[:, None, :]),
+        axis=-1,
+    )
+    np.fill_diagonal(overlap, False)
+
     out = []
     for i in range(num):
         data = pre_bricks[i]
@@ -90,18 +104,8 @@ def ghost_fill(
             if is_np
             else jnp.pad(data, ghost, mode="edge")
         )
-        # neighbors whose box overlaps this brick's ghost shell
-        glo = mins[i] - ghost * spans[i]
-        ghi = maxs[i] + ghost * spans[i]
-        eps = 1e-9 * np.maximum(np.abs(ghi - glo), 1.0)
-        cand = [
-            j
-            for j in range(num)
-            if j != i
-            and np.all(maxs[j] > glo + eps)
-            and np.all(mins[j] < ghi - eps)
-        ]
-        if not cand:
+        cand = np.nonzero(overlap[i])[0]
+        if cand.size == 0:
             out.append(padded)
             continue
         for sl in _ring_slabs(shapes[i], ghost):

@@ -260,3 +260,24 @@ def test_log_scale_colormap_requires_positive_values(tmp_path, plotfile):
     )
     with pytest.raises(ValueError, match="positive when log"):
         run_options(opts, verbose=False)
+
+
+def test_cli_trace_dir(tmp_path, plotfile):
+    """--trace-dir captures a profiler trace around the render."""
+    from amrvolumerenderer_tpu.driver import main
+
+    trace = tmp_path / "trace"
+    out = tmp_path / "t.ppm"
+    assert main([
+        "--width", "16", "--height", "16", "--trace-dir", str(trace),
+        "--output", str(out), plotfile,
+    ]) == 0
+    assert out.exists()
+    assert any(trace.rglob("*"))
+
+
+def test_cli_trace_dir_requires_value(plotfile):
+    from amrvolumerenderer_tpu.driver import parse_options
+
+    with pytest.raises(RuntimeError):
+        parse_options(["--trace-dir"])

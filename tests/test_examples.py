@@ -45,9 +45,11 @@ def run_example(script, args, cwd):
     env["PYTHONPATH"] = (
         os.path.dirname(EXAMPLES) + os.pathsep + env.get("PYTHONPATH", "")
     )
+    # generous cap: a fresh subprocess pays a full XLA compile, which can
+    # exceed 10 minutes on a loaded machine (observed in CI-style runs)
     return subprocess.run(
         [sys.executable, os.path.join(EXAMPLES, script), *args],
-        capture_output=True, text=True, cwd=cwd, timeout=600, env=env,
+        capture_output=True, text=True, cwd=cwd, timeout=1800, env=env,
     )
 
 
