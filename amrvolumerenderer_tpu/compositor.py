@@ -160,7 +160,13 @@ def compose_flat_host(
     the piece size — the reference's image-compress mode, where RLE images
     travel AND blend compressed and uncompress only at the final gather
     (ImageSparseColorOnly.hpp:98-199 compress on send, 214-382 sparse
-    blend).  The pixels are identical either way (same blend arithmetic)."""
+    blend).  Color output is identical either way (same blend arithmetic);
+    compression additionally applies the reference's background test on
+    send — pixels outside the valid viewport, and depth-kind pixels whose
+    payload is background-classified (zero alpha / not-closer-than-far
+    depth, ImageSparseColorDepth.hpp:89-92), are dropped like the RLE path
+    drops them, so such pixels come back as cleared background instead of
+    their original bytes."""
     group_size = len(group_order)
     num_receivers = min(max_image_split, group_size)
     assert group_size >= 1

@@ -282,18 +282,25 @@ def prepare_device_amr(
 # ---------------------------------------------------------------------------
 
 
-def _histogram_block(raw, bin_count, log_scale, normalize, params):
+def _histogram_block(raw, bin_count, log_scale, normalize, params, xp=jnp):
+    """One binning implementation for both backends: ``xp=jnp`` runs
+    jitted on device (in-situ arrays already in HBM); ``xp=np`` runs the
+    SAME math on host for plotfile bricks — a per-brick device dispatch
+    would pay the full relay latency and a compile per brick shape for
+    data that lives in host memory anyway."""
     positive_floor, norm_min, inv_span, range_min, range_width = params
-    v = raw.astype(jnp.float32).ravel()
-    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    v = raw.astype(xp.float32).ravel()
+    v = xp.where(xp.isfinite(v), v, xp.float32(0.0))
     if log_scale:
-        v = jnp.log(jnp.where(v > 0.0, jnp.maximum(v, positive_floor),
-                              positive_floor))
+        v = xp.log(xp.where(v > 0.0, xp.maximum(v, positive_floor),
+                            positive_floor))
     if normalize:
-        v = jnp.clip((v - norm_min) * inv_span, 0.0, 1.0)
-    v = jnp.clip(v, range_min, range_min + range_width)
-    normalized = jnp.clip((v - range_min) / range_width, 0.0, 1.0)
-    idx = jnp.clip((normalized * bin_count).astype(jnp.int32), 0, bin_count - 1)
+        v = xp.clip((v - norm_min) * inv_span, 0.0, 1.0)
+    v = xp.clip(v, range_min, range_min + range_width)
+    normalized = xp.clip((v - range_min) / range_width, 0.0, 1.0)
+    idx = xp.clip((normalized * bin_count).astype(xp.int32), 0, bin_count - 1)
+    if xp is np:
+        return np.bincount(idx, minlength=bin_count)
     return jnp.bincount(idx, length=bin_count)
 
 
@@ -323,23 +330,24 @@ def device_histogram(
     total = 0
     if not (range_width > 0.0) or not math.isfinite(range_width):
         return counts, total
-    params = (
-        jnp.float32(transform.positive_floor),
-        jnp.float32(transform.normalization_min),
-        jnp.float32(transform.inverse_normalization_span),
-        jnp.float32(range_min),
-        jnp.float32(range_width),
+    host_params = tuple(
+        np.float32(p) for p in (
+            transform.positive_floor, transform.normalization_min,
+            transform.inverse_normalization_span, range_min, range_width,
+        )
+    )
+    params = tuple(jnp.float32(p) for p in host_params)
+    kw = dict(
+        bin_count=bin_count,
+        log_scale=bool(transform.log_scale_input),
+        normalize=bool(transform.normalize_to_unit_range),
     )
     for a in arrays:
-        counts += np.asarray(
-            _histogram_block_jit(
-                a,
-                bin_count=bin_count,
-                log_scale=bool(transform.log_scale_input),
-                normalize=bool(transform.normalize_to_unit_range),
-                params=params,
-            ),
-            dtype=np.uint64,
-        )
+        if isinstance(a, np.ndarray):
+            # host bricks (plotfile path): same math, zero device dispatches
+            block = _histogram_block(a, params=host_params, xp=np, **kw)
+        else:
+            block = _histogram_block_jit(a, params=params, **kw)
+        counts += np.asarray(block, dtype=np.uint64)
         total += int(a.size)
     return counts, total

@@ -502,7 +502,12 @@ def coverage_rect(
     tiles = np.asarray(coverage).any(axis=0).reshape(tiles_y, tiles_x)
     ys, xs = np.nonzero(tiles)
     if len(xs) == 0:
-        return (0, 0, tile_w, tile_h)  # degenerate: one background tile
+        # degenerate: one background tile — but only when its pixel count
+        # still divides the mesh (the same guard as the normal branch;
+        # otherwise the full-frame fallback keeps shapes shardable)
+        if (tile_w * tile_h) % num_devices:
+            return None
+        return (0, 0, tile_w, tile_h)
     x0, x1 = int(xs.min()), int(xs.max()) + 1
     y0, y1 = int(ys.min()), int(ys.max()) + 1
     rw = (x1 - x0) * tile_w

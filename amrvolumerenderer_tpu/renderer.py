@@ -68,6 +68,8 @@ def validate_render_parameters(parameters: RenderParameters) -> None:
         )
     if parameters.multichip_transport not in ("float32", "ubyte"):
         raise ValueError("multichip transport must be float32 or ubyte")
+    if parameters.devices is not None and parameters.devices < 1:
+        raise ValueError("devices must be a positive device count")
 
 
 def compute_global_bounds(geometry: SceneGeometry) -> VolumeBounds:
@@ -504,6 +506,15 @@ def render_single_trial(
 
     resolved = resolve_render_method(method, parameters.sampling)
     fused = resolved in ("slicemarch", "tilemarch")
+    if num_devices > 1 and method not in ("auto", "slicemarch"):
+        # the sharded pipeline is slice-march based; silently overriding an
+        # explicitly requested oracle/tilemarch kernel would hand the user
+        # different pixels (the oracle's half-step quantization) unasked
+        raise ValueError(
+            f"render method '{method}' is single-device; multi-device "
+            "rendering uses the slicemarch pipeline (use 'auto' or "
+            "'slicemarch' with devices > 1)"
+        )
     t0 = time.perf_counter()
     if num_devices > 1:
         # multi-chip product path: shard the brick table over the mesh and

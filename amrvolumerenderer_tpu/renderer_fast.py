@@ -91,14 +91,11 @@ def prepare_slicemarch_scene(
         for brick in bricks
     ]
     # cross-BRICK ghost fill: rings at true brick faces take neighbor-brick
-    # values so abutting bricks interpolate seam-free (ghost.ghost_fill)
-    padded_list = [None] * len(bricks)
-    if ghost and len(bricks) > 1:
-        from .ghost import ghost_fill
+    # values so abutting bricks interpolate seam-free (one policy, shared
+    # with the canonical-cube packer)
+    from .fast_scene import _ghost_fill_bricks
 
-        padded_list = ghost_fill(
-            datas, [(b.min_corner, b.max_corner) for b in bricks], ghost
-        )
+    padded_list = _ghost_fill_bricks(datas, bricks, ghost)
 
     pieces = []
     for parent, brick in enumerate(bricks):

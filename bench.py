@@ -129,14 +129,15 @@ def measure_device_frame(fsr, camera, width, height, K=10):
     inputs = fsr.frame_inputs(camera)
 
     @jax.jit
-    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners):
+    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds):
         def body(_, acc):
             out_c, _out_d = tm.tilemarch_render(
-                vol, meta, dims, lut, cam, offsets, bricks, owners,
+                vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds,
                 width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
                 logical_width=fsr.render_width,
                 logical_height=fsr.render_height,
                 interpret=fsr.interpret, sampling=fsr.parameters.sampling,
+                ghost=fsr.ghost,
             )
             return acc + jnp.sum(out_c)
 
@@ -145,6 +146,7 @@ def measure_device_frame(fsr, camera, width, height, K=10):
     args = (
         fsr._packed_vol, inputs["meta"], inputs["dims"], fsr._lut_device,
         inputs["cam"], inputs["offsets"], inputs["bricks"], inputs["owners"],
+        inputs["item_bounds"],
     )
     checksum = float(frames(*args))
     assert np.isfinite(checksum) and checksum > 0.0
@@ -276,7 +278,7 @@ def main() -> None:
     # slices) summed over the work list, per second.  This is the number
     # the march loop actually retires.
     np_inputs = fsr.frame_inputs(camera, as_numpy=True)
-    occ = np_inputs["dims"][np_inputs["bricks"], 7]
+    occ = np_inputs["item_bounds"].astype(np.int64)  # what the kernel marches
     occupied_slices = (occ & 0xFFFF) - (occ >> 16)
     tile_pixels = 8 * 128
     samples_per_frame = float(np.maximum(occupied_slices, 0).sum()) * tile_pixels

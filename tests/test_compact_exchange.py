@@ -138,3 +138,13 @@ def test_ubyte_transport_within_byte_tolerance(tmp_path, r2_scene, pipeline):
     # quantizations accumulate across the D-partial fold
     assert diff.max() < 8.0 / 255.0
     assert diff.mean() < 1.0 / 255.0
+
+
+def test_empty_coverage_respects_device_divisibility():
+    """The empty-coverage fallback applies the same num_devices guard as
+    the normal branch (a 1-tile rect whose pixel count does not divide the
+    mesh would crash the sharded pipeline's shape assert)."""
+    cov = np.zeros((2, 16), dtype=bool)
+    # 32x32 tile = 1024 px: divisible by 8, not by 12
+    assert coverage_rect(cov, 128, 128, 32, 32, 8) == (0, 0, 32, 32)
+    assert coverage_rect(cov, 128, 128, 32, 32, 12) is None

@@ -154,3 +154,29 @@ def test_devices_with_trilinear_sampling(tmp_path, r2_scene):
         image, _ = api.render(data, options, verbose=False)
         frames[devices] = np.array(image.pixels)
     _assert_pixel_identity(frames[None], frames[8])
+
+
+def test_devices_rejects_single_device_methods(r2_scene):
+    """An explicitly requested raymarch/tilemarch kernel cannot be
+    silently overridden by the sharded slicemarch pipeline."""
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    params = RenderParameters(width=16, height=16, devices=2)
+    for method in ("raymarch", "tilemarch"):
+        with pytest.raises(ValueError, match="single-device"):
+            render_scene("", params, geometry, verbose=False, method=method)
+
+
+def test_devices_zero_rejected_by_validation():
+    from amrvolumerenderer_tpu.renderer import validate_render_parameters
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    with pytest.raises(ValueError, match="devices"):
+        validate_render_parameters(
+            RenderParameters(width=8, height=8, devices=0)
+        )
