@@ -124,12 +124,13 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
     static_argnames=(
         "width", "height", "max_slices", "logical_width", "logical_height",
         "interpret", "sampling", "ghost", "sqrt_aa", "bytes_out",
+        "dma_slices",
     ),
 )
 def _render_batch_frames(
     vol, lut, meta, dims, cams, offsets, bricks, owners, ibounds, *,
     width, height, max_slices, logical_width, logical_height,
-    interpret, sampling, ghost, sqrt_aa, bytes_out=False,
+    interpret, sampling, ghost, sqrt_aa, bytes_out=False, dma_slices=None,
 ):
     """Scan the tile-loop mega-kernel over a [B]-frame camera batch.
 
@@ -148,6 +149,7 @@ def _render_batch_frames(
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
+            dma_slices=dma_slices,
         )
         c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
         c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, 4)
@@ -551,6 +553,13 @@ class FastSceneRenderer:
             np.cumsum(counts, out=offsets[1:])
             if len(tbricks) == 0:
                 return None
+        # DMA window bucket: the largest occupied span over all items,
+        # rounded to 8 slices — the kernel then copies only that window of
+        # each brick instead of all ``cube`` slices (tilemarch dma_slices)
+        spans = (item_bounds.astype(np.int64) & 0xFFFF) - (
+            item_bounds.astype(np.int64) >> 16
+        )
+        dma_slices = int(min(self.cube, ((int(spans.max()) + 7) // 8) * 8))
         if as_numpy:
             # batch path: keep host arrays so a whole chunk ships as ONE
             # stacked transfer (per-array uploads each pay the full
@@ -558,12 +567,14 @@ class FastSceneRenderer:
             return dict(
                 meta=meta, dims=dims, cam=cam, offsets=offsets,
                 bricks=tbricks, owners=towners, item_bounds=item_bounds,
+                dma_slices=dma_slices,
             )
         return dict(
             meta=jnp.asarray(meta), dims=jnp.asarray(dims),
             cam=jnp.asarray(cam), offsets=jnp.asarray(offsets),
             bricks=jnp.asarray(tbricks), owners=jnp.asarray(towners),
             item_bounds=jnp.asarray(item_bounds),
+            dma_slices=dma_slices,
         )
 
     def render(
@@ -594,6 +605,7 @@ class FastSceneRenderer:
                 interpret=self.interpret,
                 sampling=self.parameters.sampling,
                 ghost=self.ghost,
+                dma_slices=inputs["dma_slices"],
             )
             tiles_x = self.pad_w // sm.TILE_W
             tiles_y = self.pad_h // sm.TILE_H
@@ -715,6 +727,9 @@ class FastSceneRenderer:
                     sampling=self.parameters.sampling,
                     ghost=self.ghost, sqrt_aa=self.sqrt_aa,
                     bytes_out=bytes_out,
+                    # chunk-wide DMA window; bucketed to 8 already, so a
+                    # long orbit compiles few variants
+                    dma_slices=max(p[1]["dma_slices"] for p in part),
                 )
                 host = np.asarray(frames)  # one readback per chunk
                 for (idx, _inp, _vol), px in zip(part, host):

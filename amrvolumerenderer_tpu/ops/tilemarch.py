@@ -74,10 +74,19 @@ def _kernel(
     sampling: str = "nearest",
     unroll: int = 4,
     ghost: int = 0,
+    dma_slices: Optional[int] = None,
+    s_stored: Optional[int] = None,
 ):
     # ``ghost`` marks packs carrying a ghost-cell ring (see
     # slicemarch._kernel_body): loads shift by ``ghost`` on all three axes
     # while world bounds / integration windows stay the core's.
+    # ``dma_slices`` (static) trims each work item's brick DMA to a
+    # window of that many stored slices starting at its occupied range
+    # (the march only loads stored [s_lo + ghost, s_hi + ghost)); the host
+    # guarantees dma_slices >= max(s_hi - s_lo).  None/s_stored = full
+    # copy (identical to the untrimmed kernel).
+    if dma_slices is None or dma_slices >= (s_stored or dma_slices):
+        dma_slices = None  # full-brick copy, no index shift
     t = pl.program_id(0)
     inf = jnp.float32(np.inf)
 
@@ -121,18 +130,31 @@ def _kernel(
     work_begin = offsets_ref[t]
     work_end = offsets_ref[t + 1]
 
+    def dma_start_slice(work_idx):
+        """First stored slice of the item's DMA window (0 = full copy)."""
+        if dma_slices is None:
+            return jnp.int32(0)
+        sb = ibounds_ref[work_idx]
+        lo = jnp.where(sb > 0, sb >> 16, 0)
+        return jnp.clip(lo + ghost, 0, s_stored - dma_slices)
+
     def start_fetch(work_idx, slot):
         @pl.when(work_idx < work_end)
         def _():
             b = bricks_ref[work_idx]
+            if dma_slices is None:
+                src = vol_hbm.at[b]
+            else:
+                src = vol_hbm.at[b, pl.ds(dma_start_slice(work_idx), dma_slices)]
             pltpu.make_async_copy(
-                vol_hbm.at[b], vol_buf.at[slot], dma_sems.at[slot]
+                src, vol_buf.at[slot], dma_sems.at[slot]
             ).start()
 
     def march_brick(work_idx, slot):
         """March brick ``bricks_ref[work_idx]`` (already in vol_buf[slot]).
         Returns its (r, g, b, a, depth) layer planes for this tile."""
         bi = bricks_ref[work_idx]
+        buf_base = dma_start_slice(work_idx)
         pmin = [meta_ref[bi, i] for i in range(3)]
         pmax = [meta_ref[bi, 3 + i] for i in range(3)]
         cell = [meta_ref[bi, 6 + i] for i in range(3)]
@@ -244,9 +266,16 @@ def _kernel(
                     return v0 * (1.0 - wv) + v1 * wv
 
             # bf16-storable slices: upcast the vreg once, gather in f32
-            # (``ghost`` shifts core slice k to its data row)
-            s_f = sample(vol_buf[slot, k_load + ghost].astype(jnp.float32))
-            s_b = sample(vol_buf[slot, k_rev_load + ghost].astype(jnp.float32))
+            # (``ghost`` shifts core slice k to its data row; ``buf_base``
+            # rebases into the trimmed DMA window)
+            s_f = sample(
+                vol_buf[slot, k_load + ghost - buf_base].astype(jnp.float32)
+            )
+            s_b = sample(
+                vol_buf[slot, k_rev_load + ghost - buf_base].astype(
+                    jnp.float32
+                )
+            )
             scalar = jnp.where(backward, s_b, s_f)
 
             normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
@@ -379,7 +408,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll", "ghost",
+        "interpret", "sampling", "unroll", "ghost", "dma_slices",
     ),
 )
 def tilemarch_render(
@@ -404,8 +433,15 @@ def tilemarch_render(
     sampling: str = "nearest",
     unroll: Optional[int] = None,
     ghost: int = 0,
+    dma_slices: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
+
+    ``dma_slices`` (static) trims every work item's brick DMA to a window
+    of that many stored slices anchored at the item's occupied range —
+    the caller must guarantee it covers ``max(s_hi - s_lo)`` over the
+    item bounds (fast_scene computes the per-frame bucket); ``None``
+    copies the full brick.
 
     Returns ([T, 4, SUBLANES, LANES], [T, SUBLANES, LANES]) tile-space
     frame buffers (use ``slicemarch.untile``-style reshape for row-major).
@@ -416,6 +452,8 @@ def tilemarch_render(
     s_max = vol.shape[1]
     if item_bounds is None:
         item_bounds = dims[tile_bricks, 7]
+    if dma_slices is not None:
+        dma_slices = min(int(dma_slices), s_max)
 
     unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
@@ -428,6 +466,8 @@ def tilemarch_render(
         sampling=sampling,
         unroll=unroll,
         ghost=ghost,
+        dma_slices=dma_slices,
+        s_stored=s_max,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
@@ -443,7 +483,7 @@ def tilemarch_render(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, s_max, SUBLANES, LANES), vol.dtype),
+            pltpu.VMEM((2, dma_slices or s_max, SUBLANES, LANES), vol.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

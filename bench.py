@@ -137,7 +137,7 @@ def measure_device_frame(fsr, camera, width, height, K=10):
                 logical_width=fsr.render_width,
                 logical_height=fsr.render_height,
                 interpret=fsr.interpret, sampling=fsr.parameters.sampling,
-                ghost=fsr.ghost,
+                ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
             )
             return acc + jnp.sum(out_c)
 

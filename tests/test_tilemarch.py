@@ -472,3 +472,32 @@ class TestItemSliceBounds:
         np.testing.assert_allclose(
             np.asarray(tight_c), np.asarray(full_c), atol=2e-6
         )
+
+    def test_dma_window_trim_parity(self):
+        """The bucketed DMA window (dma_slices < stored slices) renders
+        identically to the full-brick copy."""
+        from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+        from amrvolumerenderer_tpu.types import RenderParameters
+
+        fsr = self._shell_renderer()
+        cam = self._cams(fsr)[0]
+        inputs = fsr.frame_inputs(cam)
+        kw = dict(
+            width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+            logical_width=fsr.render_width,
+            logical_height=fsr.render_height, interpret=True,
+        )
+        args = (
+            fsr._packed_vol, inputs["meta"], inputs["dims"],
+            fsr._lut_device, inputs["cam"], inputs["offsets"],
+            inputs["bricks"], inputs["owners"], inputs["item_bounds"],
+        )
+        full_c, full_d = tm.tilemarch_render(*args, **kw)
+        for dma in (8, 16, 24, 32):
+            # caller contract: dma must cover max(s_hi - s_lo); the frame's
+            # own bucket satisfies it, larger windows must too
+            if dma < inputs["dma_slices"]:
+                continue
+            trim_c, trim_d = tm.tilemarch_render(*args, dma_slices=dma, **kw)
+            np.testing.assert_array_equal(np.asarray(trim_c), np.asarray(full_c))
+            np.testing.assert_array_equal(np.asarray(trim_d), np.asarray(full_d))
