@@ -220,3 +220,20 @@ def test_render_sampling_option(r2_scene, tmp_path):
                               sampling="bogus"),
             verbose=False,
         )
+
+
+def test_render_antialiasing_nine(tmp_path, r2_scene):
+    """AA=9 (3x3 box downsample) works through the public API, matching
+    the reference's perfect-square contract (VolumeRenderer.cpp:479-528)."""
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    out = str(tmp_path / "aa9.ppm")
+    image, _timing = api.render(data, api.RenderOptions(
+        width=24, height=24, antialiasing=9, output_filename=out,
+    ), verbose=False)
+    import os
+
+    result = image.pixels
+    assert result.shape == (24 * 24, 5)
+    assert os.path.exists(out)
+    assert float(np.asarray(result)[:, 3].max()) > 0.0
