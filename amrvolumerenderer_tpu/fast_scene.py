@@ -355,6 +355,10 @@ class FastSceneRenderer:
             self._slice_quad_minmax[a] = (host[0], host[1])
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
+        # per-axis repack cache: an orbit crossing march axes would
+        # otherwise re-transpose (one device dispatch) on every switch;
+        # at most 3 copies of the canonical table live on device
+        self._packed_cache: dict = {}
 
     def update_data(self, brick_arrays) -> None:
         """Per-timestep in-situ update: new scalar values, same brick layout.
@@ -466,9 +470,13 @@ class FastSceneRenderer:
         axes = [axis] + [a for a in range(3) if a != axis]
 
         if self._packed_axis != axis:
-            self._packed_vol = _repack_for_axis(
-                self.canonical, axis=axis, cube=self.cube
-            )
+            vol = self._packed_cache.get(axis)
+            if vol is None:
+                vol = _repack_for_axis(
+                    self.canonical, axis=axis, cube=self.cube
+                )
+                self._packed_cache[axis] = vol
+            self._packed_vol = vol
             self._packed_axis = axis
 
         num = self.canonical.shape[0]
