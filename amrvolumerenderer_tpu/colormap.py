@@ -89,7 +89,9 @@ def _lab_to_srgb(lab: np.ndarray) -> np.ndarray:
         rgb > 0.0031308, 1.055 * np.abs(rgb) ** (1.0 / 2.4) - 0.055, 12.92 * rgb
     )
     max_val = rgb.max(axis=-1, keepdims=True)
-    rgb = np.where(max_val > 1.0, rgb / max_val, rgb)
+    # guard the unselected branch: np.where still evaluates rgb / max_val
+    # where max_val <= 0 (all-black rows), which would warn on 0/0
+    rgb = np.where(max_val > 1.0, rgb / np.maximum(max_val, 1.0), rgb)
     return np.maximum(rgb, 0.0)
 
 
