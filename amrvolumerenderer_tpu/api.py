@@ -74,6 +74,9 @@ class RenderOptions:
     color_map: Optional[ColorMap] = None
     # beyond-reference: "nearest" (reference semantics) or "trilinear"
     sampling: str = "nearest"
+    # beyond-reference: "post" or "pre" transfer-function classification
+    # (trilinear only; see RenderParameters.classification)
+    classification: str = "post"
     # beyond-reference: distribute the render across N mesh devices
     # (the reference distributes by running under mpirun -n N)
     devices: Optional[int] = None
@@ -316,6 +319,7 @@ def render(
         use_visibility_graph=options.visibility_graph,
         write_visibility_graph=options.write_visibility_graph,
         sampling=options.sampling,
+        classification=options.classification,
         devices=options.devices,
         render_method=options.render_method,
         multichip_pipeline=options.multichip_pipeline,

@@ -53,6 +53,9 @@ USAGE = """Usage: volume_renderer [options] plotfile
   --render-method M  Kernel selection: auto, raymarch, slicemarch, tilemarch
   --trace-dir DIR  Capture a jax.profiler device trace of the render into DIR
                    (view with TensorBoard/Perfetto; beyond reference)
+  --classification MODE  Transfer-function classification for trilinear
+                   sampling: post (default) or pre (classify corner samples,
+                   then interpolate the classified colors; beyond reference)
   --sampling MODE  Scalar sampling: nearest (reference semantics, default)
                    or trilinear (seam-free interpolation, beyond reference)
   -h, --help       Show this help message
@@ -163,6 +166,12 @@ def parse_options(argv: List[str]) -> RunOptions:
             if parsed.parameters.sampling not in ("nearest", "trilinear"):
                 raise RuntimeError(
                     "sampling must be one of nearest, trilinear"
+                )
+        elif arg == "--classification":
+            parsed.parameters.classification = require_value(arg)
+            if parsed.parameters.classification not in ("post", "pre"):
+                raise RuntimeError(
+                    "classification must be one of post, pre"
                 )
         elif arg == "--trace-dir":
             parsed.trace_dir = require_value(arg)

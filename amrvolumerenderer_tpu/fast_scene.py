@@ -124,13 +124,14 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
     static_argnames=(
         "width", "height", "max_slices", "logical_width", "logical_height",
         "interpret", "sampling", "ghost", "sqrt_aa", "bytes_out",
-        "dma_slices",
+        "dma_slices", "classification",
     ),
 )
 def _render_batch_frames(
     vol, lut, meta, dims, cams, offsets, bricks, owners, ibounds, *,
     width, height, max_slices, logical_width, logical_height,
     interpret, sampling, ghost, sqrt_aa, bytes_out=False, dma_slices=None,
+    classification="post",
 ):
     """Scan the tile-loop mega-kernel over a [B]-frame camera batch.
 
@@ -149,7 +150,7 @@ def _render_batch_frames(
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
-            dma_slices=dma_slices,
+            dma_slices=dma_slices, classification=classification,
         )
         c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
         c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, 4)
@@ -614,6 +615,7 @@ class FastSceneRenderer:
                 sampling=self.parameters.sampling,
                 ghost=self.ghost,
                 dma_slices=inputs["dma_slices"],
+                classification=self.parameters.classification,
             )
             tiles_x = self.pad_w // sm.TILE_W
             tiles_y = self.pad_h // sm.TILE_H
@@ -735,6 +737,7 @@ class FastSceneRenderer:
                     sampling=self.parameters.sampling,
                     ghost=self.ghost, sqrt_aa=self.sqrt_aa,
                     bytes_out=bytes_out,
+                    classification=self.parameters.classification,
                     # chunk-wide DMA window; bucketed to 8 already, so a
                     # long orbit compiles few variants
                     dma_slices=max(p[1]["dma_slices"] for p in part),

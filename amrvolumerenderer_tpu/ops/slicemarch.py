@@ -79,6 +79,7 @@ def _kernel_body(
     sampling: str = "nearest",
     unroll: int = 1,
     ghost: int = 0,
+    classification: str = "post",
 ):
     """Shared kernel body; ``b``/``t`` identify the brick and 2D pixel tile.
 
@@ -294,25 +295,73 @@ def _kernel_body(
                 v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
                 return v0 * (1.0 - wv) + v1 * wv
 
-        if mode == "fwd":
-            scalar = sample(load(k_load))
-        elif mode == "bwd":
-            scalar = sample(load(k_rev_load))
-        else:
-            s_fwd = sample(load(k_load))
-            s_bwd = sample(load(k_rev_load))
-            scalar = jnp.where(backward, s_bwd, s_fwd)
+        def classify(scalar):
+            """Scalar field value -> (r, g, b, log(1 - alpha_ref))."""
+            normalized = jnp.clip(
+                (scalar - range_min) * inverse_range, 0.0, 1.0
+            )
+            lut_idx = jnp.clip(
+                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+                0,
+                COLOR_TABLE_SIZE - 1,
+            )
+            return (
+                _gather_lut(lut_r, lut_idx),
+                _gather_lut(lut_g, lut_idx),
+                _gather_lut(lut_b, lut_idx),
+                _gather_lut(lut_l, lut_idx),
+            )
 
-        normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
-        lut_idx = jnp.clip(
-            (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
-            0,
-            COLOR_TABLE_SIZE - 1,
-        )
-        s_r = _gather_lut(lut_r, lut_idx)
-        s_g = _gather_lut(lut_g, lut_idx)
-        s_b = _gather_lut(lut_b, lut_idx)
-        s_l = _gather_lut(lut_l, lut_idx)
+        if sampling == "trilinear" and classification == "pre":
+            # VTK-style PRE-classification: classify each bilinear corner
+            # through the transfer function, then interpolate the CLASSIFIED
+            # channels.  Opacity interpolates in log-transmittance space
+            # (transmittance is multiplicative, so this is the geometric
+            # mean of corner transparencies) — exact at corners, and the
+            # step normalization below applies unchanged.
+            def sample_corners(tile):
+                def at(iu_, iv_):
+                    flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
+                    return _gather_slice(tile, flat // LANES, flat % LANES)
+
+                return (at(iu0, iv0), at(iu1, iv0), at(iu0, iv1), at(iu1, iv1))
+
+            if mode == "fwd":
+                corners = sample_corners(load(k_load))
+            elif mode == "bwd":
+                corners = sample_corners(load(k_rev_load))
+            else:
+                cf = sample_corners(load(k_load))
+                cb = sample_corners(load(k_rev_load))
+                corners = tuple(
+                    jnp.where(backward, b_, f_) for f_, b_ in zip(cf, cb)
+                )
+            wts = (
+                (1.0 - wu) * (1.0 - wv), wu * (1.0 - wv),
+                (1.0 - wu) * wv, wu * wv,
+            )
+            chans = None
+            for v_c, wgt in zip(corners, wts):
+                r_c, g_c, b_c, l_c = classify(v_c)
+                # opaque entries store L = -inf; clamp before weighting so
+                # a zero-weight opaque corner contributes 0, not NaN
+                # (exp(-1e4 * q) underflows to exactly 0 -> alpha 1)
+                l_c = jnp.maximum(l_c, jnp.float32(-1e4))
+                term = (r_c * wgt, g_c * wgt, b_c * wgt, l_c * wgt)
+                chans = term if chans is None else tuple(
+                    a + t for a, t in zip(chans, term)
+                )
+            s_r, s_g, s_b, s_l = chans
+        else:
+            if mode == "fwd":
+                scalar = sample(load(k_load))
+            elif mode == "bwd":
+                scalar = sample(load(k_rev_load))
+            else:
+                s_fwd = sample(load(k_load))
+                s_bwd = sample(load(k_rev_load))
+                scalar = jnp.where(backward, s_bwd, s_fwd)
+            s_r, s_g, s_b, s_l = classify(scalar)
 
         # step-normalized opacity with the per-sample segment length:
         # 1 - (1 - a)^(w/ref) = 1 - exp((w/ref) * L).  Guarded so that
@@ -491,7 +540,7 @@ TILE_H = 32
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll", "ghost",
+        "interpret", "sampling", "unroll", "ghost", "classification",
     ),
 )
 def slicemarch_render(
@@ -510,6 +559,7 @@ def slicemarch_render(
     sampling: str = "nearest",
     unroll: Optional[int] = None,
     ghost: int = 0,
+    classification: str = "post",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense render: every brick against every pixel tile (with in-kernel
     tile culling).  Returns row-major ([B, H*W, 4], [B, H*W]).
@@ -537,6 +587,7 @@ def slicemarch_render(
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
         sampling=sampling, unroll=unroll, ghost=ghost,
+        classification=classification,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -579,7 +630,7 @@ def slicemarch_render(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll", "ghost",
+        "interpret", "sampling", "unroll", "ghost", "classification",
     ),
 )
 def slicemarch_render_worklist(
@@ -603,6 +654,7 @@ def slicemarch_render_worklist(
     sampling: str = "nearest",
     unroll: Optional[int] = None,
     ghost: int = 0,
+    classification: str = "post",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render: only scheduled (brick, tile) pairs execute.
 
@@ -626,6 +678,7 @@ def slicemarch_render_worklist(
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
         sampling=sampling, unroll=unroll, ghost=ghost,
+        classification=classification,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -682,7 +735,7 @@ def slicemarch_render_worklist(
     jax.jit,
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
-        "interpret", "sampling", "unroll", "ghost",
+        "interpret", "sampling", "unroll", "ghost", "classification",
     ),
 )
 def slicemarch_render_worklist_raw(
@@ -704,6 +757,7 @@ def slicemarch_render_worklist_raw(
     sampling: str = "nearest",
     unroll: Optional[int] = None,
     ghost: int = 0,
+    classification: str = "post",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Work-list render returning TILE-ordered, UNMASKED buffers
     ([B, T, TILE_P, 4], [B, T, SUBLANES, LANES]).  Unscheduled blocks are
@@ -724,6 +778,7 @@ def slicemarch_render_worklist_raw(
         logical_height=logical_height or height,
         max_slices=max_slices, tile_w=TILE_W, tile_h=TILE_H,
         sampling=sampling, unroll=unroll, ghost=ghost,
+        classification=classification,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -1099,6 +1154,7 @@ def slicemarch_reference(
     range_min: float = 0.0,
     inverse_range: float = 1.0,
     sampling: str = "nearest",
+    classification: str = "post",
 ):
     """Scalar NumPy implementation of the exact kernel semantics."""
     axes = [axis] + [a for a in range(3) if a != axis]
@@ -1179,16 +1235,42 @@ def slicemarch_reference(
                 iu1 = min(iu0 + 1, nu - 1)
                 iv0 = min(max(int(fv0), 0), nv - 1)
                 iv1 = min(iv0 + 1, nv - 1)
+                corners = (
+                    (vol[k, iu0, iv0], (1 - wu) * (1 - wv)),
+                    (vol[k, iu1, iv0], wu * (1 - wv)),
+                    (vol[k, iu0, iv1], (1 - wu) * wv),
+                    (vol[k, iu1, iv1], wu * wv),
+                )
+                # nested lerp, matching the kernel's FP association exactly
                 v0 = vol[k, iu0, iv0] * (1 - wu) + vol[k, iu1, iv0] * wu
                 v1 = vol[k, iu0, iv1] * (1 - wu) + vol[k, iu1, iv1] * wu
                 scalar = v0 * (1 - wv) + v1 * wv
-            normalized = min(max((scalar - range_min) * inverse_range, 0.0), 1.0)
-            idx = min(max(int(normalized * 255), 0), 255)
-            a_ref = alpha_tab[idx]
             qq = w / ref_distance
-            a = 1.0 - (1.0 - a_ref) ** qq if a_ref < 1.0 else 1.0
+
+            def classify_idx(value):
+                n_ = min(max((value - range_min) * inverse_range, 0.0), 1.0)
+                return min(max(int(n_ * 255), 0), 255)
+
+            if sampling != "nearest" and classification == "pre":
+                # PRE-classification: classify each corner, interpolate the
+                # classified channels; opacity interpolates as
+                # log-transmittance (the kernels' exact formula)
+                rgb = np.zeros(3)
+                log_t = 0.0
+                for v_, w_ in corners:
+                    ci = classify_idx(v_)
+                    rgb += color_table[ci, :3] * w_
+                    a_c = alpha_tab[ci]
+                    l_c = math.log1p(-a_c) if a_c < 1.0 else -1e4
+                    log_t += max(l_c, -1e4) * w_
+                a = 1.0 - math.exp(qq * log_t)
+            else:
+                idx = classify_idx(scalar)
+                rgb = color_table[idx, :3]
+                a_ref = alpha_tab[idx]
+                a = 1.0 - (1.0 - a_ref) ** qq if a_ref < 1.0 else 1.0
             contrib = a * (1.0 - acc[3])
-            acc[:3] += color_table[idx, :3] * contrib
+            acc[:3] += rgb * contrib
             acc[3] += contrib
         acc = np.clip(acc, 0, 1)
         colors[p] = acc

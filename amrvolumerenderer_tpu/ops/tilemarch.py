@@ -76,6 +76,7 @@ def _kernel(
     ghost: int = 0,
     dma_slices: Optional[int] = None,
     s_stored: Optional[int] = None,
+    classification: str = "post",
 ):
     # ``ghost`` marks packs carrying a ghost-cell ring (see
     # slicemarch._kernel_body): loads shift by ``ghost`` on all three axes
@@ -265,30 +266,72 @@ def _kernel(
                     v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
                     return v0 * (1.0 - wv) + v1 * wv
 
+            def classify(scalar):
+                """Field value -> (r, g, b, log(1 - alpha_ref))."""
+                normalized = jnp.clip(
+                    (scalar - range_min) * inverse_range, 0.0, 1.0
+                )
+                lut_idx = jnp.clip(
+                    (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+                    0, COLOR_TABLE_SIZE - 1,
+                )
+                lrow = lut_idx // LANES
+                lcol = lut_idx % LANES
+                return (
+                    gather_vreg(lut_r, lrow, lcol, LUT_ROWS),
+                    gather_vreg(lut_g, lrow, lcol, LUT_ROWS),
+                    gather_vreg(lut_b, lrow, lcol, LUT_ROWS),
+                    gather_vreg(lut_l, lrow, lcol, LUT_ROWS),
+                )
+
             # bf16-storable slices: upcast the vreg once, gather in f32
             # (``ghost`` shifts core slice k to its data row; ``buf_base``
             # rebases into the trimmed DMA window)
-            s_f = sample(
-                vol_buf[slot, k_load + ghost - buf_base].astype(jnp.float32)
+            tile_f = vol_buf[slot, k_load + ghost - buf_base].astype(
+                jnp.float32
             )
-            s_b = sample(
-                vol_buf[slot, k_rev_load + ghost - buf_base].astype(
-                    jnp.float32
-                )
+            tile_b = vol_buf[slot, k_rev_load + ghost - buf_base].astype(
+                jnp.float32
             )
-            scalar = jnp.where(backward, s_b, s_f)
+            if sampling != "nearest" and classification == "pre":
+                # VTK-style PRE-classification: classify each bilinear
+                # corner, then interpolate the classified channels; opacity
+                # interpolates in log-transmittance space (see
+                # slicemarch._kernel_body)
+                def corners_of(tile):
+                    def at(iu_, iv_):
+                        flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
+                        return gather_vreg(
+                            tile, flat // LANES, flat % LANES, SUBLANES
+                        )
 
-            normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
-            lut_idx = jnp.clip(
-                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
-                0, COLOR_TABLE_SIZE - 1,
-            )
-            lrow = lut_idx // LANES
-            lcol = lut_idx % LANES
-            s_r = gather_vreg(lut_r, lrow, lcol, LUT_ROWS)
-            s_g = gather_vreg(lut_g, lrow, lcol, LUT_ROWS)
-            s_bl = gather_vreg(lut_b, lrow, lcol, LUT_ROWS)
-            s_l = gather_vreg(lut_l, lrow, lcol, LUT_ROWS)
+                    return (
+                        at(iu0, iv0), at(iu1, iv0), at(iu0, iv1), at(iu1, iv1)
+                    )
+
+                cf = corners_of(tile_f)
+                cb = corners_of(tile_b)
+                corners = tuple(
+                    jnp.where(backward, b_, f_) for f_, b_ in zip(cf, cb)
+                )
+                wts = (
+                    (1.0 - wu) * (1.0 - wv), wu * (1.0 - wv),
+                    (1.0 - wu) * wv, wu * wv,
+                )
+                chans = None
+                for v_c, wgt in zip(corners, wts):
+                    r_c, g_c, b_c, l_c = classify(v_c)
+                    l_c = jnp.maximum(l_c, jnp.float32(-1e4))
+                    term = (r_c * wgt, g_c * wgt, b_c * wgt, l_c * wgt)
+                    chans = term if chans is None else tuple(
+                        a + t for a, t in zip(chans, term)
+                    )
+                s_r, s_g, s_bl, s_l = chans
+            else:
+                s_f = sample(tile_f)
+                s_b = sample(tile_b)
+                scalar = jnp.where(backward, s_b, s_f)
+                s_r, s_g, s_bl, s_l = classify(scalar)
 
             q_k = w / ref_distance
             sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
@@ -409,6 +452,7 @@ def _kernel(
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
         "interpret", "sampling", "unroll", "ghost", "dma_slices",
+        "classification",
     ),
 )
 def tilemarch_render(
@@ -434,6 +478,7 @@ def tilemarch_render(
     unroll: Optional[int] = None,
     ghost: int = 0,
     dma_slices: Optional[int] = None,
+    classification: str = "post",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
 
@@ -468,6 +513,7 @@ def tilemarch_render(
         ghost=ghost,
         dma_slices=dma_slices,
         s_stored=s_max,
+        classification=classification,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,

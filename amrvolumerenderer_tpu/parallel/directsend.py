@@ -267,6 +267,7 @@ def render_and_composite_sharded_slicemarch(
     interpret: bool = False,
     transport: str = "float32",
     sampling: str = "nearest",
+    classification: str = "post",
     ghost: int = 0,
     rect=None,
 ):
@@ -290,6 +291,7 @@ def render_and_composite_sharded_slicemarch(
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
+            classification=classification,
         )
         layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
         mask = b_valid[:, None, None]
@@ -598,6 +600,7 @@ def render_depth_contiguous_slicemarch(
     logical_height: int | None = None,
     interpret: bool = False,
     sampling: str = "nearest",
+    classification: str = "post",
     ghost: int = 0,
     transport: str = "float32",
     rect=None,
@@ -626,6 +629,7 @@ def render_depth_contiguous_slicemarch(
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
+            classification=classification,
         )
         layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
         mask = b_valid[:, None, None]

@@ -70,6 +70,16 @@ def validate_render_parameters(parameters: RenderParameters) -> None:
         raise ValueError("multichip transport must be float32 or ubyte")
     if parameters.devices is not None and parameters.devices < 1:
         raise ValueError("devices must be a positive device count")
+    if parameters.classification not in ("post", "pre"):
+        raise ValueError("classification must be \"post\" or \"pre\"")
+    if (
+        parameters.classification == "pre"
+        and parameters.sampling == "nearest"
+    ):
+        raise ValueError(
+            "classification=\"pre\" requires sampling=\"trilinear\" "
+            "(nearest sampling has no interpolation to reorder)"
+        )
 
 
 def compute_global_bounds(geometry: SceneGeometry) -> VolumeBounds:

@@ -300,7 +300,7 @@ def render_composited_slicemarch(
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
-        ghost=prep["ghost"],
+        ghost=prep["ghost"], classification=parameters.classification,
     )
     frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
     frame = frame[:render_height, :render_width].reshape(-1, 5)
@@ -441,6 +441,7 @@ def render_composited_sharded(
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
             ghost=prep["ghost"], transport=transport, rect=rect,
+            classification=parameters.classification,
         )
     else:
         # per-frame depth-contiguous placement: sort key must match the
@@ -521,7 +522,7 @@ def render_layers_slicemarch(
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
-        ghost=prep["ghost"],
+        ghost=prep["ghost"], classification=parameters.classification,
     )
     num_layers = colors.shape[0]
     colors = np.asarray(colors).reshape(num_layers, prep["pad_h"], prep["pad_w"], 4)
@@ -540,7 +541,7 @@ def composited_frame(
     vol, meta, dims, lut, cam, work_bricks, work_tiles, coverage,
     order, owners_sorted, work_bounds=None, *, width, height, max_slices,
     logical_width=None, logical_height=None, interpret=False,
-    sampling="nearest", ghost=0,
+    sampling="nearest", ghost=0, classification="post",
 ):
     """Fully fused frame: work-list render -> Pallas tile-space composite
     -> single untile.  Every layer's pixels touch HBM exactly once.
@@ -561,6 +562,7 @@ def composited_frame(
         width=width, height=height, max_slices=max_slices,
         logical_width=logical_width, logical_height=logical_height,
         interpret=interpret, sampling=sampling, ghost=ghost,
+        classification=classification,
     )
     out_c, out_d = composite_tiles(
         colors, depths, order, owners_sorted, coverage, interpret=interpret
@@ -632,7 +634,7 @@ def render_composited_tilemarch(
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
-        ghost=prep["ghost"],
+        ghost=prep["ghost"], classification=parameters.classification,
     )
     tiles_x = prep["pad_w"] // sm.TILE_W
     tiles_y = prep["pad_h"] // sm.TILE_H

@@ -177,6 +177,12 @@ class RenderParameters:
     # beyond-reference: "nearest" (reference semantics) or "trilinear"
     # (in-slice bilinear at march-plane crossings; fast-path kernels only)
     sampling: str = "nearest"
+    # beyond-reference: transfer-function classification order for
+    # trilinear sampling — "post" (interpolate the scalar, then classify;
+    # VTK default and this framework's default) or "pre" (classify each
+    # corner sample, then interpolate the classified channels; opacity
+    # interpolates in log-transmittance space).  No effect with nearest.
+    classification: str = "post"
     # beyond-reference: number of mesh devices to distribute the render
     # across (the ``mpirun -n`` of VolumeRenderer/main.cpp:19-36 expressed
     # as a jax.sharding mesh).  None/1 = single device.

@@ -707,3 +707,183 @@ class TestUnroll:
         b, bd = sm.slicemarch_render(*args, unroll=u, **kw)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
         np.testing.assert_allclose(np.asarray(ad), np.asarray(bd), atol=1e-6)
+
+
+class TestPreClassification:
+    """classification="pre": classify corner samples, then interpolate the
+    classified channels (VTK-style pre-classification; beyond reference)."""
+
+    def _scene(self):
+        return TestTrilinear._scene(TestTrilinear())
+
+    def _sharp_lut(self):
+        from amrvolumerenderer_tpu.colormap import build_color_table
+        from amrvolumerenderer_tpu.types import color_map_from_tuples
+
+        # a hard color/opacity step at 0.5: pre and post classification
+        # visibly disagree wherever interpolation crosses the step
+        cmap = color_map_from_tuples([
+            (0.0, 0.0, 0.0, 1.0, 0.05), (0.499, 0.0, 0.0, 1.0, 0.05),
+            (0.501, 1.0, 0.0, 0.0, 0.9), (1.0, 1.0, 0.0, 0.0, 0.9),
+        ])
+        return build_color_table(1.0, 1.0, (0.0, 1.0), cmap)
+
+    def test_kernel_matches_numpy_oracle_pre(self):
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+
+        (field, camera, forward, right, up, axis, _lut, vol, meta, dims,
+         cam, ns) = self._scene()
+        lut = self._sharp_lut()
+        w = h = 64
+        exp_c, _ = sm.slicemarch_reference(
+            field, np.zeros(3), np.ones(3), axis, lut, 0.5 / 16,
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, w, h, sampling="trilinear",
+            classification="pre",
+        )
+        got_c, _ = sm.slicemarch_render(
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+            width=w, height=h, max_slices=ns, interpret=True,
+            sampling="trilinear", classification="pre",
+        )
+        diff = np.abs(np.asarray(got_c[0]) - exp_c)
+        assert np.quantile(diff, 0.999) < 5e-4
+        assert diff.max() < 5e-2
+
+    def test_pre_differs_from_post_on_sharp_lut(self):
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+
+        (field, camera, forward, right, up, axis, _lut, vol, meta, dims,
+         cam, ns) = self._scene()
+        lut = self._sharp_lut()
+        w = h = 64
+        kw = dict(width=w, height=h, max_slices=ns, interpret=True,
+                  sampling="trilinear")
+        args = (
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+        )
+        pre_c, _ = sm.slicemarch_render(*args, classification="pre", **kw)
+        post_c, _ = sm.slicemarch_render(*args, classification="post", **kw)
+        assert np.abs(np.asarray(pre_c) - np.asarray(post_c)).max() > 0.05
+
+    def test_smooth_field_pre_close_to_post(self):
+        """On a SMOOTH field the corner scalars are nearly equal, so the
+        two classification orders nearly coincide (they differ materially
+        only where interpolation spans a transfer-function transition —
+        exactly the random-field / sharp-LUT cases above)."""
+        from amrvolumerenderer_tpu.camera import camera_basis
+        from amrvolumerenderer_tpu.colormap import build_color_table
+        from amrvolumerenderer_tpu.ops import slicemarch as sm
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        n = 16
+        c = (np.arange(n) + 0.5) / n
+        field = (
+            0.5 + 0.5 * np.sin(2 * np.pi * c)[:, None, None]
+            * np.cos(np.pi * c)[None, :, None]
+            * np.ones(n)[None, None, :]
+        ).astype(np.float32) * 0.5
+        camera = CameraParameters(
+            eye=(2.1, 1.4, 2.6), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+        )
+        forward, right, up = camera_basis(camera)
+        axis = sm.choose_march_axis(forward)
+        axes = [axis] + [a for a in range(3) if a != axis]
+        vol, (ns, nu, nv) = sm.pack_slice_volume(field, axis)
+        meta = np.zeros((1, 12), np.float32)
+        meta[0, 3:6] = 1.0
+        meta[0, 6:9] = 1.0 / np.array([ns, nu, nv])
+        dims = np.zeros((1, 8), np.int32)
+        dims[0, :3] = (ns, nu, nv)
+        dims[0, 3:6] = axes
+        cam = sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, 1.0, 0.0, 1.0, 0.5 / n,
+        )
+        lut = build_color_table(1.0, 1.0, (0.0, 1.0), None)
+        w = h = 64
+        kw = dict(width=w, height=h, max_slices=ns, interpret=True,
+                  sampling="trilinear")
+        args = (
+            jnp.asarray(vol[None]), jnp.asarray(meta), jnp.asarray(dims),
+            jnp.asarray(sm.build_log_lut(lut)[None]), jnp.asarray(cam),
+        )
+        pre_c, _ = sm.slicemarch_render(*args, classification="pre", **kw)
+        post_c, _ = sm.slicemarch_render(*args, classification="post", **kw)
+        assert np.abs(np.asarray(pre_c) - np.asarray(post_c)).max() < 0.05
+
+    def test_validation_and_cli(self):
+        from amrvolumerenderer_tpu.driver import parse_options
+        from amrvolumerenderer_tpu.renderer import validate_render_parameters
+        from amrvolumerenderer_tpu.types import RenderParameters
+
+        with pytest.raises(ValueError, match="classification"):
+            validate_render_parameters(
+                RenderParameters(classification="bogus")
+            )
+        with pytest.raises(ValueError, match="trilinear"):
+            validate_render_parameters(
+                RenderParameters(classification="pre", sampling="nearest")
+            )
+        opts = parse_options([
+            "--sampling", "trilinear", "--classification", "pre", "plt0",
+        ])
+        assert opts.parameters.classification == "pre"
+        with pytest.raises(RuntimeError):
+            parse_options(["--classification", "maybe", "plt0"])
+
+    def test_fast_scene_pre_classification(self):
+        """The persistent-scene mega-kernel path honors the mode and
+        matches the one-shot slicemarch render."""
+        from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+        from amrvolumerenderer_tpu.renderer_fast import (
+            render_composited_slicemarch,
+        )
+        from amrvolumerenderer_tpu.types import (
+            Brick,
+            CameraParameters,
+            RenderParameters,
+            SceneGeometry,
+            color_map_from_tuples,
+        )
+
+        rng = np.random.default_rng(31)
+        g = SceneGeometry()
+        g.bricks.append(Brick(
+            data=rng.random((16, 16, 16)).astype(np.float32),
+            min_corner=np.zeros(3), max_corner=np.ones(3),
+        ))
+        g.scalar_range = (0.0, 1.0)
+        g.has_scalar_range = True
+        cmap = color_map_from_tuples([
+            (0.0, 0.0, 0.0, 1.0, 0.05), (0.499, 0.0, 0.0, 1.0, 0.05),
+            (0.501, 1.0, 0.0, 0.0, 0.9), (1.0, 1.0, 0.0, 0.0, 0.9),
+        ])
+        params = RenderParameters(
+            width=32, height=32, sampling="trilinear", classification="pre"
+        )
+        camera = CameraParameters(
+            eye=(1.8, 1.2, 2.4), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+        )
+        fast = FastSceneRenderer(g, params, color_map=cmap, interpret=True)
+        frame = fast.render(camera, overlay=False)
+        oneshot = render_composited_slicemarch(
+            g, params, camera, (0.0, 1.0), 0.5 / 16, 32, 32, cmap,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            frame[:, :4], oneshot[:, :4], atol=1e-5
+        )
+        # and it differs from the post render on this sharp LUT
+        params_post = RenderParameters(
+            width=32, height=32, sampling="trilinear"
+        )
+        fast_post = FastSceneRenderer(
+            g, params_post, color_map=cmap, interpret=True
+        )
+        diff = np.abs(
+            frame[:, :4] - fast_post.render(camera, overlay=False)[:, :4]
+        ).max()
+        assert diff > 0.01
