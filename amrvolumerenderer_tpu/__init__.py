@@ -64,11 +64,15 @@ def render(
     camera_far: Optional[float] = None,
     color_map=None,
     devices: Optional[int] = None,
+    sampling: str = "nearest",
+    classification: str = "post",
 ) -> int:
     """Render a plotfile; the exact kwarg surface of the reference binding
-    (python/amrVolumeRenderer/module.cpp:276-303).  ``devices`` is
-    beyond-reference: distribute the render across that many mesh devices
-    (the reference distributes by launching under ``mpirun -n``)."""
+    (python/amrVolumeRenderer/module.cpp:276-303).  ``devices``,
+    ``sampling`` and ``classification`` are beyond-reference: distribute
+    the render across that many mesh devices (the reference distributes by
+    launching under ``mpirun -n``), select trilinear sampling, and choose
+    the transfer-function classification order (see RenderParameters)."""
     from .driver import RunOptions, run_options
 
     options = RunOptions(
@@ -84,6 +88,8 @@ def render(
     options.parameters.antialiasing = antialiasing
     options.parameters.use_visibility_graph = visibility_graph
     options.parameters.write_visibility_graph = write_visibility_graph
+    options.parameters.sampling = sampling
+    options.parameters.classification = classification
     if devices is not None:
         if int(devices) <= 0:
             raise ValueError("devices must be a positive device count")

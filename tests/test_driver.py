@@ -281,3 +281,19 @@ def test_cli_trace_dir_requires_value(plotfile):
 
     with pytest.raises(RuntimeError):
         parse_options(["--trace-dir"])
+
+
+def test_render_kwargs_sampling_classification(tmp_path, plotfile):
+    """Module-level render() exposes the beyond-reference sampling and
+    classification kwargs alongside the exact reference surface."""
+    import amrvolumerenderer_tpu as avr
+
+    import os
+
+    out = str(tmp_path / "mod.ppm")
+    assert avr.render(plotfile, width=16, height=16, output=out,
+                      sampling="trilinear", classification="pre") == 0
+    assert os.path.exists(out)
+    with pytest.raises(ValueError):
+        avr.render(plotfile, width=16, height=16, output=out,
+                   classification="pre")  # nearest + pre rejected
