@@ -565,8 +565,11 @@ class FastSceneRenderer:
         # DMA window bucket: the largest occupied span over all items,
         # rounded to 8 slices — the kernel then copies only that window of
         # each brick instead of all ``cube`` slices (tilemarch dma_slices)
-        spans = (item_bounds.astype(np.int64) & 0xFFFF) - (
-            item_bounds.astype(np.int64) >> 16
+        ib64 = item_bounds.astype(np.int64)
+        # packed 0 means "unset = full range" in the kernel (slicemarch
+        # _kernel_body); the span bucket must use the same interpretation
+        spans = np.where(
+            ib64 > 0, (ib64 & 0xFFFF) - (ib64 >> 16), self.cube
         )
         dma_slices = int(min(self.cube, ((int(spans.max()) + 7) // 8) * 8))
         if as_numpy:

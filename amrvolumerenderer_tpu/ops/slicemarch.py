@@ -286,13 +286,13 @@ def _kernel_body(
             iv0 = fv0.astype(jnp.int32)
             iv1 = jnp.minimum(iv0 + 1, nv - 1 + ghost)
 
-            def sample(tile):
-                def at(iu_, iv_):
-                    flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
-                    return _gather_slice(tile, flat // LANES, flat % LANES)
+            def at(tile, iu_, iv_):
+                flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
+                return _gather_slice(tile, flat // LANES, flat % LANES)
 
-                v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
-                v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
+            def sample(tile):
+                v0 = at(tile, iu0, iv0) * (1.0 - wu) + at(tile, iu1, iv0) * wu
+                v1 = at(tile, iu0, iv1) * (1.0 - wu) + at(tile, iu1, iv1) * wu
                 return v0 * (1.0 - wv) + v1 * wv
 
         def classify(scalar):
@@ -320,11 +320,12 @@ def _kernel_body(
             # mean of corner transparencies) — exact at corners, and the
             # step normalization below applies unchanged.
             def sample_corners(tile):
-                def at(iu_, iv_):
-                    flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
-                    return _gather_slice(tile, flat // LANES, flat % LANES)
-
-                return (at(iu0, iv0), at(iu1, iv0), at(iu0, iv1), at(iu1, iv1))
+                # shares the trilinear branch's ``at`` gather, so the pre-
+                # and post-classification paths sample identical stencils
+                return (
+                    at(tile, iu0, iv0), at(tile, iu1, iv0),
+                    at(tile, iu0, iv1), at(tile, iu1, iv1),
+                )
 
             if mode == "fwd":
                 corners = sample_corners(load(k_load))

@@ -139,17 +139,21 @@ def _kernel(
         lo = jnp.where(sb > 0, sb >> 16, 0)
         return jnp.clip(lo + ghost, 0, s_stored - dma_slices)
 
+    def brick_copy(work_idx, slot):
+        """The (src, dst, sem) descriptor for this item's brick DMA —
+        built ONCE here so start and wait always describe the same
+        (possibly window-trimmed) transfer."""
+        b = bricks_ref[work_idx]
+        if dma_slices is None:
+            src = vol_hbm.at[b]
+        else:
+            src = vol_hbm.at[b, pl.ds(dma_start_slice(work_idx), dma_slices)]
+        return pltpu.make_async_copy(src, vol_buf.at[slot], dma_sems.at[slot])
+
     def start_fetch(work_idx, slot):
         @pl.when(work_idx < work_end)
         def _():
-            b = bricks_ref[work_idx]
-            if dma_slices is None:
-                src = vol_hbm.at[b]
-            else:
-                src = vol_hbm.at[b, pl.ds(dma_start_slice(work_idx), dma_slices)]
-            pltpu.make_async_copy(
-                src, vol_buf.at[slot], dma_sems.at[slot]
-            ).start()
+            brick_copy(work_idx, slot).start()
 
     def march_brick(work_idx, slot):
         """March brick ``bricks_ref[work_idx]`` (already in vol_buf[slot]).
@@ -255,15 +259,21 @@ def _kernel(
                 iv0 = fv0.astype(jnp.int32)
                 iv1 = jnp.minimum(iv0 + 1, nv - 1 + ghost)
 
-                def sample(tile):
-                    def at(iu_, iv_):
-                        flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
-                        return gather_vreg(
-                            tile, flat // LANES, flat % LANES, SUBLANES
-                        )
+                def bilerp_at(tile, iu_, iv_):
+                    flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
+                    return gather_vreg(
+                        tile, flat // LANES, flat % LANES, SUBLANES
+                    )
 
-                    v0 = at(iu0, iv0) * (1.0 - wu) + at(iu1, iv0) * wu
-                    v1 = at(iu0, iv1) * (1.0 - wu) + at(iu1, iv1) * wu
+                def sample(tile):
+                    v0 = (
+                        bilerp_at(tile, iu0, iv0) * (1.0 - wu)
+                        + bilerp_at(tile, iu1, iv0) * wu
+                    )
+                    v1 = (
+                        bilerp_at(tile, iu0, iv1) * (1.0 - wu)
+                        + bilerp_at(tile, iu1, iv1) * wu
+                    )
                     return v0 * (1.0 - wv) + v1 * wv
 
             def classify(scalar):
@@ -299,14 +309,11 @@ def _kernel(
                 # interpolates in log-transmittance space (see
                 # slicemarch._kernel_body)
                 def corners_of(tile):
-                    def at(iu_, iv_):
-                        flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
-                        return gather_vreg(
-                            tile, flat // LANES, flat % LANES, SUBLANES
-                        )
-
+                    # shares bilerp_at so pre- and post-classification
+                    # sample identical stencils
                     return (
-                        at(iu0, iv0), at(iu1, iv0), at(iu0, iv1), at(iu1, iv1)
+                        bilerp_at(tile, iu0, iv0), bilerp_at(tile, iu1, iv0),
+                        bilerp_at(tile, iu0, iv1), bilerp_at(tile, iu1, iv1),
                     )
 
                 cf = corners_of(tile_f)
@@ -411,11 +418,9 @@ def _kernel(
         next_slot = jax.lax.rem(rel + 1, 2)
 
         # overlap: queue the next brick's DMA, then wait for this one's
+        # (the wait must describe the SAME trimmed transfer as the start)
         start_fetch(work_idx + 1, next_slot)
-        pltpu.make_async_copy(
-            vol_hbm.at[bricks_ref[work_idx]], vol_buf.at[slot],
-            dma_sems.at[slot],
-        ).wait()
+        brick_copy(work_idx, slot).wait()
 
         c, d = march_brick(work_idx, slot)
 

@@ -469,6 +469,7 @@ def render_composited_sharded(
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
             ghost=prep["ghost"], transport=transport, rect=rect,
+            classification=parameters.classification,
         )
 
     frame = paste_rect(np.asarray(frame), rect, prep["pad_w"], prep["pad_h"])

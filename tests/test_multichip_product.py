@@ -180,3 +180,48 @@ def test_devices_zero_rejected_by_validation():
         validate_render_parameters(
             RenderParameters(width=8, height=8, devices=0)
         )
+
+
+def test_devices_with_pre_classification(tmp_path, r2_scene):
+    """classification="pre" flows through BOTH multichip pipelines (the
+    depth-contiguous default silently dropped it before); the mesh render
+    must match single-device pre, and differ from the post render."""
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.types import (
+        RenderParameters,
+        color_map_from_tuples,
+    )
+
+    levels, geoms = r2_scene
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    cmap = color_map_from_tuples([
+        (0.0, 0.0, 0.0, 1.0, 0.05), (0.499, 0.0, 0.0, 1.0, 0.05),
+        (0.501, 1.0, 0.0, 0.0, 0.9), (1.0, 1.0, 0.0, 0.0, 0.9),
+    ])
+    frames = {}
+    for pipeline in ("depth", "layered"):
+        params = RenderParameters(
+            width=32, height=32, sampling="trilinear", classification="pre",
+            devices=4, multichip_pipeline=pipeline,
+        )
+        img, _ = render_scene("", params, geometry, color_map=cmap,
+                              verbose=False)
+        frames[pipeline] = np.asarray(img.pixels)
+    single = RenderParameters(
+        width=32, height=32, sampling="trilinear", classification="pre",
+    )
+    img1, _ = render_scene("", single, geometry, color_map=cmap,
+                           verbose=False, method="slicemarch")
+    for pipeline, px in frames.items():
+        np.testing.assert_allclose(
+            px[:, :4], np.asarray(img1.pixels)[:, :4], atol=1e-5,
+            err_msg=pipeline,
+        )
+    post = RenderParameters(width=32, height=32, sampling="trilinear")
+    img_post, _ = render_scene("", post, geometry, color_map=cmap,
+                               verbose=False, method="slicemarch")
+    assert np.abs(
+        np.asarray(img1.pixels)[:, :4] - np.asarray(img_post.pixels)[:, :4]
+    ).max() > 0.01
