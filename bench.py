@@ -205,7 +205,7 @@ def main() -> None:
     # scenes) are skipped once the budget is spent or on any error, so a
     # driver-side timeout can't swallow the whole benchmark
     bench_t0 = time.perf_counter()
-    budget_s = float(os.environ.get("AVR_BENCH_BUDGET_S", "900"))
+    budget_s = float(os.environ.get("AVR_BENCH_BUDGET_S", "1300"))
 
     def budget_left() -> bool:
         return (time.perf_counter() - bench_t0) < budget_s
