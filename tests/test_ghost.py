@@ -332,3 +332,48 @@ class TestGhostFill:
         np.testing.assert_array_equal(pa[5, 5, 1:5], b[0, 0])
         # but the x-high face interior is NOT inside b -> edge-replicated
         np.testing.assert_array_equal(pa[5, 1:5, 1:5], a[3])
+
+
+class TestPreClassificationSeams:
+    """Ghost rings keep PRE-classification seam-free too: corner samples
+    reach into neighbor data, so classified-channel interpolation matches
+    the unsplit brick across piece and brick boundaries."""
+
+    def test_cross_brick_pre_classification_seam_free(self):
+        from amrvolumerenderer_tpu.renderer_fast import (
+            render_composited_slicemarch,
+        )
+        from amrvolumerenderer_tpu.camera import camera_basis
+
+        N = 40
+        W = H = 64
+        rng = np.random.default_rng(41)
+        field = rng.random((N, N, N)).astype(np.float32)
+        camera = CameraParameters(
+            eye=(0.9, 0.7, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+        )
+        forward, right, up = camera_basis(camera)
+        axis = sm.choose_march_axis(forward)
+        lut = build_color_table(1.0, 1.0, (0.0, 1.0), None)
+        rd = 0.5 / N
+        oracle_c, _ = sm.slicemarch_reference(
+            field, np.zeros(3), np.ones(3), axis, lut, rd,
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, W, H, sampling="trilinear",
+            classification="pre",
+        )
+        half = N // 2
+        two_bricks = _identity_geometry([
+            (field[:half], np.zeros(3), np.array([0.5, 1.0, 1.0])),
+            (field[half:], np.array([0.5, 0.0, 0.0]), np.ones(3)),
+        ])
+        params = RenderParameters(
+            width=W, height=H, sampling="trilinear", classification="pre",
+        )
+        frame = render_composited_slicemarch(
+            two_bricks, params, camera, (0.0, 1.0), rd, W, H, None,
+            interpret=True,
+        )
+        diff = np.abs(frame[:, :4] - oracle_c)
+        assert np.quantile(diff, 0.995) < 1e-3
+        assert diff.max() < 5e-2
