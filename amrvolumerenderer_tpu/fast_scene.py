@@ -367,11 +367,14 @@ class FastSceneRenderer:
         The time-series workload (the reference's renderVolumeTime miniapp,
         miniapps/renderVolumeTime.cpp) re-renders a fixed grid hierarchy as
         values evolve under a fixed scalar range and transfer function.
-        This swaps the device piece table in place: pre-transform + cube
-        split + slice-extrema reduction run on device (jnp inputs never
-        visit the host); camera metadata, owners, hints and the LUT are
-        untouched.  ``brick_arrays`` must match ``geometry.bricks`` in order
-        and shape.
+        This swaps the device piece table in place: for device (jnp)
+        inputs, pre-transform + cube split + slice-extrema reduction run on
+        device (the values never visit the host); for host (NumPy) inputs —
+        the plotfile-driven time series — the whole piece table is
+        assembled on host and ships as ONE upload, because per-brick device
+        ops each pay the full dispatch latency on a remote-accelerator
+        link.  Camera metadata, owners, hints and the LUT are untouched.
+        ``brick_arrays`` must match ``geometry.bricks`` in order and shape.
         """
         from .device_scene import _pretransform_device
 
@@ -384,15 +387,19 @@ class FastSceneRenderer:
         clip_start = float(np.clip(self.scalar_range[1], 0.0, 1.0))
         apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
 
+        all_host = all(isinstance(a, np.ndarray) for a in brick_arrays)
         datas = []
         for brick, arr in zip(bricks, brick_arrays):
             if tuple(arr.shape) != tuple(brick.data.shape):
                 raise ValueError(
                     f"brick shape changed: {arr.shape} vs {brick.data.shape}"
                 )
-            datas.append(
-                _pretransform_device(jnp.asarray(arr), t, clip_start, apply_clip)
-            )
+            if all_host:
+                datas.append(_pretransform(arr, t, clip_start, apply_clip))
+            else:
+                datas.append(_pretransform_device(
+                    jnp.asarray(arr), t, clip_start, apply_clip
+                ))
         padded_list = _ghost_fill_bricks(datas, bricks, self.ghost)
         piece_arrays = []
         piece_ranges = []
@@ -402,10 +409,22 @@ class FastSceneRenderer:
                 v, brick.min_corner, brick.max_corner, self.core,
                 ghost=self.ghost, padded=padded_list[parent],
             ):
-                pad = [(0, self.cube - block.shape[d]) for d in range(3)]
-                piece_arrays.append(jnp.pad(block, pad))
                 piece_ranges.append((float(block.min()), float(block.max())))
-        canonical = jnp.stack(piece_arrays).astype(self.canonical.dtype)
+                if all_host:
+                    buf = np.zeros((self.cube,) * 3, np.float32)
+                    buf[: block.shape[0], : block.shape[1], : block.shape[2]] \
+                        = block
+                    piece_arrays.append(buf)
+                else:
+                    pad = [(0, self.cube - block.shape[d]) for d in range(3)]
+                    piece_arrays.append(jnp.pad(block, pad))
+        if all_host:
+            # one stacked f32 upload; bf16 storage casts on device
+            canonical = jnp.asarray(np.stack(piece_arrays)).astype(
+                self.canonical.dtype
+            )
+        else:
+            canonical = jnp.stack(piece_arrays).astype(self.canonical.dtype)
         if canonical.shape != self.canonical.shape:
             raise ValueError(
                 "piece table shape changed; construct a new renderer for a "

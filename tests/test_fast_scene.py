@@ -426,3 +426,29 @@ class TestRenderBatch:
             single = fast.render(cam, overlay=False)
             np.testing.assert_array_equal(got[i], color_to_byte(single[:, :4]))
             assert (tmp_path / f"b{i:02d}.ppm").exists()
+
+
+def test_update_data_host_arrays_single_upload(geometry):
+    """NumPy timesteps (the plotfile time-series workload) assemble the
+    piece table on host and match the device-array update path."""
+    import jax.numpy as jnp
+
+    params = RenderParameters(width=32, height=32)
+    cam = CameraParameters(
+        eye=(2.5, 1.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+    )
+    new_np = [
+        (np.float32(geometry.scalar_range[1]) - np.asarray(b.data)
+         + np.float32(geometry.scalar_range[0]))
+        for b in geometry.bricks
+    ]
+    host = FastSceneRenderer(geometry, params)
+    host.update_data(new_np)  # host path: one stacked upload
+    dev = FastSceneRenderer(geometry, params)
+    dev.update_data([jnp.asarray(a) for a in new_np])  # device path
+    f_host = host.render(cam, overlay=False)
+    f_dev = dev.render(cam, overlay=False)
+    # host f64 vs device f32 pre-transform: isolated LUT-bin straddles
+    diff = np.abs(f_host[:, :4] - f_dev[:, :4])
+    assert np.mean(diff) < 1e-3
+    assert np.quantile(diff, 0.999) < 0.02
