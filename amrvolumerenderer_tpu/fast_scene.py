@@ -714,6 +714,18 @@ class FastSceneRenderer:
         frame_bytes = num_out * (4 if bytes_out else 5 * 4)
         results: List[Optional[np.ndarray]] = [None] * len(cameras)
 
+        pending = []  # one-deep pipeline: [(part, device frames)]
+
+        def drain():
+            """Read back the previously dispatched chunk (JAX dispatch is
+            async, so this overlaps the readback with whatever the device
+            is rendering now)."""
+            while pending:
+                part, frames = pending.pop()
+                host = np.asarray(frames)
+                for (idx, _inp, _vol), px in zip(part, host):
+                    results[idx] = px
+
         def flush(group):
             """group: list of (frame index, inputs dict); one march axis.
 
@@ -764,9 +776,10 @@ class FastSceneRenderer:
                     # long orbit compiles few variants
                     dma_slices=max(p[1]["dma_slices"] for p in part),
                 )
-                host = np.asarray(frames)  # one readback per chunk
-                for (idx, _inp, _vol), px in zip(part, host):
-                    results[idx] = px
+                # pipeline: read back the PREVIOUS chunk while the device
+                # renders this one, then queue this one
+                drain()
+                pending.append((part, frames))
 
         group: List = []
         group_axis = None
@@ -787,6 +800,7 @@ class FastSceneRenderer:
             group_axis = axis
             group.append((i, inputs, self._packed_vol))
         flush(group)
+        drain()
 
         out = np.stack(results)
         if overlay or output_pattern:
