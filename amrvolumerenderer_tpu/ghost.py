@@ -79,7 +79,14 @@ def ghost_fill(
     # no brick (L-shaped unions) keep the edge-replicated fallback.
     dlo = mins.min(axis=0)
     dhi = maxs.max(axis=0)
-    deps = 1e-6 * np.maximum(dhi - dlo, 1e-30)
+    # the clamp epsilon must be well below the FINEST cell span (not a
+    # fraction of the domain extent): on deep hierarchies a domain-relative
+    # epsilon could shift a face ring cell into the wrong source cell
+    finest = np.stack(spans).min(axis=0)
+    deps = np.minimum(
+        1e-3 * np.maximum(finest, 1e-30),
+        1e-6 * np.maximum(dhi - dlo, 1e-30),
+    )
 
     # vectorized candidate search: brick j is a candidate for brick i when
     # j's box overlaps i's ghost shell (an O(L^2) matrix op, not a Python

@@ -518,11 +518,13 @@ class CompactImage:
         """Blend self over ``bottom`` entirely in the compact domain.
 
         Union-region semantics match ImageBuffer.blend; the work and the
-        result size are bounded by the union of the two ACTIVE ranges — two
-        sparse layers blend cheaply no matter how large the region is
-        (the bandwidth/compute intent of ImageSparseColorOnly.hpp:214-382).
-        Pixels covered by neither stay background, so the result compacts
-        to exactly the union range."""
+        result size are bounded by the CONTIGUOUS SPAN of the two active
+        ranges (``_dense_active`` materializes [min(begin), max(end)) — two
+        small runs at opposite ends of a large region cost O(span), unlike
+        the reference's per-run walk, ImageSparseColorOnly.hpp:214-382;
+        the common overlapping-layers case is O(active)).  Pixels covered
+        by neither stay background, so the result compacts to exactly the
+        union span."""
         assert self.kind == bottom.kind
         assert self.width == bottom.width and self.height == bottom.height
         region_begin = min(self.region_begin, bottom.region_begin)

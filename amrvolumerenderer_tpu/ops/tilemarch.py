@@ -563,6 +563,10 @@ def block_occupancy_bits(
     the slice can map to nonzero alpha under the current transfer function.
     Depends only on (piece table, LUT) — cache per (axis, LUT), NOT per
     frame (compute_item_slice_bounds consumes it every frame)."""
+    if quad_min.shape[2] > 4 or quad_min.shape[3] > 4:
+        # the packed masks are uint16: nq > 4 would silently drop high
+        # bits and non-conservatively skip occupied slices
+        raise ValueError("block occupancy masks support at most 4x4 blocks")
     nz = np.asarray(lut_alpha) > 0.0
     prefix = np.concatenate([[0], np.cumsum(nz)])
     n0 = np.clip((quad_min - range_min) * inverse_range, 0.0, 1.0)
@@ -633,6 +637,8 @@ def compute_item_slice_bounds(
     maths cannot be trusted keep their brick's bounds.  (Beyond reference:
     the reference marches every step of every box, VolumePainter.cpp:
     837-900.)"""
+    if nq > 4:
+        raise ValueError("block occupancy masks support at most 4x4 blocks")
     wb = np.asarray(wb, np.int64)
     wt = np.asarray(wt, np.int64)
     bb = np.asarray(brick_bounds, np.int64)[wb]
