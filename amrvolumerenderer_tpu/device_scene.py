@@ -32,24 +32,42 @@ from .types import (
 )
 
 
+@jax.jit
+def _stats_reduce(flat: jnp.ndarray):
+    """(min, max, min-positive, finite-count) of one flat sample array."""
+    v = flat.astype(jnp.float32)
+    finite = jnp.isfinite(v)
+    safe = jnp.where(finite, v, 0.0)
+    return (
+        jnp.where(finite, safe, jnp.inf).min(),
+        jnp.where(finite, safe, -jnp.inf).max(),
+        jnp.where(finite & (v > 0.0), safe, jnp.inf).min(),
+        finite.sum(),
+    )
+
+
+@jax.jit
+def _stats_reduce_list(arrays):
+    """Fused per-array stats in ONE dispatch (arrays is a pytree list)."""
+    parts = [_stats_reduce.__wrapped__(a) for a in arrays]
+    mins, maxs, pos, counts = zip(*parts)
+    return (
+        jnp.stack(mins).min(),
+        jnp.stack(maxs).max(),
+        jnp.stack(pos).min(),
+        jnp.stack(counts).sum(),
+    )
+
+
 def device_scalar_stats(arrays: Sequence[jnp.ndarray]):
     """min / max / min-positive / finite-count via device reductions
-    (the jnp counterpart of SceneBuilder.cpp:53-101)."""
-    inf = jnp.inf
-    mins, maxs, pos_mins, counts = [], [], [], []
-    for a in arrays:
-        a = a.astype(jnp.float32)
-        finite = jnp.isfinite(a)
-        safe = jnp.where(finite, a, 0.0)
-        mins.append(jnp.where(finite, safe, inf).min())
-        maxs.append(jnp.where(finite, safe, -inf).max())
-        pos_mins.append(jnp.where(finite & (a > 0.0), safe, inf).min())
-        counts.append(finite.sum())
-    min_v = float(jnp.stack(mins).min())
-    max_v = float(jnp.stack(maxs).max())
-    min_pos = float(jnp.stack(pos_mins).min())
-    count = int(jnp.stack(counts).sum())
-    return min_v, max_v, min_pos, count
+    (the jnp counterpart of SceneBuilder.cpp:53-101).  One jitted call over
+    the whole brick list — a single dispatch + 4-scalar readback, however
+    many bricks the scene has."""
+    min_v, max_v, min_pos, count = jax.device_get(
+        _stats_reduce_list(list(arrays))
+    )
+    return float(min_v), float(max_v), float(min_pos), int(count)
 
 
 def _pretransform_device(

@@ -76,6 +76,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c_float_p, c_float_p, c_double_p, c_int_p,
     ]
     lib.avr_visibility_order.restype = ctypes.c_int
+    for name in ("avr_scalar_stats_f64", "avr_scalar_stats_f32"):
+        if hasattr(lib, name):
+            getattr(lib, name).argtypes = [
+                c_double_p if name.endswith("f64") else c_float_p,
+                ctypes.c_int64, c_double_p,
+            ]
+    for name in ("avr_scalar_stats_f64_list", "avr_scalar_stats_f32_list"):
+        if hasattr(lib, name):
+            getattr(lib, name).argtypes = [
+                ctypes.POINTER(c_double_p if "f64" in name else c_float_p),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int, c_double_p,
+            ]
     _lib = lib
     return _lib
 
@@ -139,6 +151,54 @@ def downsample_box(src: np.ndarray, target_width: int, target_height: int,
         target_width, target_height, block, src.shape[1], 4,
     )
     return out
+
+
+def scalar_stats(arrays) -> Optional[tuple]:
+    """(min, max, min-positive, finite-count) over all samples via the
+    threaded native pass (SceneBuilder.cpp:53-94 host twin); None if the
+    library is unavailable (caller falls back to NumPy/device).
+
+    Same-dtype brick lists reduce in ONE call that threads across bricks;
+    mixed dtypes fold per array."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "avr_scalar_stats_f64"):
+        return None
+    mn, mx, mp, count = np.inf, -np.inf, np.inf, 0
+    out4 = np.empty(4, np.float64)
+
+    def fold():
+        nonlocal mn, mx, mp, count
+        mn = min(mn, out4[0])
+        mx = max(mx, out4[1])
+        mp = min(mp, out4[2])
+        count += int(out4[3])
+
+    held = [np.ascontiguousarray(
+        a, dtype=np.float32 if np.asarray(a).dtype == np.float32
+        else np.float64
+    ) for a in arrays if np.asarray(a).size]
+    for dtype, cfn, ctype in (
+        (np.float32, "avr_scalar_stats_f32_list", ctypes.c_float),
+        (np.float64, "avr_scalar_stats_f64_list", ctypes.c_double),
+    ):
+        group = [a for a in held if a.dtype == dtype]
+        if not group:
+            continue
+        if hasattr(lib, cfn):
+            n = len(group)
+            ptrs = (ctypes.POINTER(ctype) * n)(*[_ptr(a, ctype) for a in group])
+            sizes = (ctypes.c_int64 * n)(*[a.size for a in group])
+            getattr(lib, cfn)(ptrs, sizes, n, _ptr(out4, ctypes.c_double))
+            fold()
+        else:
+            single = getattr(
+                lib, "avr_scalar_stats_f32" if dtype == np.float32
+                else "avr_scalar_stats_f64",
+            )
+            for a in group:
+                single(_ptr(a, ctype), a.size, _ptr(out4, ctypes.c_double))
+                fold()
+    return float(mn), float(mx), float(mp), count
 
 
 def visibility_order(

@@ -108,12 +108,11 @@ def compute_tight_bounds(
     return VolumeBounds(g_min, g_max)
 
 
-def compute_global_scalar_range(geometry: SceneGeometry) -> Tuple[float, float]:
-    """Transformed scalar min/max over all bricks (VolumeRenderer.cpp:851-878)."""
+def _transformed_range_numpy(geometry: SceneGeometry) -> Tuple[float, float]:
     t = geometry.scalar_transform
     lo, hi = math.inf, -math.inf
     for brick in geometry.bricks:
-        v = brick.data.astype(np.float64)
+        v = np.asarray(brick.data).astype(np.float64)
         v = np.where(np.isfinite(v), v, 0.0)
         if t.log_scale_input:
             v = np.where(v > 0.0, np.maximum(v, t.positive_floor), t.positive_floor)
@@ -122,6 +121,47 @@ def compute_global_scalar_range(geometry: SceneGeometry) -> Tuple[float, float]:
             v = np.clip((v - t.normalization_min) * t.inverse_normalization_span, 0, 1)
         lo = min(lo, float(v.min()))
         hi = max(hi, float(v.max()))
+    return lo, hi
+
+
+def _apply_transform_scalar(v: float, t) -> float:
+    """The scalar transform (VolumeTypes.hpp:53-67) on one float64 value."""
+    if t.log_scale_input:
+        v = max(v, t.positive_floor) if v > 0.0 else t.positive_floor
+        v = math.log(v)
+    if t.normalize_to_unit_range:
+        v = min(max((v - t.normalization_min) * t.inverse_normalization_span,
+                    0.0), 1.0)
+    return v
+
+
+def compute_global_scalar_range(geometry: SceneGeometry) -> Tuple[float, float]:
+    """Transformed scalar min/max over all bricks (VolumeRenderer.cpp:851-878).
+
+    The scalar transform is monotone non-decreasing (floor/log/normalize/
+    clip all preserve order), so the transformed range is the transform of
+    the RAW range — one stats pass (routed native/device/NumPy by
+    ``scene._scalar_stats``) instead of per-brick transformed full passes.
+    Non-finite samples sanitize to 0.0 before the transform
+    (``_transformed_range_numpy`` is the oracle the parity tests hold this
+    to)."""
+    from .scene import _scalar_stats
+
+    if not geometry.bricks:
+        return 0.0, 1.0
+    min_v, max_v, _min_pos, count = _scalar_stats(
+        [b.data for b in geometry.bricks]
+    )
+    total = sum(int(np.prod(np.shape(b.data))) for b in geometry.bricks)
+    if count == 0:
+        min_v = max_v = 0.0
+    elif count < total:
+        # non-finite samples become 0.0 in the transformed pass
+        min_v = min(min_v, 0.0)
+        max_v = max(max_v, 0.0)
+    t = geometry.scalar_transform
+    lo = _apply_transform_scalar(float(min_v), t)
+    hi = _apply_transform_scalar(float(max_v), t)
     if not (math.isfinite(lo) and math.isfinite(hi)):
         lo = hi = 0.0
     if lo == hi:

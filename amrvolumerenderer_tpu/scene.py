@@ -63,9 +63,9 @@ class SceneBuildOptions:
     invalid_scalar_error: str = "Failed to compute a valid scalar range."
 
 
-def _scalar_stats(arrays: Sequence[np.ndarray]):
+def _scalar_stats_numpy(arrays: Sequence[np.ndarray]):
     """min / max / min-positive / finite-count over all samples
-    (SceneBuilder.cpp:53-101)."""
+    (SceneBuilder.cpp:53-101) — host float64 oracle path."""
     min_v, max_v, min_pos, count = math.inf, -math.inf, math.inf, 0
     for a in arrays:
         a = np.asarray(a, dtype=np.float64)
@@ -81,6 +81,74 @@ def _scalar_stats(arrays: Sequence[np.ndarray]):
             min_pos = min(min_pos, float(pos.min()))
         count += n
     return min_v, max_v, min_pos, count
+
+
+def _scalar_stats_device(arrays: Sequence[np.ndarray]):
+    """Device twin of ``_scalar_stats_numpy`` (the GPU ParReduce of
+    SceneBuilder.cpp:53-94, without per-brick host passes).
+
+    Device-resident inputs reduce in place with one fused jitted call;
+    host inputs make ONE batched transfer of the concatenated samples +
+    one jitted reduction + a 4-scalar readback."""
+    import jax
+
+    from .device_scene import _stats_reduce, device_scalar_stats
+
+    arrays = [a for a in arrays if np.prod(np.shape(a))]
+    if not arrays:
+        return math.inf, -math.inf, math.inf, 0
+    if any(_is_device_array(a) for a in arrays):
+        return device_scalar_stats(arrays)
+    flat = np.concatenate([np.asarray(a, np.float32).ravel() for a in arrays])
+    min_v, max_v, min_pos, count = jax.device_get(_stats_reduce(flat))
+    return float(min_v), float(max_v), float(min_pos), int(count)
+
+
+# samples below this stay off the device: a transfer + dispatch round trip
+# costs more than the host pass it replaces
+_DEVICE_STATS_MIN_SAMPLES = 1 << 22
+
+
+def _is_device_array(a) -> bool:
+    return hasattr(a, "devices") and not isinstance(a, np.ndarray)
+
+
+def _scalar_stats(arrays: Sequence[np.ndarray]):
+    """Scalar statistics with automatic routing (SceneBuilder.cpp:53-94
+    runs these on the GPU; the rebuild picks the fastest resident path).
+
+    * device-resident (jnp) inputs reduce on the accelerator — no host
+      round trip (``device_scene.device_scalar_stats``);
+    * host (NumPy) inputs use the threaded native single pass
+      (``native.scalar_stats``), falling back to the NumPy float64 oracle;
+    * ``AVR_SCALAR_STATS=numpy|native|device`` forces a path (parity
+      tests exercise all three — they agree to float32 rounding).
+    """
+    import os
+
+    policy = os.environ.get("AVR_SCALAR_STATS", "auto")
+    arrays = list(arrays)
+    if policy == "device" or (
+        policy == "auto"
+        and arrays
+        and any(_is_device_array(a) for a in arrays)
+        and sum(int(np.prod(np.shape(a))) for a in arrays)
+        >= _DEVICE_STATS_MIN_SAMPLES
+    ):
+        try:
+            return _scalar_stats_device(arrays)
+        except Exception:
+            if policy == "device":
+                raise
+    if policy in ("auto", "native"):
+        from . import native
+
+        stats = native.scalar_stats(arrays)
+        if stats is not None:
+            return stats
+        if policy == "native":
+            raise RuntimeError("native scalar stats unavailable")
+    return _scalar_stats_numpy(arrays)
 
 
 def _make_scalar_range(min_v: float, max_v: float) -> Tuple[float, float]:

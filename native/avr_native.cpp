@@ -10,6 +10,8 @@
 //   avr_encode_ppm            : float RGBA rows -> P6 pixel bytes
 //                               (bottom-up rows, Mesa clamp(int(c*256)))
 //   avr_downsample_box        : supersample box-average downsample
+//   avr_scalar_stats_f64/_f32 : threaded min/max/min-positive/finite-count
+//                               (SceneBuilder.cpp:53-94 host twin)
 //   avr_visibility_order      : camera-dependent topological rank ordering
 //                               with cycle-breaking box splits
 //
@@ -20,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -95,6 +98,181 @@ void avr_encode_ppm(const float* pixels, uint8_t* out, int width, int height,
       }
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Scalar statistics: one threaded pass producing min / max / min-positive /
+// finite-count (the host-native twin of the reference's GPU ParReduce,
+// SceneBuilder.cpp:53-94).  out4 = {min, max, min_positive, finite_count};
+// empty/no-finite inputs leave +inf/-inf/+inf/0.
+// ---------------------------------------------------------------------------
+
+}  // extern "C" (templates below need C++ linkage)
+
+namespace {
+
+template <typename T>
+void scalar_stats_chunk(const T* src, int64_t n, double* out4) {
+  // W independent accumulator lanes so -O3 auto-vectorizes the pass; the
+  // finite test is `v - v == 0` (inf-inf and nan both fail) to keep the
+  // loop free of libm calls.  Reductions are exact in T (comparisons only),
+  // so the f32 path matches the float64 oracle bit-for-bit on f32 inputs.
+  constexpr int W = sizeof(T) == 4 ? 16 : 8;
+  const T inf = std::numeric_limits<T>::infinity();
+  T mn[W], mx[W], mp[W];
+  int32_t cnt[W];
+  for (int l = 0; l < W; ++l) {
+    mn[l] = inf;
+    mx[l] = -inf;
+    mp[l] = inf;
+    cnt[l] = 0;
+  }
+  const int64_t nb = n / W * W;
+  for (int64_t i = 0; i < nb; i += W) {
+    for (int l = 0; l < W; ++l) {
+      const T v = src[i + l];
+      const bool fin = (v - v == static_cast<T>(0));
+      cnt[l] += fin;
+      const T vn = fin ? v : inf;
+      const T vx = fin ? v : -inf;
+      const T vp = (fin && v > static_cast<T>(0)) ? v : inf;
+      mn[l] = vn < mn[l] ? vn : mn[l];
+      mx[l] = vx > mx[l] ? vx : mx[l];
+      mp[l] = vp < mp[l] ? vp : mp[l];
+    }
+  }
+  double fmn = std::numeric_limits<double>::infinity();
+  double fmx = -std::numeric_limits<double>::infinity();
+  double fmp = std::numeric_limits<double>::infinity();
+  int64_t count = 0;
+  for (int l = 0; l < W; ++l) {
+    fmn = mn[l] < fmn ? mn[l] : fmn;
+    fmx = mx[l] > fmx ? mx[l] : fmx;
+    fmp = mp[l] < fmp ? mp[l] : fmp;
+    count += cnt[l];
+  }
+  for (int64_t i = nb; i < n; ++i) {
+    const double v = static_cast<double>(src[i]);
+    if (!std::isfinite(v)) continue;
+    ++count;
+    fmn = v < fmn ? v : fmn;
+    fmx = v > fmx ? v : fmx;
+    if (v > 0.0 && v < fmp) fmp = v;
+  }
+  out4[0] = fmn;
+  out4[1] = fmx;
+  out4[2] = fmp;
+  out4[3] = static_cast<double>(count);
+}
+
+template <typename T>
+void scalar_stats_impl(const T* src, int64_t n, double* out4) {
+  const int64_t kMinPerThread = 1 << 20;
+  int threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (threads > 8) threads = 8;
+  if (threads < 1) threads = 1;
+  if (n / kMinPerThread < threads) {
+    threads = static_cast<int>(n / kMinPerThread);
+    if (threads < 1) threads = 1;
+  }
+  std::vector<double> partial(static_cast<size_t>(threads) * 4);
+  if (threads == 1) {
+    scalar_stats_chunk(src, n, partial.data());
+  } else {
+    std::vector<std::thread> pool;
+    const int64_t chunk = (n + threads - 1) / threads;
+    for (int t = 0; t < threads; ++t) {
+      const int64_t begin = t * chunk;
+      const int64_t end = begin + chunk < n ? begin + chunk : n;
+      pool.emplace_back(scalar_stats_chunk<T>, src + begin, end - begin,
+                        partial.data() + static_cast<size_t>(t) * 4);
+    }
+    for (auto& th : pool) th.join();
+  }
+  out4[0] = std::numeric_limits<double>::infinity();
+  out4[1] = -std::numeric_limits<double>::infinity();
+  out4[2] = std::numeric_limits<double>::infinity();
+  out4[3] = 0.0;
+  for (int t = 0; t < threads; ++t) {
+    const double* p = partial.data() + static_cast<size_t>(t) * 4;
+    out4[0] = p[0] < out4[0] ? p[0] : out4[0];
+    out4[1] = p[1] > out4[1] ? p[1] : out4[1];
+    out4[2] = p[2] < out4[2] ? p[2] : out4[2];
+    out4[3] += p[3];
+  }
+}
+
+template <typename T>
+void scalar_stats_list_impl(const T* const* srcs, const int64_t* sizes,
+                            int num, double* out4) {
+  int64_t total = 0;
+  for (int i = 0; i < num; ++i) total += sizes[i];
+  int threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (threads > 8) threads = 8;
+  if (threads < 1) threads = 1;
+  const int64_t kMinPerThread = 1 << 19;
+  if (total / kMinPerThread < threads) {
+    threads = static_cast<int>(total / kMinPerThread);
+    if (threads < 1) threads = 1;
+  }
+  // each worker folds a strided subset of the arrays (bricks are similar
+  // sizes, so striding balances well without a scheduler)
+  std::vector<double> partial(static_cast<size_t>(threads) * 4);
+  auto worker = [&](int t) {
+    double* acc = partial.data() + static_cast<size_t>(t) * 4;
+    acc[0] = std::numeric_limits<double>::infinity();
+    acc[1] = -std::numeric_limits<double>::infinity();
+    acc[2] = std::numeric_limits<double>::infinity();
+    acc[3] = 0.0;
+    double one[4];
+    for (int i = t; i < num; i += threads) {
+      scalar_stats_chunk(srcs[i], sizes[i], one);
+      acc[0] = one[0] < acc[0] ? one[0] : acc[0];
+      acc[1] = one[1] > acc[1] ? one[1] : acc[1];
+      acc[2] = one[2] < acc[2] ? one[2] : acc[2];
+      acc[3] += one[3];
+    }
+  };
+  if (threads == 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < threads; ++t) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+  out4[0] = std::numeric_limits<double>::infinity();
+  out4[1] = -std::numeric_limits<double>::infinity();
+  out4[2] = std::numeric_limits<double>::infinity();
+  out4[3] = 0.0;
+  for (int t = 0; t < threads; ++t) {
+    const double* p = partial.data() + static_cast<size_t>(t) * 4;
+    out4[0] = p[0] < out4[0] ? p[0] : out4[0];
+    out4[1] = p[1] > out4[1] ? p[1] : out4[1];
+    out4[2] = p[2] < out4[2] ? p[2] : out4[2];
+    out4[3] += p[3];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void avr_scalar_stats_f64(const double* src, int64_t n, double* out4) {
+  scalar_stats_impl(src, n, out4);
+}
+
+void avr_scalar_stats_f32(const float* src, int64_t n, double* out4) {
+  scalar_stats_impl(src, n, out4);
+}
+
+void avr_scalar_stats_f64_list(const double* const* srcs,
+                               const int64_t* sizes, int num, double* out4) {
+  scalar_stats_list_impl(srcs, sizes, num, out4);
+}
+
+void avr_scalar_stats_f32_list(const float* const* srcs,
+                               const int64_t* sizes, int num, double* out4) {
+  scalar_stats_list_impl(srcs, sizes, num, out4);
 }
 
 // ---------------------------------------------------------------------------

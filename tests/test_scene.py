@@ -164,3 +164,83 @@ def test_brick_buckets_granularity_coalesces():
     assert len(buckets) == 1
     assert buckets[0].data.shape == (2, 8, 8, 8)
     np.testing.assert_array_equal(buckets[0].cell_dims, [[4, 4, 4], [6, 5, 4]])
+
+
+class TestDeviceStats:
+    """Host/device scalar-stat routing parity (VERDICT r2 #4): the batched
+    device reduction must agree with the float64 host oracle to float32
+    rounding on every transform configuration."""
+
+    def _scene_data(self):
+        rng = np.random.default_rng(7)
+        data = rng.lognormal(0.0, 2.0, (16, 16, 16))
+        data[0, 0, 0] = np.nan  # finite-count must skip
+        data[1, 0, 0] = np.inf
+        data[2, 0, 0] = 0.0  # excluded from min-positive
+        return data
+
+    @pytest.mark.parametrize("log_scale", [False, True])
+    def test_build_scene_parity(self, monkeypatch, log_scale):
+        data = self._scene_data()
+        levels, geom = make_level(data)
+        scenes = {}
+        for policy in ("numpy", "native", "device"):
+            monkeypatch.setenv("AVR_SCALAR_STATS", policy)
+            try:
+                scenes[policy] = build_scene_geometry(
+                    levels, geom, SceneBuildOptions(log_scale_input=log_scale)
+                )
+            except RuntimeError as e:
+                if policy == "native" and "unavailable" in str(e):
+                    continue  # no toolchain: native path legitimately absent
+                raise
+        for policy, scene in scenes.items():
+            if policy == "numpy":
+                continue
+            for attr in ("original_scalar_range", "processed_scalar_range"):
+                np.testing.assert_allclose(
+                    getattr(scenes["numpy"], attr), getattr(scene, attr),
+                    rtol=1e-6, err_msg=policy,
+                )
+            tn = scenes["numpy"].scalar_transform
+            td = scene.scalar_transform
+            np.testing.assert_allclose(tn.positive_floor, td.positive_floor,
+                                       rtol=1e-6, err_msg=policy)
+            np.testing.assert_allclose(tn.processed_min, td.processed_min,
+                                       rtol=1e-6, atol=1e-6, err_msg=policy)
+            np.testing.assert_allclose(tn.processed_max, td.processed_max,
+                                       rtol=1e-6, atol=1e-6, err_msg=policy)
+
+    @pytest.mark.parametrize("log_scale", [False, True])
+    def test_global_range_parity(self, monkeypatch, log_scale):
+        """The monotone-shortcut range must match the full transformed-pass
+        oracle on every stats routing."""
+        from amrvolumerenderer_tpu.renderer import (
+            _transformed_range_numpy,
+            compute_global_scalar_range,
+        )
+
+        data = self._scene_data()
+        levels, geom = make_level(data)
+        scene = build_scene_geometry(
+            levels, geom, SceneBuildOptions(log_scale_input=log_scale)
+        )
+        lo, hi = _transformed_range_numpy(scene)
+        for policy in ("numpy", "native", "device"):
+            monkeypatch.setenv("AVR_SCALAR_STATS", policy)
+            try:
+                got = compute_global_scalar_range(scene)
+            except RuntimeError as e:
+                if policy == "native" and "unavailable" in str(e):
+                    continue
+                raise
+            np.testing.assert_allclose(got, (lo, hi), rtol=1e-5, atol=1e-6,
+                                       err_msg=policy)
+
+    def test_allnan_bricks_raise_on_both_paths(self, monkeypatch):
+        data = np.full((4, 4, 4), np.nan)
+        levels, geom = make_level(data)
+        for policy in ("numpy", "device"):
+            monkeypatch.setenv("AVR_SCALAR_STATS", policy)
+            with pytest.raises(RuntimeError, match="valid scalar range"):
+                build_scene_geometry(levels, geom, SceneBuildOptions())
