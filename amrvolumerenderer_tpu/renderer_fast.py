@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .camera import camera_basis, compute_box_depth_hint
+from .camera import camera_basis, compute_box_depth_hints
 from .colormap import SOFT_CLIP_TOLERANCE, build_color_table, saturate_soft_tail_np
 from .ops import slicemarch as sm
 from .ops import tilemarch as tm
@@ -49,43 +49,75 @@ def _pretransform(data: np.ndarray, transform, clip_start: float, apply_clip: bo
     return v
 
 
-def prepare_slicemarch_scene(
-    geometry: SceneGeometry,
-    parameters: RenderParameters,
-    camera: CameraParameters,
-    scalar_range: Tuple[float, float],
-    reference_sample_distance: float,
-    render_width: int,
-    render_height: int,
-    color_map: Optional[ColorMap],
+def _quad_extrema(stored: np.ndarray, nq: int = 4):
+    """Per-slice nq x nq block extrema of one piece's stored slices via two
+    ``reduceat`` passes (replaces the 2 * nq^2 block-slicing loops of the
+    original packer).  Blocks past the stored extent stay (+inf, -inf)."""
+    ns, su, sv = stored.shape
+    bu = -(-su // nq)
+    bv = -(-sv // nq)
+    nu_b = -(-su // bu)
+    nv_b = -(-sv // bv)
+    u_idx = np.arange(nu_b) * bu
+    v_idx = np.arange(nv_b) * bv
+    qmin = np.full((ns, nq, nq), np.inf, np.float32)
+    qmax = np.full((ns, nq, nq), -np.inf, np.float32)
+    mn = np.minimum.reduceat(stored, u_idx, axis=1)
+    qmin[:, :nu_b, :nv_b] = np.minimum.reduceat(mn, v_idx, axis=2)
+    mx = np.maximum.reduceat(stored, u_idx, axis=1)
+    qmax[:, :nu_b, :nv_b] = np.maximum.reduceat(mx, v_idx, axis=2)
+    return qmin, qmax, bu, bv
+
+
+def _grouped_cumcount(owners: np.ndarray) -> np.ndarray:
+    """local_indices[i] = #earlier layers with the same owner (vectorized)."""
+    n = len(owners)
+    out = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out
+    order = np.argsort(owners, kind="stable")
+    sorted_owners = owners[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(sorted_owners)) + 1]
+    group = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+    out[order] = np.arange(n, dtype=np.int32) - starts[group].astype(np.int32)
+    return out
+
+
+def _transform_key(t) -> tuple:
+    return (
+        bool(t.log_scale_input), float(t.positive_floor),
+        bool(t.normalize_to_unit_range), float(t.normalization_min),
+        float(t.inverse_normalization_span),
+    )
+
+
+def _geometry_pack(
+    geometry: SceneGeometry, axis: int, ghost: int,
+    clip_start: float, apply_clip: bool,
 ):
-    """Build all device inputs for the slice-march kernel from a scene.
+    """Camera- and transfer-function-independent piece packing, cached on
+    the geometry object (the fast_scene per-axis cache pattern brought to
+    the one-shot product path: an orbit over a static scene packs once per
+    march axis).
 
-    Returns a dict with the packed brick arrays, camera packing, work list,
-    padded frame dims, and piece-level hint/owner/local arrays."""
+    The cache key includes the brick data identities and the scalar
+    transform, so swapping geometry rebuilds; in-place mutation of brick
+    arrays is not tracked (rebuild the geometry, as the reference reloads).
+    Returns None when the scene packs to zero pieces."""
     bricks = geometry.bricks
+    key = (
+        axis, ghost, float(clip_start), bool(apply_clip),
+        _transform_key(geometry.scalar_transform),
+        tuple(id(b.data) for b in bricks),
+    )
+    cache = geometry.__dict__.setdefault("_slicemarch_packs", {})
+    if key in cache:
+        return cache[key]
+    if len(cache) >= 4:  # bound retained HBM-sized host tables
+        cache.clear()
+
     t = geometry.scalar_transform
-    alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0.0, 1.0))
-    clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
-    apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
-
-    forward, right, up = camera_basis(camera)
-    axis = sm.choose_march_axis(forward)
     axes = [axis] + [a for a in range(3) if a != axis]
-
-    pad_w = ((render_width + sm.TILE_W - 1) // sm.TILE_W) * sm.TILE_W
-    pad_h = ((render_height + sm.TILE_H - 1) // sm.TILE_H) * sm.TILE_H
-
-    lut = build_color_table(alpha_scale, 1.0, scalar_range, color_map)
-    packed_lut = sm.build_log_lut(lut)
-    range_span = scalar_range[1] - scalar_range[0]
-    inv_range = 1.0 / range_span if range_span != 0.0 else 1.0
-
-    # trilinear packs carry a 1-cell ghost ring so interpolation reaches
-    # neighbor data at split-piece boundaries (seam-free; ring values are
-    # convex-combination inputs, so slice occupancy below stays conservative)
-    ghost = 1 if parameters.sampling == "trilinear" else 0
-
     datas = [
         _pretransform(brick.data, t, clip_start, apply_clip)
         for brick in bricks
@@ -114,27 +146,14 @@ def prepare_slicemarch_scene(
             dims4[:3] = (ns, nu, nv)
             dims4[3:6] = axes
             dims4[6] = nv + 2 * ghost  # stored row stride
-            # empty-space skipping: march only transfer-function-occupied
-            # slices (exact — skipped slices have zero alpha everywhere);
-            # core slice k is stored at k + ghost, and its in-plane ghost
-            # ring joins the extrema (bilinear can sample into it)
-            dims4[7] = sm.compute_slice_bounds(
-                vol[ghost: ghost + ns], lut[:, 3], scalar_range[0], inv_range
+            pieces.append(
+                (vol, meta, dims4, parent, np.asarray(mn), np.asarray(mx))
             )
-            pieces.append((vol, meta, dims4, parent, np.asarray(mn), np.asarray(mx)))
 
     num_layers = len(pieces)
     if num_layers == 0:
+        cache[key] = None
         return None
-
-    range_span = scalar_range[1] - scalar_range[0]
-    cam = sm.pack_camera(
-        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
-        render_width / max(render_height, 1),
-        scalar_range[0],
-        1.0 / range_span if range_span != 0.0 else 1.0,
-        reference_sample_distance,
-    )
 
     s_max_all = max(p[0].shape[0] for p in pieces)
     vol = np.zeros((num_layers, s_max_all, sm.SUBLANES, sm.LANES), np.float32)
@@ -142,6 +161,7 @@ def prepare_slicemarch_scene(
     dims = np.zeros((num_layers, 8), np.int32)
     box_min = np.zeros((num_layers, 3))
     box_max = np.zeros((num_layers, 3))
+    parents = np.zeros(num_layers, np.int32)
     # per-piece per-slice 4x4 stored-(u, v) block extrema for the
     # per-(tile, brick) slice bounds (tm.compute_item_slice_bounds);
     # padding slices are (+inf, -inf) = never occupied
@@ -150,43 +170,135 @@ def prepare_slicemarch_scene(
     quad_max = np.full((num_layers, s_max_all, nq, nq), -np.inf, np.float32)
     split_u = np.zeros(num_layers, np.float64)
     split_v = np.zeros(num_layers, np.float64)
-    for i, (v, m, dd, _parent, mn, mx) in enumerate(pieces):
+    for i, (v, m, dd, parent, mn, mx) in enumerate(pieces):
         vol[i, : v.shape[0]] = v
         meta[i] = m
         dims[i] = dd
         box_min[i] = mn
         box_max[i] = mx
+        parents[i] = parent
         ns, nu, nv = int(dd[0]), int(dd[1]), int(dd[2])
         su_ext, sv_ext = nu + 2 * ghost, nv + 2 * ghost
         stored = v.reshape(v.shape[0], -1)[:, : su_ext * sv_ext].reshape(
             v.shape[0], su_ext, sv_ext
         )[ghost: ghost + ns]  # core slices, full stored (u, v)
-        bu = -(-su_ext // nq)
-        bv = -(-sv_ext // nq)
+        qmn, qmx, bu, bv = _quad_extrema(stored, nq)
+        quad_min[i, :ns] = qmn
+        quad_max[i, :ns] = qmx
         split_u[i], split_v[i] = bu, bv
-        for a in range(nq):
-            for b in range(nq):
-                blk = stored[:, a * bu: (a + 1) * bu, b * bv: (b + 1) * bv]
-                if blk.size:
-                    quad_min[i, :ns, a, b] = blk.min(axis=(1, 2))
-                    quad_max[i, :ns, a, b] = blk.max(axis=(1, 2))
+    # per-slice extrema of the PACKED slices (padding zeros included — the
+    # same conservative widening compute_slice_bounds applied) feed the
+    # per-LUT dims[:, 7] batch without re-touching the volume data
+    cap = s_max_all - 2 * ghost if ghost else s_max_all
+    core = vol[:, ghost: ghost + cap] if ghost else vol
+    slice_min = core.reshape(num_layers, cap, -1).min(axis=2)
+    slice_max = core.reshape(num_layers, cap, -1).max(axis=2)
+
+    gp = dict(
+        vol=vol, meta=meta, dims=dims, box_min=box_min, box_max=box_max,
+        parents=parents, quad_min=quad_min, quad_max=quad_max,
+        split_u=split_u, split_v=split_v, nq=nq, s_max=s_max_all,
+        slice_min=slice_min, slice_max=slice_max, ghost=ghost, axis=axis,
+        lut_packs={},
+    )
+    cache[key] = gp
+    return gp
+
+
+def _lut_pack(gp: dict, lut: np.ndarray, scalar_range: Tuple[float, float]):
+    """Transfer-function-dependent tables (occupied-slice bounds, block
+    occupancy bits, broadcast log-LUT), cached per LUT on the geometry
+    pack — a colormap swap re-derives O(L x S) bounds, not the packing."""
+    range_span = scalar_range[1] - scalar_range[0]
+    inv_range = 1.0 / range_span if range_span != 0.0 else 1.0
+    key = (hash(lut.tobytes()), float(scalar_range[0]), float(inv_range))
+    cache = gp["lut_packs"]
+    if key in cache:
+        return cache[key]
+    if len(cache) >= 4:
+        cache.clear()
+    dims7 = sm.compute_slice_bounds_batch(
+        gp["slice_min"], gp["slice_max"], lut[:, 3], scalar_range[0],
+        inv_range, gp["dims"][:, 0],
+    )
+    occ_bits = tm.block_occupancy_bits(
+        gp["quad_min"], gp["quad_max"], lut[:, 3], scalar_range[0], inv_range
+    )
+    packed_lut = sm.build_log_lut(lut)
     luts = np.ascontiguousarray(
-        np.broadcast_to(packed_lut[None], (num_layers,) + packed_lut.shape)
+        np.broadcast_to(
+            packed_lut[None], (gp["dims"].shape[0],) + packed_lut.shape
+        )
+    )
+    lp = dict(dims7=dims7, occ_bits=occ_bits, luts=luts)
+    cache[key] = lp
+    return lp
+
+
+def prepare_slicemarch_scene(
+    geometry: SceneGeometry,
+    parameters: RenderParameters,
+    camera: CameraParameters,
+    scalar_range: Tuple[float, float],
+    reference_sample_distance: float,
+    render_width: int,
+    render_height: int,
+    color_map: Optional[ColorMap],
+):
+    """Build all device inputs for the slice-march kernel from a scene.
+
+    Returns a dict with the packed brick arrays, camera packing, work list,
+    padded frame dims, and piece-level hint/owner/local arrays.  The
+    camera-independent packing and the LUT-dependent bounds are cached on
+    the geometry (``_geometry_pack`` / ``_lut_pack``), so only the O(work
+    items) camera tables are rebuilt per frame."""
+    bricks = geometry.bricks
+    alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0.0, 1.0))
+    clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
+    apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
+
+    forward, right, up = camera_basis(camera)
+    axis = sm.choose_march_axis(forward)
+
+    pad_w = ((render_width + sm.TILE_W - 1) // sm.TILE_W) * sm.TILE_W
+    pad_h = ((render_height + sm.TILE_H - 1) // sm.TILE_H) * sm.TILE_H
+
+    # trilinear packs carry a 1-cell ghost ring so interpolation reaches
+    # neighbor data at split-piece boundaries (seam-free; ring values are
+    # convex-combination inputs, so slice occupancy stays conservative)
+    ghost = 1 if parameters.sampling == "trilinear" else 0
+
+    gp = _geometry_pack(geometry, axis, ghost, clip_start, apply_clip)
+    if gp is None:
+        return None
+    lut = build_color_table(alpha_scale, 1.0, scalar_range, color_map)
+    lp = _lut_pack(gp, lut, scalar_range)
+    # empty-space skipping: march only transfer-function-occupied slices
+    # (exact — skipped slices have zero alpha everywhere)
+    dims = gp["dims"].copy()
+    dims[:, 7] = lp["dims7"]
+    meta = gp["meta"]
+    num_layers = dims.shape[0]
+
+    range_span = scalar_range[1] - scalar_range[0]
+    inv_range = 1.0 / range_span if range_span != 0.0 else 1.0
+    cam = sm.pack_camera(
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        render_width / max(render_height, 1),
+        scalar_range[0], inv_range,
+        reference_sample_distance,
     )
 
     wb, wt, coverage = sm.compute_worklist(
-        box_min, box_max, np.asarray(camera.eye), forward, right, up,
-        camera.fov_y_degrees, pad_w, pad_h,
+        gp["box_min"], gp["box_max"], np.asarray(camera.eye), forward, right,
+        up, camera.fov_y_degrees, pad_w, pad_h,
         logical_width=render_width, logical_height=render_height,
-    )
-    occ_bits = tm.block_occupancy_bits(
-        quad_min, quad_max, lut[:, 3], scalar_range[0], inv_range
     )
     wbounds = tm.compute_item_slice_bounds(
         meta, dims[:, 7], wt, wb, np.asarray(camera.eye), forward, right,
         up, camera.fov_y_degrees, [axis] + [a for a in range(3) if a != axis],
         pad_w, pad_h, render_width, render_height,
-        occ_bits, nq, split_u, split_v, ghost=ghost,
+        lp["occ_bits"], gp["nq"], gp["split_u"], gp["split_v"], ghost=ghost,
     )
     # cull fully-empty (piece, tile) items: clear their coverage bit so the
     # composite masks treat the (unwritten) output block as background
@@ -208,25 +320,20 @@ def prepare_slicemarch_scene(
             [wbounds2, np.full(pad, wbounds2[-1], wbounds2.dtype)]
         )
 
-    depth_hints = np.zeros(num_layers, dtype=np.float32)
-    owners = np.zeros(num_layers, dtype=np.int32)
-    parent_hints = {
-        i: compute_box_depth_hint(b.min_corner, b.max_corner, camera)
-        for i, b in enumerate(bricks)
-    }
-    for i, (_v, _m, _d, parent, _mn, _mx) in enumerate(pieces):
-        depth_hints[i] = parent_hints[parent]
-        owners[i] = bricks[parent].owner
-    local_indices = np.zeros(num_layers, dtype=np.int32)
-    counters = {}
-    for i in range(num_layers):
-        o = int(owners[i])
-        local_indices[i] = counters.get(o, 0)
-        counters[o] = int(local_indices[i]) + 1
+    parents = gp["parents"]
+    parent_min = np.array([b.min_corner for b in bricks])
+    parent_max = np.array([b.max_corner for b in bricks])
+    parent_hints = compute_box_depth_hints(parent_min, parent_max, camera)
+    depth_hints = parent_hints[parents].astype(np.float32)
+    brick_owners = np.fromiter(
+        (b.owner for b in bricks), dtype=np.int32, count=len(bricks)
+    )
+    owners = brick_owners[parents]
+    local_indices = _grouped_cumcount(owners)
 
     return dict(
-        vol=vol, meta=meta, dims=dims, luts=luts, cam=cam,
-        wb=wb, wt=wt, coverage=coverage, wbounds=wbounds, s_max=s_max_all,
+        vol=gp["vol"], meta=meta, dims=dims, luts=lp["luts"], cam=cam,
+        wb=wb, wt=wt, coverage=coverage, wbounds=wbounds, s_max=gp["s_max"],
         pad_w=pad_w, pad_h=pad_h, ghost=ghost,
         depth_hints=depth_hints, owners=owners, local_indices=local_indices,
     )
