@@ -270,6 +270,7 @@ def render_and_composite_sharded_slicemarch(
     classification: str = "post",
     ghost: int = 0,
     rect=None,
+    tiles=None,
 ):
     """Multi-chip frame on the production slice-march kernel.
 
@@ -282,7 +283,7 @@ def render_and_composite_sharded_slicemarch(
     from ..ops.slicemarch import slicemarch_render
 
     num_devices = mesh.devices.size
-    num_pixels = (rect[2] * rect[3]) if rect else width * height
+    num_pixels = _compact_pixels(rect, tiles, width, height)
     assert num_pixels % num_devices == 0
 
     def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints):
@@ -297,9 +298,10 @@ def render_and_composite_sharded_slicemarch(
         mask = b_valid[:, None, None]
         cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
         layers = jnp.where(mask, layers, cleared)
-        # coverage-compacted exchange: only the union screen rect of the
-        # brick bboxes crosses the ICI (see coverage_rect)
-        layers = _slice_rect(layers, rect, width, height)
+        # coverage-compacted exchange: only the union screen rect (or the
+        # active-tile list, for bimodal coverage) crosses the ICI
+        layers = _slice_tiles(_slice_rect(layers, rect, width, height),
+                              tiles[0] if tiles else None)
         hints = jnp.where(b_valid, b_hints, jnp.inf)
         return _compose_shard(layers, hints, transport, axes)
 
@@ -524,6 +526,110 @@ def coverage_rect(
     return (x0 * tile_w, y0 * tile_h, rw, rh)
 
 
+def _compact_pixels(rect, tiles, width: int, height: int) -> int:
+    """Exchanged pixel count under the selected compaction."""
+    if rect:
+        return rect[2] * rect[3]
+    if tiles:
+        return len(tiles[0])
+    return width * height
+
+
+def coverage_tiles(
+    coverage: np.ndarray,  # [B, T] bool tile coverage (from compute_worklist)
+    width: int,
+    height: int,
+    tile_w: int,
+    tile_h: int,
+    num_devices: int,
+):
+    """Active-tile compaction of the exchange payload.
+
+    Where ``coverage_rect`` degrades to the full frame for bimodal scenes
+    (one cluster at each frame corner defeats a union rectangle), the tile
+    list carries exactly the tiles any brick projects to — the static-shape
+    equivalent of the reference's per-run RLE compression
+    (ImageSparse.hpp:17-150: ship foreground runs, skip background).
+
+    Returns ``(pix_idx, valid_pixels, fraction)`` or None when compaction
+    cannot help: ``pix_idx`` [P_pad] int32 gathers the active tiles' pixels
+    from a row-major frame (tail entries repeat pixel 0 so P_pad divides
+    the mesh — read-only duplicates, dropped on paste), ``valid_pixels`` is
+    the un-padded count, ``fraction`` the active-tile fraction.
+    """
+    tiles_x = width // tile_w
+    tiles_y = height // tile_h
+    active = np.flatnonzero(np.asarray(coverage).any(axis=0))
+    n_tiles = tiles_x * tiles_y
+    if len(active) == 0:
+        active = np.array([0], np.int64)
+    fraction = len(active) / n_tiles
+    # tile-local pixel offsets in row-major frame coordinates
+    ty, tx = np.divmod(active, tiles_x)
+    base = (ty * tile_h)[:, None] * width + (tx * tile_w)[:, None]  # [A, 1]
+    dy = np.arange(tile_h)[:, None] * width
+    dx = np.arange(tile_w)[None, :]
+    local = (dy + dx).reshape(-1)[None, :]  # [1, tile_pixels]
+    pix_idx = (base + local).reshape(-1)
+    valid = len(pix_idx)
+    pad = (-valid) % num_devices
+    if pad:
+        pix_idx = np.concatenate([pix_idx, np.zeros(pad, pix_idx.dtype)])
+    return pix_idx.astype(np.int32), valid, fraction
+
+
+def select_compaction(
+    coverage: np.ndarray,
+    width: int,
+    height: int,
+    tile_w: int,
+    tile_h: int,
+    num_devices: int,
+):
+    """Pick the exchange compaction for this frame: ``(rect, tiles)``.
+
+    The union rect wins when coverage is contiguous (a contiguous slice
+    beats a gather at similar payload); the tile list wins when the rect
+    over-covers (bimodal/corner-cluster scenes).  At most one of the two
+    return values is not None; (None, None) means exchange the full frame.
+    """
+    rect = coverage_rect(
+        coverage, width, height, tile_w, tile_h, num_devices
+    )
+    tiles = coverage_tiles(
+        coverage, width, height, tile_w, tile_h, num_devices
+    )
+    frame_pixels = width * height
+    rect_payload = rect[2] * rect[3] if rect else frame_pixels
+    tile_payload = len(tiles[0]) if tiles else frame_pixels
+    # prefer the contiguous rect unless tiles cut the payload by >= 30%
+    if tiles and tile_payload < 0.7 * rect_payload and \
+            tile_payload < 0.9 * frame_pixels:
+        return None, tiles
+    return rect, None
+
+
+def _slice_tiles(frames: jnp.ndarray, pix_idx):
+    """Restrict [..., H*W, C] frames to the active-tile pixels."""
+    if pix_idx is None:
+        return frames
+    return jnp.take(frames, jnp.asarray(pix_idx), axis=-2)
+
+
+def paste_tiles(
+    compact: np.ndarray, tiles, width: int, height: int
+) -> np.ndarray:
+    """Host-side inverse of ``_slice_tiles``: scatter the composited active
+    pixels back into a background full frame (rgba 0, depth +inf)."""
+    if tiles is None:
+        return compact
+    pix_idx, valid, _fraction = tiles
+    out = np.zeros((width * height, compact.shape[-1]), compact.dtype)
+    out[:, 4] = np.inf
+    out[pix_idx[:valid]] = compact[:valid]
+    return out
+
+
 def _slice_rect(frames: jnp.ndarray, rect, width: int, height: int):
     """Restrict [..., H*W, C] frames to the coverage rect -> [..., rh*rw, C]."""
     if rect is None:
@@ -609,6 +715,7 @@ def render_depth_contiguous_slicemarch(
     ghost: int = 0,
     transport: str = "float32",
     rect=None,
+    tiles=None,
 ):
     """Depth-contiguous multi-chip frame: minimal-ICI-traffic pipeline.
 
@@ -625,7 +732,7 @@ def render_depth_contiguous_slicemarch(
     from ..ops.slicemarch import slicemarch_render
 
     num_devices = mesh.devices.size
-    num_pixels = (rect[2] * rect[3]) if rect else width * height
+    num_pixels = _compact_pixels(rect, tiles, width, height)
     assert num_pixels % num_devices == 0
 
     def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints):
@@ -640,9 +747,10 @@ def render_depth_contiguous_slicemarch(
         mask = b_valid[:, None, None]
         cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
         layers = jnp.where(mask, layers, cleared)
-        # coverage-compacted exchange (see coverage_rect): pre-composite
-        # and exchange only the union screen rect
-        layers = _slice_rect(layers, rect, width, height)
+        # coverage-compacted exchange (see coverage_rect/coverage_tiles):
+        # pre-composite and exchange only the covered pixels
+        layers = _slice_tiles(_slice_rect(layers, rect, width, height),
+                              tiles[0] if tiles else None)
         hints = jnp.where(b_valid, b_hints, jnp.inf)
 
         # local pre-composite of this device's depth run (front-to-back)

@@ -483,13 +483,14 @@ def render_composited_sharded(
     """
     from .compositor import sort_layers
     from .parallel.directsend import (
-        coverage_rect,
         make_mesh,
         pack_contiguous,
         pack_depth_contiguous,
         paste_rect,
+        paste_tiles,
         render_and_composite_sharded_slicemarch,
         render_depth_contiguous_slicemarch,
+        select_compaction,
     )
 
     if pipeline not in ("auto", "depth", "layered"):
@@ -518,10 +519,11 @@ def render_composited_sharded(
 
     owner_keys = visibility_owner_keys(prep["owners"], rank_order)
     cam = jnp.asarray(prep["cam"])
-    # coverage-compacted exchange: only the tile-aligned union screen rect
-    # of the brick bboxes crosses the ICI (sparse-transport parity with
+    # coverage-compacted exchange: only covered pixels cross the ICI —
+    # the tile-aligned union rect for contiguous coverage, the active-tile
+    # list for bimodal coverage (sparse-transport parity with
     # ImageSparseColorOnly.hpp:98-199, re-designed for static shapes)
-    rect = coverage_rect(
+    rect, tiles = select_compaction(
         prep["coverage"], prep["pad_w"], prep["pad_h"],
         sm.TILE_W, sm.TILE_H, num_devices,
     )
@@ -548,7 +550,7 @@ def render_composited_sharded(
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
             ghost=prep["ghost"], transport=transport, rect=rect,
-            classification=parameters.classification,
+            tiles=tiles, classification=parameters.classification,
         )
     else:
         # per-frame depth-contiguous placement: sort key must match the
@@ -576,10 +578,11 @@ def render_composited_sharded(
             logical_width=render_width, logical_height=render_height,
             interpret=interpret, sampling=parameters.sampling,
             ghost=prep["ghost"], transport=transport, rect=rect,
-            classification=parameters.classification,
+            tiles=tiles, classification=parameters.classification,
         )
 
     frame = paste_rect(np.asarray(frame), rect, prep["pad_w"], prep["pad_h"])
+    frame = paste_tiles(frame, tiles, prep["pad_w"], prep["pad_h"])
     frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
     frame = frame[:render_height, :render_width].reshape(num_pixels, 5)
     if downsample_block > 1:

@@ -148,3 +148,125 @@ def test_empty_coverage_respects_device_divisibility():
     # 32x32 tile = 1024 px: divisible by 8, not by 12
     assert coverage_rect(cov, 128, 128, 32, 32, 8) == (0, 0, 32, 32)
     assert coverage_rect(cov, 128, 128, 32, 32, 12) is None
+
+
+class TestCoverageTiles:
+    def test_bimodal_coverage_beats_rect(self):
+        from amrvolumerenderer_tpu.parallel.directsend import (
+            coverage_tiles,
+            select_compaction,
+        )
+
+        # clusters at opposite frame corners: the union rect is the whole
+        # frame (the documented coverage_rect failure mode), the tile list
+        # is 2/16 of it
+        cov = np.zeros((2, 16), bool)
+        cov[0, 0] = True  # tile (0, 0)
+        cov[1, 15] = True  # tile (3, 3)
+        assert coverage_rect(cov, 128, 128, 32, 32, 8) is None
+        pix_idx, valid, fraction = coverage_tiles(cov, 128, 128, 32, 32, 8)
+        assert fraction == 2 / 16
+        assert valid == 2 * 32 * 32
+        rect, tiles = select_compaction(cov, 128, 128, 32, 32, 8)
+        assert rect is None and tiles is not None
+
+    def test_contiguous_coverage_prefers_rect(self):
+        from amrvolumerenderer_tpu.parallel.directsend import (
+            select_compaction,
+        )
+
+        cov = np.zeros((1, 16), bool)
+        cov[0, [5, 6]] = True  # two adjacent tiles: rect == tiles payload
+        rect, tiles = select_compaction(cov, 128, 128, 32, 32, 8)
+        assert rect is not None and tiles is None
+
+    def test_paste_tiles_roundtrip(self):
+        from amrvolumerenderer_tpu.parallel.directsend import (
+            coverage_tiles,
+            paste_tiles,
+        )
+
+        cov = np.zeros((1, 16), bool)
+        cov[0, [0, 15]] = True
+        tiles = coverage_tiles(cov, 128, 128, 32, 32, 8)
+        pix_idx, valid, _ = tiles
+        rng = np.random.default_rng(1)
+        compact = rng.random((len(pix_idx), 5)).astype(np.float32)
+        full = paste_tiles(compact, tiles, 128, 128)
+        img = full.reshape(128, 128, 5)
+        np.testing.assert_array_equal(
+            img[:32, :32].reshape(-1, 5), compact[: 32 * 32]
+        )
+        np.testing.assert_array_equal(
+            img[96:, 96:].reshape(-1, 5), compact[32 * 32 : valid]
+        )
+        assert (img[:32, 32:, :4] == 0).all()
+        assert np.isinf(img[32:96, :, 4]).all()
+
+    def test_padding_divides_devices(self):
+        from amrvolumerenderer_tpu.parallel.directsend import coverage_tiles
+
+        cov = np.zeros((1, 16), bool)
+        cov[0, 3] = True  # 1024 px, not divisible by 7
+        pix_idx, valid, _ = coverage_tiles(cov, 128, 128, 32, 32, 7)
+        assert valid == 1024
+        assert len(pix_idx) % 7 == 0
+        assert (pix_idx[valid:] == 0).all()
+
+
+def _two_cluster_scene():
+    """Bricks at two opposite corners of the view: the rect degrades to the
+    full frame, the tile exchange stays sparse."""
+    shape = (8, 8, 8)
+    field = np.full(shape, 0.7, np.float32)
+    bricks = [
+        Brick(field, (1.2, 1.2, 0.0), (1.7, 1.7, 0.5), owner=0),
+        Brick(field, (-1.7, -1.7, 0.0), (-1.2, -1.2, 0.5), owner=1),
+    ]
+    geometry = SceneGeometry(
+        bricks=bricks,
+        scalar_range=(0.0, 1.0),
+        has_scalar_range=True,
+        scalar_transform=ScalarTransform(),
+    )
+    camera = CameraParameters(
+        eye=(0.0, 0.0, 4.0), look_at=(0.0, 0.0, 0.0), up=(0, 1, 0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+    )
+    return geometry, camera
+
+
+@pytest.mark.parametrize("pipeline", ["depth", "layered"])
+def test_two_cluster_scene_tile_exchange_pixel_identity(tmp_path, pipeline):
+    """VERDICT r2 #6 done-criterion: a two-corner-cluster scene exchanges
+    < 50% of the frame with pixel identity to the single-device fold."""
+    from amrvolumerenderer_tpu.ops import slicemarch as sm
+    from amrvolumerenderer_tpu.parallel.directsend import select_compaction
+    from amrvolumerenderer_tpu.renderer_fast import prepare_slicemarch_scene
+
+    geometry, camera = _two_cluster_scene()
+    params = RenderParameters(width=128, height=128)
+    prep = prepare_slicemarch_scene(
+        geometry, params, camera, (0.0, 1.0), 0.03125, 128, 128, None
+    )
+    rect, tiles = select_compaction(
+        prep["coverage"], prep["pad_w"], prep["pad_h"],
+        sm.TILE_W, sm.TILE_H, 8,
+    )
+    assert rect is None and tiles is not None
+    payload_fraction = len(tiles[0]) / (prep["pad_w"] * prep["pad_h"])
+    assert payload_fraction < 0.5, payload_fraction
+
+    frames = {}
+    for devices in (None, 8):
+        p = RenderParameters(
+            width=128, height=128, devices=devices,
+            render_method="slicemarch", multichip_pipeline=pipeline,
+        )
+        image, _ = render_scene(
+            str(tmp_path / f"c{devices}.ppm"), p, geometry, camera=camera,
+            verbose=False,
+        )
+        frames[devices] = np.array(image.pixels)
+    assert frames[8][:, 3].max() > 0.1
+    np.testing.assert_allclose(frames[None], frames[8], atol=1e-5)
