@@ -694,6 +694,108 @@ def pack_contiguous(
     return tuple(packed), valid, packed_hints
 
 
+def render_depth_contiguous_tilemarch(
+    mesh: Mesh,
+    vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] depth-contiguous packing
+    meta: jnp.ndarray,  # [D * Bmax, 12]
+    dims: jnp.ndarray,  # [D * Bmax, 8]
+    lut: jnp.ndarray,  # [4, LUT_ROWS, LANES] shared transfer function
+    cam: jnp.ndarray,  # [20]
+    tile_offsets: jnp.ndarray,  # [D, T + 1] per-device CSR offsets
+    tile_bricks: jnp.ndarray,  # [D, Wmax] per-device LOCAL slot ids
+    tile_owners: jnp.ndarray,  # [D, Wmax] per-device run keys (slot order)
+    item_bounds: jnp.ndarray,  # [D, Wmax] per-item occupied-slice bounds
+    *,
+    width: int,
+    height: int,
+    max_slices: int,
+    logical_width: int | None = None,
+    logical_height: int | None = None,
+    interpret: bool = False,
+    sampling: str = "nearest",
+    classification: str = "post",
+    ghost: int = 0,
+    transport: str = "float32",
+    rect=None,
+    tiles=None,
+):
+    """Depth-contiguous multi-chip frame through the tile-loop MEGA-KERNEL.
+
+    The slicemarch depth pipeline materializes a full-frame layer per local
+    piece before its pre-composite — O(pieces x pixels) HBM per device,
+    the exact cost ops/tilemarch.py exists to remove.  Here each device
+    renders AND pre-composites its contiguous depth run in one kernel pass
+    (per-tile CSR work lists over its LOCAL slots, every item its own run
+    so consecutive pieces blend by per-pixel depth exactly like the
+    slicemarch path's ``_composite_sorted_runs`` over slot order), then the
+    cross-device exchange folds D partial frames as before.  Per-device
+    HBM becomes O(pixels), independent of piece count — deep-AMR scenes
+    route here above the same threshold as single-device rendering.
+    Matches /root/reference/DirectSend/Base/DirectSendBase.cpp:316-458
+    (the exchange) with the reference's per-box layer buffers fused away.
+    """
+    from ..ops.slicemarch import TILE_H, TILE_W
+    from ..ops.tilemarch import tilemarch_render
+
+    num_devices = mesh.devices.size
+    num_pixels = _compact_pixels(rect, tiles, width, height)
+    assert num_pixels % num_devices == 0
+
+    def step(b_vol, b_meta, b_dims, offsets, bricks, owners, ibounds):
+        out_c, out_d = tilemarch_render(
+            b_vol, b_meta, b_dims, lut, cam,
+            offsets[0], bricks[0], owners[0], ibounds[0],
+            width=width, height=height, max_slices=max_slices,
+            logical_width=logical_width, logical_height=logical_height,
+            interpret=interpret, sampling=sampling, ghost=ghost,
+            classification=classification,
+        )
+        # tile space -> row-major [P, 5] partial frame
+        tiles_x = width // TILE_W
+        tiles_y = height // TILE_H
+        c = out_c.reshape(tiles_y, tiles_x, 4, TILE_H, TILE_W)
+        c = c.transpose(0, 3, 1, 4, 2).reshape(width * height, 4)
+        d = out_d.reshape(tiles_y, tiles_x, TILE_H, TILE_W)
+        d = d.transpose(0, 2, 1, 3).reshape(width * height, 1)
+        partial = jnp.concatenate([c, d], axis=-1)
+        partial = _slice_tiles(
+            _slice_rect(partial, rect, width, height),
+            tiles[0] if tiles else None,
+        )
+
+        # device order IS depth order: exchange + fold the D partials
+        shard = num_pixels // num_devices
+        if transport == "ubyte":
+            cb = _encode_ubyte(partial[:, :4]).reshape(num_devices, shard, 4)
+            db = partial[:, 4].reshape(num_devices, shard)
+            rc = jax.lax.all_to_all(cb, axes, split_axis=0, concat_axis=0)
+            rd = jax.lax.all_to_all(db, axes, split_axis=0, concat_axis=0)
+            received = jnp.concatenate(
+                [_decode_ubyte(rc), rd[..., None]], axis=-1
+            )
+        else:
+            chunks = partial.reshape(num_devices, shard, 5)
+            received = jax.lax.all_to_all(
+                chunks, axes, split_axis=0, concat_axis=0
+            )
+        run_keys = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
+        return _composite_sorted_runs(received, run_keys)
+
+    axes = mesh_axes(mesh)
+    sharded = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(axes),) * 7,
+            out_specs=P(axes),
+            check_vma=False,  # pallas_call out_shape carries no vma info
+        )
+    )
+    return sharded(
+        vol, meta, dims, tile_offsets, tile_bricks, tile_owners, item_bounds
+    )
+
+
 def render_depth_contiguous_slicemarch(
     mesh: Mesh,
     vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] depth-contiguous packing

@@ -49,6 +49,13 @@ def _pretransform(data: np.ndarray, transform, clip_start: float, apply_clip: bo
     return v
 
 
+# above this piece count the layered/slicemarch paths' per-piece frame
+# buffers dominate (measured 3x at 216 pieces, ROADMAP.md) and rendering
+# routes to the tile-loop mega-kernel — single-device AND per-device in
+# the multichip depth pipeline
+TILEMARCH_PIECE_THRESHOLD = 96
+
+
 def _quad_extrema(stored: np.ndarray, nq: int = 4):
     """Per-slice nq x nq block extrema of one piece's stored slices via two
     ``reduceat`` passes (replaces the 2 * nq^2 block-slicing loops of the
@@ -384,7 +391,7 @@ def render_composited_slicemarch(
         out[:, 4] = np.inf
         return out
 
-    if prep["vol"].shape[0] > 96:
+    if prep["vol"].shape[0] > TILEMARCH_PIECE_THRESHOLD:
         return render_composited_tilemarch(
             geometry, parameters, camera, scalar_range,
             reference_sample_distance, render_width, render_height,
@@ -559,27 +566,66 @@ def render_composited_sharded(
         key_order = sort_layers(
             prep["depth_hints"], owner_keys, prep["local_indices"]
         )
-        (p_vol, p_meta, p_dims, p_luts), valid, p_hints = pack_depth_contiguous(
-            prep["depth_hints"][key_order],
-            np.arange(len(key_order), dtype=np.int32),
-            num_devices,
-            prep["vol"][key_order],
-            prep["meta"][key_order],
-            prep["dims"][key_order],
-            prep["luts"][key_order],
-        )
-        frame = render_depth_contiguous_slicemarch(
-            mesh,
-            jnp.asarray(p_vol), jnp.asarray(p_meta), jnp.asarray(p_dims),
-            jnp.asarray(p_luts), cam,
-            jnp.asarray(valid), jnp.asarray(p_hints),
-            width=prep["pad_w"], height=prep["pad_h"],
-            max_slices=prep["s_max"],
-            logical_width=render_width, logical_height=render_height,
-            interpret=interpret, sampling=parameters.sampling,
-            ghost=prep["ghost"], transport=transport, rect=rect,
-            tiles=tiles, classification=parameters.classification,
-        )
+        if prep["vol"].shape[0] > TILEMARCH_PIECE_THRESHOLD:
+            # deep-AMR scenes: per-device render+pre-composite fused in the
+            # tile-loop mega-kernel — per-device HBM is O(pixels),
+            # independent of piece count (same threshold as single-device)
+            from .parallel.directsend import render_depth_contiguous_tilemarch
+
+            (p_vol, p_meta, p_dims), _valid, _hints = pack_depth_contiguous(
+                prep["depth_hints"][key_order],
+                np.arange(len(key_order), dtype=np.int32),
+                num_devices,
+                prep["vol"][key_order],
+                prep["meta"][key_order],
+                prep["dims"][key_order],
+            )
+            num_tiles = (prep["pad_w"] // sm.TILE_W) * (
+                prep["pad_h"] // sm.TILE_H
+            )
+            offsets, tbricks, towners, ibounds, _bmax = (
+                _depth_contiguous_tile_worklists(
+                    prep["wb"], prep["wt"], prep["wbounds"], key_order,
+                    num_devices, num_tiles,
+                )
+            )
+            frame = render_depth_contiguous_tilemarch(
+                mesh,
+                jnp.asarray(p_vol), jnp.asarray(p_meta), jnp.asarray(p_dims),
+                jnp.asarray(np.ascontiguousarray(prep["luts"][0])), cam,
+                jnp.asarray(offsets), jnp.asarray(tbricks),
+                jnp.asarray(towners), jnp.asarray(ibounds),
+                width=prep["pad_w"], height=prep["pad_h"],
+                max_slices=prep["s_max"],
+                logical_width=render_width, logical_height=render_height,
+                interpret=interpret, sampling=parameters.sampling,
+                ghost=prep["ghost"], transport=transport, rect=rect,
+                tiles=tiles, classification=parameters.classification,
+            )
+        else:
+            (p_vol, p_meta, p_dims, p_luts), valid, p_hints = (
+                pack_depth_contiguous(
+                    prep["depth_hints"][key_order],
+                    np.arange(len(key_order), dtype=np.int32),
+                    num_devices,
+                    prep["vol"][key_order],
+                    prep["meta"][key_order],
+                    prep["dims"][key_order],
+                    prep["luts"][key_order],
+                )
+            )
+            frame = render_depth_contiguous_slicemarch(
+                mesh,
+                jnp.asarray(p_vol), jnp.asarray(p_meta), jnp.asarray(p_dims),
+                jnp.asarray(p_luts), cam,
+                jnp.asarray(valid), jnp.asarray(p_hints),
+                width=prep["pad_w"], height=prep["pad_h"],
+                max_slices=prep["s_max"],
+                logical_width=render_width, logical_height=render_height,
+                interpret=interpret, sampling=parameters.sampling,
+                ghost=prep["ghost"], transport=transport, rect=rect,
+                tiles=tiles, classification=parameters.classification,
+            )
 
     frame = paste_rect(np.asarray(frame), rect, prep["pad_w"], prep["pad_h"])
     frame = paste_tiles(frame, tiles, prep["pad_w"], prep["pad_h"])
@@ -594,6 +640,71 @@ def render_composited_sharded(
         out[:, 4] = np.inf
         return out
     return frame
+
+
+def _depth_contiguous_tile_worklists(
+    wb: np.ndarray,
+    wt: np.ndarray,
+    wbounds: np.ndarray,
+    key_order: np.ndarray,
+    num_devices: int,
+    num_tiles: int,
+):
+    """Per-device CSR tile work lists for the multichip tilemarch pipeline.
+
+    ``key_order`` is the global depth sort of the pieces;
+    ``pack_depth_contiguous`` gives device ``d`` the ``d``-th contiguous
+    chunk, slot order = depth order.  Work items (from the global culled
+    work list) are deduplicated (the list pads by repeating its last item —
+    a benign rewrite for per-layer outputs, but a double-composite in a
+    CSR fold), split by owning device, ordered per tile by global depth
+    position, and re-indexed to local slots.  Run keys are the slot index:
+    every piece is its own run, so consecutive pieces blend by per-pixel
+    depth exactly like the slicemarch path's slot-order fold.
+
+    Returns (offsets [D, T+1] i32, bricks [D, Wmax] i32, owners [D, Wmax]
+    i32, ibounds [D, Wmax] i32, bmax).
+    """
+    n = len(key_order)
+    base, extra = n // num_devices, n % num_devices
+    counts = [base + (1 if d < extra else 0) for d in range(num_devices)]
+    bmax = max(max(counts), 1)
+    pos_of_piece = np.empty(n, np.int64)
+    pos_of_piece[np.asarray(key_order)] = np.arange(n)
+    starts = np.r_[0, np.cumsum(counts)]
+    device_of_pos = np.repeat(np.arange(num_devices), counts)
+    slot_of_pos = np.arange(n) - starts[device_of_pos]
+
+    # dedup (piece, tile) pairs keeping the first occurrence's bounds
+    pairs = np.asarray(wb, np.int64) * num_tiles + np.asarray(wt, np.int64)
+    _, first = np.unique(pairs, return_index=True)
+    wb_u = np.asarray(wb)[first]
+    wt_u = np.asarray(wt)[first]
+    bounds_u = np.asarray(wbounds)[first]
+
+    pos = pos_of_piece[wb_u]
+    dev = device_of_pos[pos]
+    slot = slot_of_pos[pos]
+
+    offsets = np.zeros((num_devices, num_tiles + 1), np.int32)
+    w_per_dev = np.bincount(dev, minlength=num_devices)
+    wmax = max(int(w_per_dev.max()) if len(w_per_dev) else 0, 1)
+    bricks = np.zeros((num_devices, wmax), np.int32)
+    owners = np.zeros((num_devices, wmax), np.int32)
+    ibounds = np.zeros((num_devices, wmax), np.int32)
+    for d in range(num_devices):
+        sel = dev == d
+        order = np.lexsort((pos[sel], wt_u[sel]))
+        t_d = wt_u[sel][order]
+        s_d = slot[sel][order]
+        b_d = bounds_u[sel][order]
+        w = len(t_d)
+        tile_counts = np.bincount(t_d, minlength=num_tiles)
+        offsets[d, 1:] = np.cumsum(tile_counts).astype(np.int32)
+        bricks[d, :w] = s_d
+        owners[d, :w] = s_d  # run key = slot: one run per piece
+        ibounds[d, :w] = b_d
+    return offsets, bricks, owners, ibounds, bmax
 
 
 def render_layers_slicemarch(
