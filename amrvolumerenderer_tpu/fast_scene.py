@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import time
 from typing import List, Optional
 
 import jax
@@ -713,6 +714,14 @@ class FastSceneRenderer:
         chans = 4 if bytes_out else 5
         frame_bytes = num_out * (4 if bytes_out else 5 * 4)
         results: List[Optional[np.ndarray]] = [None] * len(cameras)
+        # where the batch wall clock goes (read via ``last_batch_stats``):
+        # host camera-table prep, dispatch count, device->host readback
+        stats = {
+            "frames": len(cameras), "dispatch_count": 0,
+            "host_prep_ms": 0.0, "dispatch_ms": 0.0,
+            "readback_ms": 0.0, "readback_mb": 0.0,
+        }
+        batch_t0 = time.perf_counter()
 
         pending = []  # one-deep pipeline: [(part, device frames)]
 
@@ -722,7 +731,10 @@ class FastSceneRenderer:
             is rendering now)."""
             while pending:
                 part, frames = pending.pop()
+                t0 = time.perf_counter()
                 host = np.asarray(frames)
+                stats["readback_ms"] += (time.perf_counter() - t0) * 1e3
+                stats["readback_mb"] += host.nbytes / 1e6
                 for (idx, _inp, _vol), px in zip(part, host):
                     results[idx] = px
 
@@ -759,6 +771,7 @@ class FastSceneRenderer:
                     brs[row, :w] = inp["bricks"]
                     ows[row, :w] = inp["owners"]
                     ibs[row, :w] = inp["item_bounds"]
+                t_dispatch = time.perf_counter()
                 frames = _render_batch_frames(
                     vol, self._lut_device, meta, dims,
                     jnp.asarray(cams), jnp.asarray(offs),
@@ -776,6 +789,8 @@ class FastSceneRenderer:
                     # long orbit compiles few variants
                     dma_slices=max(p[1]["dma_slices"] for p in part),
                 )
+                stats["dispatch_ms"] += (time.perf_counter() - t_dispatch) * 1e3
+                stats["dispatch_count"] += 1
                 # pipeline: read back the PREVIOUS chunk while the device
                 # renders this one, then queue this one
                 drain()
@@ -784,7 +799,9 @@ class FastSceneRenderer:
         group: List = []
         group_axis = None
         for i, camera in enumerate(cameras):
+            t_prep = time.perf_counter()
             inputs = self.frame_inputs(camera, as_numpy=True)
+            stats["host_prep_ms"] += (time.perf_counter() - t_prep) * 1e3
             if inputs is None:
                 if bytes_out:
                     empty = np.zeros((num_out, chans), np.uint8)
@@ -801,6 +818,8 @@ class FastSceneRenderer:
             group.append((i, inputs, self._packed_vol))
         flush(group)
         drain()
+        stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
+        self.last_batch_stats = stats
 
         out = np.stack(results)
         if overlay or output_pattern:

@@ -184,6 +184,52 @@ def exchange_payload_bytes(fsr, camera, num_devices: int):
     return bytes_f32, bytes_ubyte, frac
 
 
+def measure_host_prep_512():
+    """Cold/warm prepare_slicemarch_scene wall clock on a 512-brick scene
+    (256^3 domain in 32^3 bricks) — host-only, no device involvement."""
+    from amrvolumerenderer_tpu import api
+    from amrvolumerenderer_tpu.camera import auto_orbit_camera
+    from amrvolumerenderer_tpu.renderer import (
+        compute_global_bounds,
+        compute_reference_sample_distance,
+    )
+    from amrvolumerenderer_tpu.renderer_fast import prepare_slicemarch_scene
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    n, bs = 256, 32
+    field = radial_field(n, 0.0, 1.0).astype(np.float32)
+    boxes = [
+        LevelBox(field[i:i + bs, j:j + bs, k:k + bs],
+                 np.array([i, j, k], dtype=int))
+        for i in range(0, n, bs)
+        for j in range(0, n, bs)
+        for k in range(0, n, bs)
+    ]
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True,
+                                     verbose=False)
+    params = RenderParameters(width=1024, height=1024)
+    bounds = compute_global_bounds(geometry)
+    rsd = compute_reference_sample_distance(geometry, bounds)
+    camera = auto_orbit_camera(bounds)
+
+    t0 = time.perf_counter()
+    prepare_slicemarch_scene(
+        geometry, params, camera, (0.0, 1.0), rsd, 1024, 1024, None
+    )
+    cold = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        prepare_slicemarch_scene(
+            geometry, params, camera, (0.0, 1.0), rsd, 1024, 1024, None
+        )
+    warm = (time.perf_counter() - t0) * 1e3 / reps
+    return round(cold, 1), round(warm, 2)
+
+
 def main() -> None:
     import jax
 
@@ -259,6 +305,7 @@ def main() -> None:
     # bytes_out: frames leave the device already byte-coded (the PPM/PNG
     # consumer's format), shrinking the readback 5x
     frame_ms_e2e_batch = None
+    batch_stats = None
     try:
         if budget_left():
             fsr.render_batch(orbit, overlay=False, bytes_out=True)  # warm
@@ -267,6 +314,8 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fsr.render_batch(orbit, overlay=False, bytes_out=True)
                 eb.append(time.perf_counter() - t0)
+                if min(eb) == eb[-1]:
+                    batch_stats = dict(fsr.last_batch_stats)
             frame_ms_e2e_batch = min(eb) * 1e3 / B
     except Exception:
         pass
@@ -325,6 +374,46 @@ def main() -> None:
     )
     ici_gbps = bytes_f32 / (frame_ms * 1e-3) / 1e9
 
+    # ---- measured exchange (virtual mesh): wall-clocked composite + HLO
+    # collective bytes, replacing trust in the hand model (the reference
+    # times compositing every run, VolumeRenderer.cpp:1247-1253).  The
+    # wall clock is a CPU-mesh regression guard, not a TPU number; the
+    # link bytes are exact (from the compiled collectives).
+    measured_exchange = None
+    try:
+        if budget_left():
+            import subprocess
+            import sys
+
+            rect_px = int(round(bytes_f32 / ((EXCHANGE_DEVICES - 1) * 5 * 4)))
+            num_pieces = int(fsr.canonical.shape[0])
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(__file__), "scripts",
+                                 "measure_exchange.py"),
+                    str(rect_px), str(num_pieces), str(EXCHANGE_DEVICES),
+                ],
+                capture_output=True, text=True, timeout=540,
+                env={**os.environ, "JAX_PLATFORMS": "cpu",
+                     "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))
+                     + os.pathsep + os.environ.get("PYTHONPATH", "")},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            measured_exchange = json.loads(line)
+    except Exception:
+        pass
+
+    # ---- host prep at 512 bricks (one-shot product path) -----------------
+    # cold = first render of a new geometry (pack + extrema); warm = every
+    # further frame (worklist + per-item bounds only, pack cached)
+    prep512_cold_ms = prep512_warm_ms = None
+    try:
+        if budget_left():
+            prep512_cold_ms, prep512_warm_ms = measure_host_prep_512()
+    except Exception:
+        pass
+
     def opt(value, digits):
         return round(value, digits) if value is not None else None
 
@@ -340,6 +429,8 @@ def main() -> None:
         "sparse_shell_tf_frame_ms": opt(shell_tf_ms, 2),
         "sparse_shell_tf_grays_per_s": opt(shell_tf_grays, 3),
         "host_prep_ms": round(host_prep_ms, 2),
+        "host_prep_512_cold_ms": prep512_cold_ms,
+        "host_prep_512_warm_ms": prep512_warm_ms,
         "frame_ms_e2e": round(frame_ms_e2e, 2),
         "frame_ms_e2e_batch8": opt(frame_ms_e2e_batch, 2),
         "ici_exchange_mb_f32": round(bytes_f32 / 1e6, 2),
@@ -348,6 +439,16 @@ def main() -> None:
         "ici_gbps_to_hide_f32": round(ici_gbps, 2),
         "exchange_devices": EXCHANGE_DEVICES,
     }
+    if batch_stats is not None:
+        extra["e2e_batch8_split"] = {
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in batch_stats.items()
+        }
+    if measured_exchange is not None:
+        # HLO-derived link bytes (exact) + CPU-mesh composite wall clock
+        # (regression guard); *_link_mb_total is directly comparable to
+        # the ici_exchange_mb_* model numbers above
+        extra["ici_measured"] = measured_exchange
     print(
         json.dumps(
             {

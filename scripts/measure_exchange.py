@@ -1,0 +1,161 @@
+"""Measure the multichip composite exchange instead of modeling it.
+
+Runs on a virtual N-device CPU mesh (invoked by bench.py as a subprocess
+so the TPU-bound parent process keeps its platform): wall-clocks the
+depth-contiguous and layered composite exchanges in K-iteration jitted
+loops, and extracts the ACTUAL per-frame cross-link collective bytes from
+the compiled HLO (every all-to-all / all-gather op's output, scaled by the
+fraction that crosses a link) — the measurement twin of the reference's
+per-run compositing timer (VolumeRenderer.cpp:1247-1253).
+
+Usage: python scripts/measure_exchange.py <pixels> <layers> <devices>
+Prints one JSON object.
+"""
+
+import json
+import os
+import re
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count="
+        + (sys.argv[3] if len(sys.argv) > 3 else "8")
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+_DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "u8": 1, "s8": 1,
+                "u32": 4, "s32": 4, "u16": 2, "s16": 2, "pred": 1}
+
+
+def cross_link_bytes(hlo_text: str, num_devices: int) -> int:
+    """Per-frame bytes crossing ICI links, from the compiled HLO: each
+    collective's per-device output, of which (D-1)/D came from other
+    devices, summed over the D devices."""
+    total = 0
+    for line in hlo_text.splitlines():
+        if re.search(r"\b(all-to-all|all-gather)\(", line):
+            m = re.search(r"(\w+)\[([\d,]*)\]", line)
+            if not m:
+                continue
+            dtype, dims = m.group(1), m.group(2)
+            size = _DTYPE_BYTES.get(dtype)
+            if size is None or not dims:
+                continue
+            elems = int(np.prod([int(d) for d in dims.split(",")]))
+            # per-device output; all D devices receive it, (D-1)/D crossed
+            total += elems * size * (num_devices - 1)
+    return total
+
+
+def time_compiled(fn, args, iters=4, reps=2):
+    import time
+
+    jax.block_until_ready(fn(*args))  # warm compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3
+
+
+def main():
+    pixels = int(sys.argv[1]) if len(sys.argv) > 1 else 430080
+    layers = int(sys.argv[2]) if len(sys.argv) > 2 else 36
+    devices = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    pixels -= pixels % devices
+    lmax = -(-layers // devices)
+
+    from amrvolumerenderer_tpu.parallel.directsend import (
+        composite_layers_sharded,
+        composite_partials_sharded,
+        make_mesh,
+    )
+
+    mesh = make_mesh(devices)
+    rng = np.random.default_rng(0)
+
+    out = {"devices": devices, "pixels": pixels, "layers": layers}
+
+    # depth-contiguous: D pre-composited partials, one all_to_all
+    partials = rng.random((devices, pixels, 5)).astype(np.float32)
+
+    def run_depth(p):
+        return composite_partials_sharded(mesh, p)
+
+    import jax.numpy as jnp
+
+    p_dev = jnp.asarray(partials)
+    out["depth_ms"] = round(time_compiled(run_depth, (p_dev,)), 3)
+    # compiled HLO for the inner shard_map program
+    from amrvolumerenderer_tpu.parallel import directsend as ds
+
+    num = mesh.devices.size
+    import jax.sharding as shd
+    P = shd.PartitionSpec
+
+    def depth_prog(img):
+        def body(img):
+            _, np_, ch = img.shape
+            shard = np_ // num
+            chunks = img.reshape(num, shard, ch)
+            received = jax.lax.all_to_all(
+                chunks, ds.mesh_axes(mesh), split_axis=0, concat_axis=0
+            )
+            owners = jax.lax.broadcasted_iota(jnp.int32, (num, 1), 0)[:, 0]
+            return ds._composite_sorted_runs(received, owners)
+
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=P(ds.mesh_axes(mesh)),
+            out_specs=P(ds.mesh_axes(mesh)),
+        )(img)
+
+    hlo = jax.jit(depth_prog).lower(p_dev).compile().as_text()
+    per_dev = cross_link_bytes(hlo, devices)
+    out["depth_link_mb_per_dev"] = round(per_dev / 1e6, 2)
+    out["depth_link_mb_total"] = round(per_dev * devices / 1e6, 2)
+
+    # layered: D * Lmax full layers through the all_to_all + gathered hints
+    lay = rng.random((devices * lmax, pixels, 5)).astype(np.float32)
+    hints = np.arange(devices * lmax, dtype=np.float32)
+    l_dev = jnp.asarray(lay)
+    h_dev = jnp.asarray(hints)
+    for transport in ("float32", "ubyte"):
+        def run_lay(a, b, _t=transport):
+            return composite_layers_sharded(mesh, a, b, transport=_t)
+
+        out[f"layered_{transport}_ms"] = round(
+            time_compiled(run_lay, (l_dev, h_dev), iters=2, reps=1), 3
+        )
+        prog = jax.jit(
+            jax.shard_map(
+                lambda a, b, _t=transport: ds._compose_shard(
+                    a, b, _t, ds.mesh_axes(mesh)
+                ),
+                mesh=mesh,
+                in_specs=(P(ds.mesh_axes(mesh)),) * 2,
+                out_specs=P(ds.mesh_axes(mesh)),
+            )
+        )
+        hlo = prog.lower(l_dev, h_dev).compile().as_text()
+        per_dev = cross_link_bytes(hlo, devices)
+        out[f"layered_{transport}_link_mb_per_dev"] = round(per_dev / 1e6, 2)
+        out[f"layered_{transport}_link_mb_total"] = round(
+            per_dev * devices / 1e6, 2
+        )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
