@@ -370,11 +370,55 @@ def compute_scalar_histogram(
     return compute_scene_histogram(geometry, bin_count)
 
 
+def maybe_initialize_distributed(verbose: bool = True) -> bool:
+    """Multi-host (pod) entry: the reference is launched across nodes by
+    ``mpirun`` (main.cpp:19-36, MPI_Init); the TPU-native launch is one
+    process per host joined by ``jax.distributed.initialize``.
+
+    Triggered by ``AVR_DISTRIBUTED=1`` (TPU pods auto-detect coordination
+    from the environment) or by an explicit coordinator spec
+    (``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+    ``JAX_PROCESS_ID``).  After initialization ``jax.devices()`` spans the
+    pod, ``--devices N`` may address all of it, and the compositing mesh
+    places the DCN axis outermost (directsend.make_mesh ``dcn_size``).
+
+    Validated virtually only: this environment has one host, so the path
+    is exercised by unit tests up to the initialize call, and the mesh
+    shaping is validated on the virtual multi-device mesh.  Returns True
+    when distributed mode was initialized.
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if os.environ.get("AVR_DISTRIBUTED", "0") in ("", "0") and not addr:
+        return False
+    import jax
+
+    kwargs = {}
+    if addr:
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
+    if verbose and jax.process_index() == 0:
+        print(
+            f"volume_renderer: distributed runtime up — "
+            f"{jax.process_count()} host(s), {len(jax.devices())} device(s)"
+        )
+    return True
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     """CLI entry point (main.cpp + VolumeRenderer::run(argc, argv))."""
     import sys
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    try:
+        maybe_initialize_distributed()
+    except Exception as error:  # noqa: BLE001 - mirror MPI_Init failure
+        print(f"Error initializing distributed runtime: {error}",
+              file=sys.stderr)
+        return 1
     try:
         options = parse_options(argv)
     except Exception as error:  # noqa: BLE001 - mirror reference behavior

@@ -675,7 +675,9 @@ def render_single_trial(
 
     render_bounding_box_overlay(tight_bounds, camera, 1, output_image)
 
-    if output_filename:
+    # multi-host pods: every process holds the assembled frame, but only
+    # process 0 writes/logs (rank-0 output of VolumeRenderer.cpp:1296-1335)
+    if output_filename and jax.process_index() == 0:
         lower = output_filename.lower()
         ext = lower[lower.rfind(".") :] if "." in lower else ""
         if ext and ext not in (".ppm", ".png") and verbose:

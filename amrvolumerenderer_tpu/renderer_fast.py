@@ -425,6 +425,17 @@ def render_composited_slicemarch(
     return np.asarray(frame)
 
 
+def _fetch_global(frame) -> np.ndarray:
+    """Sharded frame -> host NumPy; on a multi-host pod, every host
+    assembles the full frame via the standard allgather (the Gatherv of
+    ImageColorOnly.hpp:220-270; single-host is a plain device_get)."""
+    if jax.process_count() == 1:
+        return np.asarray(frame)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(frame, tiled=True))
+
+
 def visibility_owner_keys(
     owners: np.ndarray, rank_order: Optional[np.ndarray]
 ) -> np.ndarray:
@@ -516,7 +527,12 @@ def render_composited_sharded(
         out[:, 4] = np.inf
         return out
 
-    mesh = make_mesh(num_devices)
+    # multi-host launches (driver.maybe_initialize_distributed) shape the
+    # mesh 2D so the slow DCN links sit on the OUTER axis and the bulk
+    # pixel exchange rides intra-host ICI where possible
+    n_hosts = jax.process_count()
+    dcn = n_hosts if n_hosts > 1 and num_devices % n_hosts == 0 else None
+    mesh = make_mesh(num_devices, dcn_size=dcn)
     pad_pixels = prep["pad_w"] * prep["pad_h"]
     if pad_pixels % num_devices:
         raise ValueError(
@@ -627,7 +643,7 @@ def render_composited_sharded(
                 tiles=tiles, classification=parameters.classification,
             )
 
-    frame = paste_rect(np.asarray(frame), rect, prep["pad_w"], prep["pad_h"])
+    frame = paste_rect(_fetch_global(frame), rect, prep["pad_w"], prep["pad_h"])
     frame = paste_tiles(frame, tiles, prep["pad_w"], prep["pad_h"])
     frame = frame.reshape(prep["pad_h"], prep["pad_w"], 5)
     frame = frame[:render_height, :render_width].reshape(num_pixels, 5)

@@ -297,3 +297,49 @@ def test_render_kwargs_sampling_classification(tmp_path, plotfile):
     with pytest.raises(ValueError):
         avr.render(plotfile, width=16, height=16, output=out,
                    classification="pre")  # nearest + pre rejected
+
+
+class TestDistributedEntry:
+    """Multi-host entry point (main.cpp:19-36 mpirun surface): env-gated
+    jax.distributed.initialize; virtually validated (single host here)."""
+
+    def test_disabled_by_default(self, monkeypatch):
+        from amrvolumerenderer_tpu.driver import maybe_initialize_distributed
+
+        monkeypatch.delenv("AVR_DISTRIBUTED", raising=False)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert maybe_initialize_distributed(verbose=False) is False
+
+    def test_explicit_coordinator_spec(self, monkeypatch):
+        import jax
+
+        from amrvolumerenderer_tpu.driver import maybe_initialize_distributed
+
+        calls = {}
+
+        def fake_initialize(**kwargs):
+            calls.update(kwargs)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+        assert maybe_initialize_distributed(verbose=False) is True
+        assert calls == dict(
+            coordinator_address="10.0.0.1:1234", num_processes=4,
+            process_id=2,
+        )
+
+    def test_pod_autodetect(self, monkeypatch):
+        import jax
+
+        from amrvolumerenderer_tpu.driver import maybe_initialize_distributed
+
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda **kw: called.append(kw)
+        )
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("AVR_DISTRIBUTED", "1")
+        assert maybe_initialize_distributed(verbose=False) is True
+        assert called == [{}]
