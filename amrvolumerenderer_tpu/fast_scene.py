@@ -129,8 +129,8 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
     ),
 )
 def _render_batch_frames(
-    vol, lut, meta, dims, cams, offsets, bricks, owners, ibounds, *,
-    width, height, max_slices, logical_width, logical_height,
+    vol, lut, meta, dims, cams, offsets, bricks, owners, ibounds, tile_ids,
+    *, width, height, max_slices, logical_width, logical_height,
     interpret, sampling, ghost, sqrt_aa, bytes_out=False, dma_slices=None,
     classification="post",
 ):
@@ -145,13 +145,16 @@ def _render_batch_frames(
     tiles_y = height // sm.TILE_H
 
     def one(carry, per_frame):
-        cam, off, br, ow, ib = per_frame
+        cam, off, br, ow, ib, tids = per_frame
         out_c, out_d = tm.tilemarch_render(
-            vol, meta, dims, lut, cam, off, br, ow, ib,
+            vol, meta, dims, lut, cam, off, br, ow, ib, tids,
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
             dma_slices=dma_slices, classification=classification,
+        )
+        out_c, out_d = tm.scatter_tiles(
+            out_c, out_d, tids, tiles_x * tiles_y
         )
         c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
         c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, 4)
@@ -171,7 +174,9 @@ def _render_batch_frames(
             ).astype(jnp.uint8)
         return carry, frame
 
-    _, frames = jax.lax.scan(one, 0, (cams, offsets, bricks, owners, ibounds))
+    _, frames = jax.lax.scan(
+        one, 0, (cams, offsets, bricks, owners, ibounds, tile_ids)
+    )
     return frames
 
 
@@ -592,6 +597,23 @@ class FastSceneRenderer:
             ib64 > 0, (ib64 & 0xFFFF) - (ib64 >> 16), self.cube
         )
         dma_slices = int(min(self.cube, ((int(spans.max()) + 7) // 8) * 8))
+        # compacted grid: one step per COVERED tile (the measured per-step
+        # fixed cost ~1.5 us on v5e is the sparse-scene floor; empty tiles
+        # skip it entirely).  Step counts bucket so an orbit compiles a
+        # handful of shapes; padding steps carry the out-of-bounds sentinel
+        # tile (zero items, dropped by the scatter).
+        counts = np.diff(offsets)
+        covered = np.flatnonzero(counts > 0).astype(np.int32)
+        num_tiles = len(counts)
+        active = len(covered)
+        gran = max(128, num_tiles // 8)
+        padded_steps = min(num_tiles, -(-active // gran) * gran)
+        tile_ids = np.full(padded_steps, num_tiles, np.int32)  # sentinel
+        tile_ids[:active] = covered
+        c_offsets = np.zeros(padded_steps + 1, np.int32)
+        c_offsets[1 : active + 1] = np.cumsum(counts[covered])
+        c_offsets[active + 1 :] = c_offsets[active]
+        offsets = c_offsets
         if as_numpy:
             # batch path: keep host arrays so a whole chunk ships as ONE
             # stacked transfer (per-array uploads each pay the full
@@ -599,14 +621,14 @@ class FastSceneRenderer:
             return dict(
                 meta=meta, dims=dims, cam=cam, offsets=offsets,
                 bricks=tbricks, owners=towners, item_bounds=item_bounds,
-                dma_slices=dma_slices,
+                dma_slices=dma_slices, tile_ids=tile_ids,
             )
         return dict(
             meta=jnp.asarray(meta), dims=jnp.asarray(dims),
             cam=jnp.asarray(cam), offsets=jnp.asarray(offsets),
             bricks=jnp.asarray(tbricks), owners=jnp.asarray(towners),
             item_bounds=jnp.asarray(item_bounds),
-            dma_slices=dma_slices,
+            dma_slices=dma_slices, tile_ids=jnp.asarray(tile_ids),
         )
 
     def render(
@@ -631,6 +653,7 @@ class FastSceneRenderer:
                 self._packed_vol, inputs["meta"], inputs["dims"],
                 self._lut_device, inputs["cam"], inputs["offsets"],
                 inputs["bricks"], inputs["owners"], inputs["item_bounds"],
+                inputs["tile_ids"],
                 width=self.pad_w, height=self.pad_h, max_slices=self.cube,
                 logical_width=self.render_width,
                 logical_height=self.render_height,
@@ -642,6 +665,9 @@ class FastSceneRenderer:
             )
             tiles_x = self.pad_w // sm.TILE_W
             tiles_y = self.pad_h // sm.TILE_H
+            out_c, out_d = tm.scatter_tiles(
+                out_c, out_d, inputs["tile_ids"], tiles_x * tiles_y
+            )
             c = out_c.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
             c = c.transpose(0, 3, 1, 4, 2).reshape(self.pad_h, self.pad_w, 4)
             d = out_d.reshape(tiles_y, tiles_x, sm.TILE_H, sm.TILE_W)
@@ -762,7 +788,15 @@ class FastSceneRenderer:
                 part = group[c0 : c0 + size]
                 c0 += size
                 cams = np.stack([p[1]["cam"] for p in part])
-                offs = np.stack([p[1]["offsets"] for p in part])
+                # compacted grids vary per frame: pad each frame's step
+                # list to the chunk max with the sentinel tile (zero items,
+                # dropped by the scatter)
+                num_tiles = (self.pad_w // sm.TILE_W) * (
+                    self.pad_h // sm.TILE_H
+                )
+                s_steps = max(len(p[1]["tile_ids"]) for p in part)
+                offs = np.zeros((len(part), s_steps + 1), np.int32)
+                tids = np.full((len(part), s_steps), num_tiles, np.int32)
                 brs = np.zeros((len(part), w_pad), np.int32)
                 ows = np.zeros((len(part), w_pad), np.int32)
                 ibs = np.zeros((len(part), w_pad), np.int32)
@@ -771,11 +805,16 @@ class FastSceneRenderer:
                     brs[row, :w] = inp["bricks"]
                     ows[row, :w] = inp["owners"]
                     ibs[row, :w] = inp["item_bounds"]
+                    o = inp["offsets"]
+                    offs[row, : len(o)] = o
+                    offs[row, len(o):] = o[-1]
+                    tids[row, : len(inp["tile_ids"])] = inp["tile_ids"]
                 t_dispatch = time.perf_counter()
                 frames = _render_batch_frames(
                     vol, self._lut_device, meta, dims,
                     jnp.asarray(cams), jnp.asarray(offs),
                     jnp.asarray(brs), jnp.asarray(ows), jnp.asarray(ibs),
+                    jnp.asarray(tids),
                     width=self.pad_w, height=self.pad_h,
                     max_slices=self.cube,
                     logical_width=self.render_width,

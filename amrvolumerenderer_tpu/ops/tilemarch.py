@@ -50,7 +50,9 @@ def _kernel(
     cam_ref,  # [20] f32 (slicemarch.pack_camera layout)
     meta_ref,  # [B, 12] f32: pmin(3) pmax(3) cell(3) pad(3), permuted axes
     dims_ref,  # [B, 8] i32: n_slices nu nv perm(3) pad pad
-    offsets_ref,  # [T + 1] i32 CSR offsets into the per-tile brick list
+    tile_ids_ref,  # [G] i32 frame tile id per grid step (the compacted
+    #               grid: only covered tiles get steps; dense = arange(T))
+    offsets_ref,  # [G + 1] i32 CSR offsets into the per-step brick list
     bricks_ref,  # [W] i32 CSR brick ids, front-to-back per tile
     owners_ref,  # [W] i32 owner of each work item (run grouping)
     ibounds_ref,  # [W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
@@ -88,7 +90,8 @@ def _kernel(
     # copy (identical to the untrimmed kernel).
     if dma_slices is None or dma_slices >= (s_stored or dma_slices):
         dma_slices = None  # full-brick copy, no index shift
-    t = pl.program_id(0)
+    step = pl.program_id(0)
+    t = tile_ids_ref[step]  # frame tile this step renders
     inf = jnp.float32(np.inf)
 
     eye_w = [cam_ref[i] for i in range(3)]
@@ -128,8 +131,8 @@ def _kernel(
     def gather_vreg(tile, row, col, num_rows):
         return gather_rows(lambda rr: tile[rr, :], num_rows, row, col)
 
-    work_begin = offsets_ref[t]
-    work_end = offsets_ref[t + 1]
+    work_begin = offsets_ref[step]
+    work_end = offsets_ref[step + 1]
 
     def dma_start_slice(work_idx):
         """First stored slice of the item's DMA window (0 = full copy)."""
@@ -466,12 +469,17 @@ def tilemarch_render(
     dims: jnp.ndarray,  # [B, 8]
     lut: jnp.ndarray,  # [4, LUT_ROWS, LANES] shared transfer function
     cam: jnp.ndarray,  # [20]
-    tile_offsets: jnp.ndarray,  # [T + 1] i32 CSR offsets
+    tile_offsets: jnp.ndarray,  # [G + 1] i32 CSR offsets
     tile_bricks: jnp.ndarray,  # [W] i32 brick per work item (depth sorted)
     tile_owners: jnp.ndarray,  # [W] i32 owner per work item
     item_bounds: Optional[jnp.ndarray] = None,  # [W] i32 per-item slice
     #   bounds ((lo<<16)|hi); None -> each item inherits its brick's
     #   dims[:, 7] (identical behavior to the per-brick bounds)
+    tile_ids: Optional[jnp.ndarray] = None,  # [G] i32 frame tile per grid
+    #   step — the COMPACTED grid: only covered tiles get steps (the
+    #   measured per-step fixed cost, ~1.5 us on v5e, is the sparse-scene
+    #   frame floor; skipping uncovered tiles removes it).  None = dense
+    #   grid over all T tiles (outputs then index by frame tile id).
     *,
     width: int,
     height: int,
@@ -493,8 +501,10 @@ def tilemarch_render(
     item bounds (fast_scene computes the per-frame bucket); ``None``
     copies the full brick.
 
-    Returns ([T, 4, SUBLANES, LANES], [T, SUBLANES, LANES]) tile-space
-    frame buffers (use ``slicemarch.untile``-style reshape for row-major).
+    Returns ([G, 4, SUBLANES, LANES], [G, SUBLANES, LANES]) tile-space
+    buffers, where G = len(tile_ids) if compacted else the full tile
+    count (use ``slicemarch.untile``-style reshape for row-major, or
+    ``scatter_tiles`` for a compacted grid).
     """
     num_pixels = width * height
     assert width % TILE_W == 0 and height % TILE_H == 0
@@ -502,6 +512,10 @@ def tilemarch_render(
     s_max = vol.shape[1]
     if item_bounds is None:
         item_bounds = dims[tile_bricks, 7]
+    if tile_ids is None:
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    num_tiles = tile_ids.shape[0]  # grid steps (== frame tiles when dense)
+    assert tile_offsets.shape[0] == num_tiles + 1
     if dma_slices is not None:
         dma_slices = min(int(dma_slices), s_max)
 
@@ -521,7 +535,7 @@ def tilemarch_render(
         classification=classification,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
@@ -547,9 +561,28 @@ def tilemarch_render(
         ],
         interpret=interpret,
     )(
-        cam, meta, dims, tile_offsets, tile_bricks, tile_owners,
+        cam, meta, dims, tile_ids, tile_offsets, tile_bricks, tile_owners,
         item_bounds, vol, lut,
     )
+
+
+def scatter_tiles(
+    out_c: jnp.ndarray,  # [G, 4, SUBLANES, LANES] compacted kernel output
+    out_d: jnp.ndarray,  # [G, SUBLANES, LANES]
+    tile_ids: jnp.ndarray,  # [G] frame tile per grid step (tail may pad)
+    num_tiles: int,
+    valid_steps: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compacted grid output -> full tile-space frame (uncovered tiles =
+    background: transparent color, +inf depth).  ``valid_steps`` drops
+    bucket-padding steps (their rows are redundant repeats of tile 0)."""
+    if valid_steps is not None and valid_steps < out_c.shape[0]:
+        out_c = out_c[:valid_steps]
+        out_d = out_d[:valid_steps]
+        tile_ids = tile_ids[:valid_steps]
+    full_c = jnp.zeros((num_tiles,) + out_c.shape[1:], out_c.dtype)
+    full_d = jnp.full((num_tiles,) + out_d.shape[1:], jnp.inf, out_d.dtype)
+    return full_c.at[tile_ids].set(out_c), full_d.at[tile_ids].set(out_d)
 
 
 def block_occupancy_bits(

@@ -128,25 +128,34 @@ def measure_device_frame(fsr, camera, width, height, K=10):
 
     inputs = fsr.frame_inputs(camera)
 
+    num_tiles = (fsr.pad_w // tm.TILE_W) * (fsr.pad_h // tm.TILE_H)
+
     @jax.jit
-    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds):
+    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds,
+               tile_ids):
         def body(_, acc):
-            out_c, _out_d = tm.tilemarch_render(
+            out_c, out_d = tm.tilemarch_render(
                 vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds,
+                tile_ids,
                 width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
                 logical_width=fsr.render_width,
                 logical_height=fsr.render_height,
                 interpret=fsr.interpret, sampling=fsr.parameters.sampling,
                 ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
             )
-            return acc + jnp.sum(out_c)
+            # frame time includes assembling the full tile-space frame
+            # from the compacted grid (background + scatter)
+            full_c, _full_d = tm.scatter_tiles(
+                out_c, out_d, tile_ids, num_tiles
+            )
+            return acc + jnp.sum(full_c)
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
     args = (
         fsr._packed_vol, inputs["meta"], inputs["dims"], fsr._lut_device,
         inputs["cam"], inputs["offsets"], inputs["bricks"], inputs["owners"],
-        inputs["item_bounds"],
+        inputs["item_bounds"], inputs["tile_ids"],
     )
     checksum = float(frames(*args))
     assert np.isfinite(checksum) and checksum > 0.0

@@ -501,3 +501,54 @@ class TestItemSliceBounds:
             trim_c, trim_d = tm.tilemarch_render(*args, dma_slices=dma, **kw)
             np.testing.assert_array_equal(np.asarray(trim_c), np.asarray(full_c))
             np.testing.assert_array_equal(np.asarray(trim_d), np.asarray(full_d))
+
+
+def test_compacted_grid_matches_dense(r2_scene):
+    """Active-tile compacted grid (tile_ids + scatter) must reproduce the
+    dense grid pixel-for-pixel, with padding sentinel steps dropped."""
+    width = height = 64
+    s = build_scene_arrays(r2_scene, width, height)
+    interp = jax.default_backend() == "cpu"
+
+    offsets, tbricks, towners = tm.build_tile_worklist(
+        s["box_min"], s["box_max"], s["hints"], s["owners"],
+        np.asarray(s["camera"].eye), s["forward"], s["right"], s["up"],
+        s["camera"].fov_y_degrees, width, height,
+    )
+    args = (
+        jnp.asarray(s["vol"]), jnp.asarray(s["meta"]), jnp.asarray(s["dims"]),
+        jnp.asarray(s["lut"]), jnp.asarray(s["cam"]),
+    )
+    dense_c, dense_d = tm.tilemarch_render(
+        *args, jnp.asarray(offsets), jnp.asarray(tbricks),
+        jnp.asarray(towners),
+        width=width, height=height, max_slices=16, interpret=interp,
+    )
+
+    # compact: covered tiles only + 2 sentinel padding steps
+    counts = np.diff(offsets)
+    covered = np.flatnonzero(counts > 0).astype(np.int32)
+    num_tiles = len(counts)
+    assert 0 < len(covered)  # premise: compaction engages
+    c_off = np.zeros(len(covered) + 3, np.int32)
+    c_off[1 : len(covered) + 1] = np.cumsum(counts[covered])
+    c_off[len(covered) + 1 :] = c_off[len(covered)]
+    tids = np.concatenate(
+        [covered, np.full(2, num_tiles, np.int32)]  # OOB sentinels
+    )
+    comp_c, comp_d = tm.tilemarch_render(
+        *args, jnp.asarray(c_off), jnp.asarray(tbricks),
+        jnp.asarray(towners), None, jnp.asarray(tids),
+        width=width, height=height, max_slices=16, interpret=interp,
+    )
+    full_c, full_d = tm.scatter_tiles(comp_c, comp_d, jnp.asarray(tids),
+                                      num_tiles)
+    # uncovered tiles: dense grid computed them as background
+    np.testing.assert_allclose(
+        np.asarray(full_c), np.asarray(dense_c), atol=1e-6
+    )
+    dd, fd = np.asarray(dense_d), np.asarray(full_d)
+    np.testing.assert_array_equal(np.isfinite(fd), np.isfinite(dd))
+    np.testing.assert_allclose(
+        fd[np.isfinite(fd)], dd[np.isfinite(dd)], atol=1e-6
+    )
