@@ -262,3 +262,49 @@ def test_deep_scene_routes_to_tilemarch_on_mesh(tmp_path):
     np.testing.assert_allclose(
         frames[None][:, :4], frames[8][:, :4], atol=1e-5
     )
+
+
+def test_deep_scene_mesh_tilemarch_variants(tmp_path):
+    """The fused multichip mega-kernel path must respect sampling,
+    classification and transport options (not silently drop them)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tests.conftest import make_r2_scene_data
+
+    from amrvolumerenderer_tpu.renderer import render_scene
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    levels, geoms = make_r2_scene_data(n_cells=40, box_size=8)  # 125 bricks
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    geometry = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+    frames = {}
+    for devices in (None, 8):
+        params = RenderParameters(
+            width=48, height=48, devices=devices,
+            render_method="slicemarch" if devices else "tilemarch",
+            multichip_pipeline="depth", sampling="trilinear",
+            classification="pre",
+        )
+        img, _ = render_scene(
+            str(tmp_path / f"v{devices}.ppm"), params, geometry,
+            verbose=False,
+        )
+        frames[devices] = np.asarray(img.pixels)
+    assert frames[8][:, 3].max() > 0.1
+    np.testing.assert_allclose(
+        frames[None][:, :4], frames[8][:, :4], atol=1e-5
+    )
+
+    # ubyte transport through the tilemarch partials stays in byte tolerance
+    params = RenderParameters(
+        width=48, height=48, devices=8, multichip_pipeline="depth",
+        sampling="trilinear", classification="pre",
+        multichip_transport="ubyte",
+    )
+    img, _ = render_scene(
+        str(tmp_path / "vu.ppm"), params, geometry, verbose=False
+    )
+    diff = np.abs(np.asarray(img.pixels)[:, :4] - frames[8][:, :4])
+    assert diff.max() < 8.0 / 255.0
