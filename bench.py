@@ -118,53 +118,75 @@ def build_shell_scene():
     return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
 
 
-def measure_device_frame(fsr, camera, width, height, K=10):
-    """min-of-3 per-frame device time of K frames in one jitted fori_loop
-    (the dispatch-latency-proof measurement)."""
+def measure_device_frame(fsr, camera, width, height, K=None):
+    """TRUE per-frame device time via the two-K slope method.
+
+    Two invariants of the remote-TPU runtime poison naive measurements
+    (both measured, scripts/fixed_cost_probe.py + round-3 controls):
+
+    * every host->device dispatch costs ~26-30 ms, so a single timed call
+      measures the link, not the kernel;
+    * XLA HOISTS a loop-invariant body out of a ``fori_loop``, so "K
+      frames in one loop" silently times ONE frame + K scalar adds — the
+      round-2 numbers did exactly this.
+
+    Fix: perturb an unused camera slot per iteration (defeats hoisting
+    without changing any rendered pixel) and difference two loop lengths
+    so the dispatch intercept cancels:
+    frame_ms = (t_K2 - t_K1) / (K2 - K1)."""
     import jax
     import jax.numpy as jnp
 
     from amrvolumerenderer_tpu.ops import tilemarch as tm
 
+    if K is None:
+        K = (10, 50) if jax.default_backend() == "tpu" else (1, 3)
     inputs = fsr.frame_inputs(camera)
 
-    num_tiles = (fsr.pad_w // tm.TILE_W) * (fsr.pad_h // tm.TILE_H)
+    def loop_time(k):
+        @jax.jit
+        def frames(vol, meta, dims, lut, cam, offsets, bricks, owners,
+                   ibounds, tile_ids):
+            def body(i, acc):
+                # slot 19 of the camera pack is unused padding: varying it
+                # defeats loop-invariant hoisting, pixels unchanged
+                cam_i = cam.at[19].set(i.astype(jnp.float32))
+                out_c, _out_d = tm.tilemarch_render(
+                    vol, meta, dims, lut, cam_i, offsets, bricks, owners,
+                    ibounds, tile_ids,
+                    width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                    logical_width=fsr.render_width,
+                    logical_height=fsr.render_height,
+                    interpret=fsr.interpret,
+                    sampling=fsr.parameters.sampling,
+                    ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
+                    classification=fsr.parameters.classification,
+                )
+                # strided checksum: the kernel fully materializes its
+                # outputs; a full-frame reduce would add measurement tax
+                return acc + jnp.sum(out_c[::8])
 
-    @jax.jit
-    def frames(vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds,
-               tile_ids):
-        def body(_, acc):
-            out_c, out_d = tm.tilemarch_render(
-                vol, meta, dims, lut, cam, offsets, bricks, owners, ibounds,
-                tile_ids,
-                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
-                logical_width=fsr.render_width,
-                logical_height=fsr.render_height,
-                interpret=fsr.interpret, sampling=fsr.parameters.sampling,
-                ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
-            )
-            # frame time includes assembling the full tile-space frame
-            # from the compacted grid (background + scatter)
-            full_c, _full_d = tm.scatter_tiles(
-                out_c, out_d, tile_ids, num_tiles
-            )
-            return acc + jnp.sum(full_c)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+        args = (
+            fsr._packed_vol, inputs["meta"], inputs["dims"],
+            fsr._lut_device, inputs["cam"], inputs["offsets"],
+            inputs["bricks"], inputs["owners"], inputs["item_bounds"],
+            inputs["tile_ids"],
+        )
+        checksum = float(frames(*args))
+        assert np.isfinite(checksum) and checksum > 0.0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(frames(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times) * 1e3
 
-    args = (
-        fsr._packed_vol, inputs["meta"], inputs["dims"], fsr._lut_device,
-        inputs["cam"], inputs["offsets"], inputs["bricks"], inputs["owners"],
-        inputs["item_bounds"], inputs["tile_ids"],
-    )
-    checksum = float(frames(*args))
-    assert np.isfinite(checksum) and checksum > 0.0
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(frames(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times) * 1e3 / K
+    k1, k2 = K
+    t1 = loop_time(k1)
+    t2 = loop_time(k2)
+    return max((t2 - t1) / (k2 - k1), 1e-3)
 
 
 def exchange_payload_bytes(fsr, camera, num_devices: int):
