@@ -134,25 +134,41 @@ def _render_batch_frames(
     interpret, sampling, ghost, sqrt_aa, bytes_out=False, dma_slices=None,
     classification="post",
 ):
-    """Scan the tile-loop mega-kernel over a [B]-frame camera batch.
+    """Run a [F]-frame camera batch through ONE mega-kernel launch.
 
     ``vol``/``meta``/``dims`` are axis-fixed (identical for every frame in
     the batch); only the camera pack and the CSR work list vary per frame.
-    Returns [B, out_pixels, 5] frames — one dispatch, one compile, however
-    many frames (the animation workload renders B frames for one host
-    round-trip instead of B)."""
+    The frame axis is flattened into the pallas grid
+    (tm.tilemarch_render_batch) so the whole chunk pays the per-launch
+    serialization cost once — a lax.scan of launches pays it per frame.
+    Returns [F, out_pixels, 5] frames (or [F, out_pixels, 4] u8)."""
     tiles_x = width // sm.TILE_W
     tiles_y = height // sm.TILE_H
 
-    def one(carry, per_frame):
-        cam, off, br, ow, ib, tids = per_frame
-        out_c, out_d = tm.tilemarch_render(
-            vol, meta, dims, lut, cam, off, br, ow, ib, tids,
-            width=width, height=height, max_slices=max_slices,
-            logical_width=logical_width, logical_height=logical_height,
-            interpret=interpret, sampling=sampling, ghost=ghost,
-            dma_slices=dma_slices, classification=classification,
-        )
+    out_c, out_d = tm.tilemarch_render_batch(
+        vol, meta, dims, lut, cams, offsets, bricks, owners, ibounds,
+        tile_ids,
+        width=width, height=height, max_slices=max_slices,
+        logical_width=logical_width, logical_height=logical_height,
+        interpret=interpret, sampling=sampling, ghost=ghost,
+        dma_slices=dma_slices, classification=classification,
+    )
+
+    def assemble(out_c, out_d, tids):
+        if bytes_out and sqrt_aa == 1:
+            # byte-first assembly: encode the COMPACT output (Mesa codec,
+            # image.color_to_byte), then scatter/untile in u8 and drop the
+            # depth plane — 4-5x less HBM traffic than assembling the
+            # float frame first (frame assembly is bandwidth-bound)
+            enc = jnp.clip(
+                (out_c * jnp.float32(256.0)).astype(jnp.int32), 0, 255
+            ).astype(jnp.uint8)
+            full = jnp.zeros(
+                (tiles_x * tiles_y,) + enc.shape[1:], jnp.uint8
+            ).at[tids].set(enc)
+            c = full.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
+            c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, 4)
+            return c[:logical_height, :logical_width].reshape(-1, 4)
         out_c, out_d = tm.scatter_tiles(
             out_c, out_d, tids, tiles_x * tiles_y
         )
@@ -172,12 +188,9 @@ def _render_batch_frames(
             frame = jnp.clip(
                 (frame[:, :4] * jnp.float32(256.0)).astype(jnp.int32), 0, 255
             ).astype(jnp.uint8)
-        return carry, frame
+        return frame
 
-    _, frames = jax.lax.scan(
-        one, 0, (cams, offsets, bricks, owners, ibounds, tile_ids)
-    )
-    return frames
+    return jax.vmap(assemble)(out_c, out_d, tile_ids)
 
 
 class FastSceneRenderer:
@@ -563,14 +576,26 @@ class FastSceneRenderer:
             )
             self._occ_bits_cache[axis] = occ_bits
         wt_final = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        item_bounds = tm.compute_item_slice_bounds(
-            meta, dims[:, 7], wt_final, tbricks,
-            np.asarray(camera.eye), forward, right, up,
-            camera.fov_y_degrees, axes, self.pad_w, self.pad_h,
-            self.render_width, self.render_height,
-            occ_bits, self._quad_blocks, self._quad_split,
-            ghost=self.ghost,
+        item_bounds, sel_mask, bounds_ok, march_forward = (
+            tm.compute_item_slice_bounds(
+                meta, dims[:, 7], wt_final, tbricks,
+                np.asarray(camera.eye), forward, right, up,
+                camera.fov_y_degrees, axes, self.pad_w, self.pad_h,
+                self.render_width, self.render_height,
+                occ_bits, self._quad_blocks, self._quad_split,
+                ghost=self.ghost, return_mask=True,
+            )
         )
+        # two-sided chords (shells, bubble walls): split the occupied
+        # range into separate entry/exit bands so the empty middle is
+        # never marched (tm.split_item_bands)
+        wt_final, tbricks, towners, item_bounds = tm.split_item_bands(
+            wt_final, tbricks, towners, item_bounds, sel_mask, bounds_ok,
+            march_forward,
+        )
+        counts = np.bincount(wt_final, minlength=len(offsets) - 1)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
         # drop fully-empty work items: a (tile, brick) whose tightened range
         # is empty contributes nothing but still costs the brick DMA and
         # the per-item setup in the kernel — on sparse transfer functions

@@ -46,16 +46,19 @@ from .vreg import gather_rows
 
 
 def _kernel(
-    # scalar prefetch
-    cam_ref,  # [20] f32 (slicemarch.pack_camera layout)
+    # scalar prefetch (leading F axis = frames batched into ONE launch;
+    # single-frame callers pass F=1 — a launch/serialization overhead is
+    # paid once per pallas_call, so animation batches flatten the frame
+    # axis into the grid instead of looping launches)
+    cam_ref,  # [F, 20] f32 (slicemarch.pack_camera layout)
     meta_ref,  # [B, 12] f32: pmin(3) pmax(3) cell(3) pad(3), permuted axes
     dims_ref,  # [B, 8] i32: n_slices nu nv perm(3) pad pad
-    tile_ids_ref,  # [G] i32 frame tile id per grid step (the compacted
+    tile_ids_ref,  # [F, S] i32 frame tile id per grid step (the compacted
     #               grid: only covered tiles get steps; dense = arange(T))
-    offsets_ref,  # [G + 1] i32 CSR offsets into the per-step brick list
-    bricks_ref,  # [W] i32 CSR brick ids, front-to-back per tile
-    owners_ref,  # [W] i32 owner of each work item (run grouping)
-    ibounds_ref,  # [W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
+    offsets_ref,  # [F, S + 1] i32 CSR offsets into the per-step brick list
+    bricks_ref,  # [F, W] i32 CSR brick ids, front-to-back per tile
+    owners_ref,  # [F, W] i32 owner of each work item (run grouping)
+    ibounds_ref,  # [F, W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
     #               defaults to the brick's dims[7], tightened per tile by
     #               compute_item_slice_bounds)
     # tensors
@@ -79,6 +82,7 @@ def _kernel(
     dma_slices: Optional[int] = None,
     s_stored: Optional[int] = None,
     classification: str = "post",
+    steps_per_frame: Optional[int] = None,
 ):
     # ``ghost`` marks packs carrying a ghost-cell ring (see
     # slicemarch._kernel_body): loads shift by ``ghost`` on all three axes
@@ -90,19 +94,25 @@ def _kernel(
     # copy (identical to the untrimmed kernel).
     if dma_slices is None or dma_slices >= (s_stored or dma_slices):
         dma_slices = None  # full-brick copy, no index shift
-    step = pl.program_id(0)
-    t = tile_ids_ref[step]  # frame tile this step renders
+    gstep = pl.program_id(0)
+    if steps_per_frame is None:
+        f = jnp.int32(0)
+        step = gstep
+    else:
+        f = gstep // steps_per_frame
+        step = gstep - f * steps_per_frame
+    t = tile_ids_ref[f, step]  # frame tile this step renders
     inf = jnp.float32(np.inf)
 
-    eye_w = [cam_ref[i] for i in range(3)]
-    fwd = [cam_ref[3 + i] for i in range(3)]
-    right = [cam_ref[6 + i] for i in range(3)]
-    up = [cam_ref[9 + i] for i in range(3)]
-    tan_half_fov = cam_ref[12]
-    aspect = cam_ref[13]
-    range_min = cam_ref[14]
-    inverse_range = cam_ref[15]
-    ref_distance = cam_ref[16]
+    eye_w = [cam_ref[f, i] for i in range(3)]
+    fwd = [cam_ref[f, 3 + i] for i in range(3)]
+    right = [cam_ref[f, 6 + i] for i in range(3)]
+    up = [cam_ref[f, 9 + i] for i in range(3)]
+    tan_half_fov = cam_ref[f, 12]
+    aspect = cam_ref[f, 13]
+    range_min = cam_ref[f, 14]
+    inverse_range = cam_ref[f, 15]
+    ref_distance = cam_ref[f, 16]
 
     # ---- per-tile rays (same mapping as the slice-march kernel) ----
     tiles_x = width // TILE_W
@@ -131,14 +141,14 @@ def _kernel(
     def gather_vreg(tile, row, col, num_rows):
         return gather_rows(lambda rr: tile[rr, :], num_rows, row, col)
 
-    work_begin = offsets_ref[step]
-    work_end = offsets_ref[step + 1]
+    work_begin = offsets_ref[f, step]
+    work_end = offsets_ref[f, step + 1]
 
     def dma_start_slice(work_idx):
         """First stored slice of the item's DMA window (0 = full copy)."""
         if dma_slices is None:
             return jnp.int32(0)
-        sb = ibounds_ref[work_idx]
+        sb = ibounds_ref[f, work_idx]
         lo = jnp.where(sb > 0, sb >> 16, 0)
         return jnp.clip(lo + ghost, 0, s_stored - dma_slices)
 
@@ -146,7 +156,7 @@ def _kernel(
         """The (src, dst, sem) descriptor for this item's brick DMA —
         built ONCE here so start and wait always describe the same
         (possibly window-trimmed) transfer."""
-        b = bricks_ref[work_idx]
+        b = bricks_ref[f, work_idx]
         if dma_slices is None:
             src = vol_hbm.at[b]
         else:
@@ -161,7 +171,7 @@ def _kernel(
     def march_brick(work_idx, slot):
         """March brick ``bricks_ref[work_idx]`` (already in vol_buf[slot]).
         Returns its (r, g, b, a, depth) layer planes for this tile."""
-        bi = bricks_ref[work_idx]
+        bi = bricks_ref[f, work_idx]
         buf_base = dma_start_slice(work_idx)
         pmin = [meta_ref[bi, i] for i in range(3)]
         pmax = [meta_ref[bi, 3 + i] for i in range(3)]
@@ -175,7 +185,7 @@ def _kernel(
         # occupied slice bounds, PER WORK ITEM (slicemarch
         # compute_slice_bounds packing, optionally tightened to this tile's
         # footprint on the brick by compute_item_slice_bounds)
-        s_bounds = ibounds_ref[work_idx]
+        s_bounds = ibounds_ref[f, work_idx]
         s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
         s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
 
@@ -429,7 +439,7 @@ def _kernel(
 
         same_owner = jnp.logical_and(
             work_idx > work_begin,
-            owners_ref[work_idx] == owners_ref[jnp.maximum(work_idx - 1, 0)],
+            owners_ref[f, work_idx] == owners_ref[f, jnp.maximum(work_idx - 1, 0)],
         )
         closed_c, closed_d = blend(tot_c, tot_d, run_c, run_d)
         closed_c = select4(have_tot, closed_c, run_c)
@@ -516,6 +526,70 @@ def tilemarch_render(
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     num_tiles = tile_ids.shape[0]  # grid steps (== frame tiles when dense)
     assert tile_offsets.shape[0] == num_tiles + 1
+    out_c, out_d = _tilemarch_call(
+        vol, meta, dims, lut, cam[None], tile_offsets[None],
+        tile_bricks[None], tile_owners[None], item_bounds[None],
+        tile_ids[None],
+        width=width, height=height, max_slices=max_slices,
+        logical_width=logical_width, logical_height=logical_height,
+        interpret=interpret, sampling=sampling, unroll=unroll,
+        ghost=ghost, dma_slices=dma_slices, classification=classification,
+        batched=False,
+    )
+    return out_c, out_d
+
+
+def tilemarch_render_batch(
+    vol: jnp.ndarray,  # [B, S_max, 8, 128] packed slice bricks (HBM)
+    meta: jnp.ndarray,  # [B, 12]
+    dims: jnp.ndarray,  # [B, 8]
+    lut: jnp.ndarray,  # [4, LUT_ROWS, LANES]
+    cams: jnp.ndarray,  # [F, 20] per-frame camera packs
+    tile_offsets: jnp.ndarray,  # [F, S + 1]
+    tile_bricks: jnp.ndarray,  # [F, W]
+    tile_owners: jnp.ndarray,  # [F, W]
+    item_bounds: jnp.ndarray,  # [F, W]
+    tile_ids: jnp.ndarray,  # [F, S]
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """F frames in ONE pallas launch: grid = (F * S,).
+
+    A kernel launch carries a fixed serialization cost (measured ~1.3 ms
+    per sequential step through the remote-TPU runtime; microseconds on
+    directly attached chips) — an animation batch flattens the frame axis
+    into the grid so the whole chunk pays it once.  Returns
+    ([F, S, 4, SUBLANES, LANES], [F, S, SUBLANES, LANES]).
+    """
+    out_c, out_d = _tilemarch_call(
+        vol, meta, dims, lut, cams, tile_offsets, tile_bricks, tile_owners,
+        item_bounds, tile_ids, batched=True, **kw,
+    )
+    frames, steps = tile_ids.shape
+    return (
+        out_c.reshape(frames, steps, 4, SUBLANES, LANES),
+        out_d.reshape(frames, steps, SUBLANES, LANES),
+    )
+
+
+def _tilemarch_call(
+    vol, meta, dims, lut, cams, tile_offsets, tile_bricks, tile_owners,
+    item_bounds, tile_ids, *,
+    width: int,
+    height: int,
+    max_slices: int,
+    logical_width: Optional[int] = None,
+    logical_height: Optional[int] = None,
+    interpret: bool = False,
+    sampling: str = "nearest",
+    unroll: Optional[int] = None,
+    ghost: int = 0,
+    dma_slices: Optional[int] = None,
+    classification: str = "post",
+    batched: bool = False,
+):
+    s_max = vol.shape[1]
+    frames, steps = tile_ids.shape
+    grid = frames * steps
     if dma_slices is not None:
         dma_slices = min(int(dma_slices), s_max)
 
@@ -533,10 +607,11 @@ def tilemarch_render(
         dma_slices=dma_slices,
         s_stored=s_max,
         classification=classification,
+        steps_per_frame=steps if batched else None,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
-        grid=(num_tiles,),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # shared LUT
@@ -556,12 +631,12 @@ def tilemarch_render(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 4, SUBLANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, 4, SUBLANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, SUBLANES, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(
-        cam, meta, dims, tile_ids, tile_offsets, tile_bricks, tile_owners,
+        cams, meta, dims, tile_ids, tile_offsets, tile_bricks, tile_owners,
         item_bounds, vol, lut,
     )
 
@@ -768,9 +843,92 @@ def compute_item_slice_bounds(
     packed = np.where(any_occ, (lo << 16) | hi, (bhi << 16) | bhi)
     out = np.where(ok & (bhi > blo), packed, bb)
     if return_mask:
-        # diagnostics/tests: the per-slice occupancy before range collapse
-        return out.astype(np.int32), sel, ok
+        # diagnostics/band splitting: the per-slice occupancy before range
+        # collapse, the trust flag, and the tile's march direction
+        # (d_a > 0 for all corners; only meaningful where ok)
+        forward = (d_a > 0).all(1)
+        return out.astype(np.int32), sel, ok, forward
     return out.astype(np.int32)
+
+
+def split_item_bands(
+    wt: np.ndarray,  # [W] tile per item (tile-sorted CSR order)
+    wb: np.ndarray,  # [W] brick per item
+    owners: np.ndarray,  # [W] run key per item
+    item_bounds: np.ndarray,  # [W] packed (lo<<16)|hi
+    sel: np.ndarray,  # [W, S] per-slice occupancy (compute_item_slice_bounds)
+    ok: np.ndarray,  # [W] footprint maths trusted (incl. uniform d_a sign)
+    forward: np.ndarray,  # [W] tile march direction (d_a > 0)
+    min_gap: int = 6,
+    max_candidates: int = 8192,
+):
+    """Split two-sided occupied ranges into TWO separate march bands.
+
+    A chord through a hollow feature (a shell, a bubble wall) enters and
+    exits the occupied region with an empty middle; the contiguous
+    [lo, hi) range marches the gap for nothing.  For items whose largest
+    internal gap is >= ``min_gap`` slices, emit two adjacent work items
+    covering [lo, gap_start) and [gap_end, hi), ordered in the tile's
+    MARCH direction so the kernel's run blend (depth tie -> earlier item
+    stays in front) composites them front-to-back for every ray in the
+    tile — valid exactly where the footprint maths is trusted (``ok``
+    requires a uniform d_a sign across the tile's corner rays).
+    Conservative: the two bands cover every occupied slice.
+
+    Returns (wt, wb, owners, item_bounds) with split items expanded in
+    place (CSR tile order preserved).  Beyond reference: the reference
+    marches every step of every box (VolumePainter.cpp:837-900).
+    """
+    wt = np.asarray(wt)
+    ib = np.asarray(item_bounds).astype(np.int64)
+    lo = ib >> 16
+    hi = ib & 0xFFFF
+    span = np.maximum(hi - lo, 0)
+    occ_counts = np.zeros(len(wt), np.int64)
+    valid = span > 0
+    if sel is not None and len(wt):
+        occ_counts[valid] = np.asarray(sel)[valid].sum(axis=1)
+    cand = np.flatnonzero(
+        np.asarray(ok) & valid & (span - occ_counts >= min_gap)
+    )
+    if len(cand) > max_candidates:
+        # keep the biggest potential savings (host time stays bounded)
+        gaps = (span - occ_counts)[cand]
+        cand = cand[np.argsort(gaps)[::-1][:max_candidates]]
+        cand.sort()
+    if len(cand) == 0:
+        return wt, np.asarray(wb), np.asarray(owners), np.asarray(item_bounds)
+
+    extra_at = {}
+    sel = np.asarray(sel)
+    for i in cand:
+        occ = sel[i, lo[i]: hi[i]]
+        # longest internal zero-run (bounds are tight, so ends are occupied)
+        idx = np.flatnonzero(occ)
+        if len(idx) < 2:
+            continue
+        gaps = np.diff(idx) - 1
+        g = int(gaps.argmax())
+        if gaps[g] < min_gap:
+            continue
+        b1 = (int(lo[i]) << 16) | int(lo[i] + idx[g] + 1)
+        b2 = (int(lo[i] + idx[g + 1]) << 16) | int(hi[i])
+        extra_at[int(i)] = (b1, b2) if forward[i] else (b2, b1)
+    if not extra_at:
+        return wt, np.asarray(wb), np.asarray(owners), np.asarray(item_bounds)
+
+    reps = np.ones(len(wt), np.int64)
+    split_idx = np.fromiter(extra_at, dtype=np.int64)
+    reps[split_idx] = 2
+    wt2 = np.repeat(wt, reps)
+    wb2 = np.repeat(np.asarray(wb), reps)
+    ow2 = np.repeat(np.asarray(owners), reps)
+    ib2 = np.repeat(np.asarray(item_bounds), reps)
+    starts = np.cumsum(reps) - reps
+    for i, (b1, b2) in extra_at.items():
+        ib2[starts[i]] = b1
+        ib2[starts[i] + 1] = b2
+    return wt2, wb2, ow2, ib2
 
 
 def build_tile_worklist(

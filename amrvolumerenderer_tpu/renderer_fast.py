@@ -343,6 +343,8 @@ def prepare_slicemarch_scene(
         wb=wb, wt=wt, coverage=coverage, wbounds=wbounds, s_max=gp["s_max"],
         pad_w=pad_w, pad_h=pad_h, ghost=ghost,
         depth_hints=depth_hints, owners=owners, local_indices=local_indices,
+        occ_bits=lp["occ_bits"], nq=gp["nq"],
+        split_u=gp["split_u"], split_v=gp["split_v"],
     )
 
 
@@ -863,12 +865,37 @@ def render_composited_tilemarch(
         prep["pad_w"], prep["pad_h"],
         logical_width=render_width, logical_height=render_height,
     )
+    # per-(tile, brick) slice bounds + two-sided band splitting + empty-item
+    # culling — the same sparse-scene machinery as the persistent path
+    # (fast_scene.frame_inputs)
+    wt_items = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+    ibounds, sel_mask, bounds_ok, march_fwd = tm.compute_item_slice_bounds(
+        prep["meta"], prep["dims"][:, 7], wt_items, tbricks,
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        list(prep["dims"][0, 3:6]), prep["pad_w"], prep["pad_h"],
+        render_width, render_height,
+        prep["occ_bits"], prep["nq"], prep["split_u"], prep["split_v"],
+        ghost=prep["ghost"], return_mask=True,
+    )
+    wt_items, tbricks, towners, ibounds = tm.split_item_bands(
+        wt_items, tbricks, towners, ibounds, sel_mask, bounds_ok, march_fwd
+    )
+    nonempty = (ibounds >> 16) < (ibounds & 0xFFFF)
+    wt_items = wt_items[nonempty]
+    tbricks = tbricks[nonempty]
+    towners = towners[nonempty]
+    ibounds = ibounds[nonempty]
+    num_tiles = (prep["pad_w"] // sm.TILE_W) * (prep["pad_h"] // sm.TILE_H)
+    counts = np.bincount(wt_items, minlength=num_tiles)
+    offsets = np.zeros(num_tiles + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(counts).astype(np.int32)
     lut_single = np.ascontiguousarray(prep["luts"][0])
     out_c, out_d = tm.tilemarch_render(
         jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
         jnp.asarray(prep["dims"]), jnp.asarray(lut_single),
         jnp.asarray(prep["cam"]), jnp.asarray(offsets),
         jnp.asarray(tbricks), jnp.asarray(towners),
+        jnp.asarray(ibounds.astype(np.int32)),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,

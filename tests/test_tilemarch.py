@@ -552,3 +552,60 @@ def test_compacted_grid_matches_dense(r2_scene):
     np.testing.assert_allclose(
         fd[np.isfinite(fd)], dd[np.isfinite(dd)], atol=1e-6
     )
+
+
+def test_band_split_shell_pixel_parity(monkeypatch):
+    """Two-band chord splitting (entry/exit of a hollow shell) must engage
+    and keep pixels identical to the unsplit march."""
+    from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+    from amrvolumerenderer_tpu.camera import auto_orbit_camera
+    from amrvolumerenderer_tpu.types import (
+        Brick,
+        RenderParameters,
+        ScalarTransform,
+        SceneGeometry,
+        color_map_from_tuples,
+    )
+
+    n = 32
+    c = (np.arange(n) + 0.5) / n
+    r = np.sqrt(
+        (c[:, None, None] - 0.5) ** 2
+        + (c[None, :, None] - 0.5) ** 2
+        + (c[None, None, :] - 0.5) ** 2
+    )
+    shell = np.exp(-((r - 0.35) / 0.03) ** 2).astype(np.float32)
+    geometry = SceneGeometry(
+        bricks=[Brick(shell, (0, 0, 0), (1, 1, 1), owner=0)],
+        scalar_range=(0.0, 1.0), has_scalar_range=True,
+        scalar_transform=ScalarTransform(),
+    )
+    cmap = color_map_from_tuples([
+        (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+        (0.5, 1.0, 0.5, 0.2, 0.4), (1.0, 1.0, 1.0, 1.0, 0.8),
+    ])
+    params = RenderParameters(width=256, height=256)
+
+    frames = {}
+    counts = {}
+    for mode in ("split", "unsplit"):
+        if mode == "unsplit":
+            monkeypatch.setattr(
+                tm, "split_item_bands",
+                lambda wt, wb, ow, ib, *a, **k: (
+                    np.asarray(wt), np.asarray(wb), np.asarray(ow),
+                    np.asarray(ib),
+                ),
+            )
+        fsr = FastSceneRenderer(geometry, params, color_map=cmap)
+        cam = auto_orbit_camera(fsr.bounds)
+        inputs = fsr.frame_inputs(cam, as_numpy=True)
+        counts[mode] = len(inputs["bricks"])
+        frames[mode] = fsr.render(cam, overlay=False)
+        monkeypatch.undo()
+
+    assert counts["split"] > counts["unsplit"]  # bands actually emitted
+    occ = inputs["item_bounds"].astype(np.int64)
+    np.testing.assert_allclose(
+        frames["split"], frames["unsplit"], atol=1e-6
+    )
