@@ -576,22 +576,19 @@ class FastSceneRenderer:
             )
             self._occ_bits_cache[axis] = occ_bits
         wt_final = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        item_bounds, sel_mask, bounds_ok, march_forward = (
-            tm.compute_item_slice_bounds(
-                meta, dims[:, 7], wt_final, tbricks,
-                np.asarray(camera.eye), forward, right, up,
-                camera.fov_y_degrees, axes, self.pad_w, self.pad_h,
-                self.render_width, self.render_height,
-                occ_bits, self._quad_blocks, self._quad_split,
-                ghost=self.ghost, return_mask=True,
-            )
+        band1, band2, march_forward = tm.compute_item_bands(
+            meta, dims[:, 7], wt_final, tbricks,
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees, axes, self.pad_w, self.pad_h,
+            self.render_width, self.render_height,
+            occ_bits, self._quad_blocks, self._quad_split,
+            ghost=self.ghost,
         )
         # two-sided chords (shells, bubble walls): split the occupied
         # range into separate entry/exit bands so the empty middle is
-        # never marched (tm.split_item_bands)
-        wt_final, tbricks, towners, item_bounds = tm.split_item_bands(
-            wt_final, tbricks, towners, item_bounds, sel_mask, bounds_ok,
-            march_forward,
+        # never marched (tm.expand_bands)
+        wt_final, tbricks, towners, item_bounds = tm.expand_bands(
+            wt_final, tbricks, towners, band1, band2, march_forward,
         )
         counts = np.bincount(wt_final, minlength=len(offsets) - 1)
         offsets = np.zeros(len(counts) + 1, dtype=np.int32)

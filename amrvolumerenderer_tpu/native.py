@@ -88,6 +88,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(c_double_p if "f64" in name else c_float_p),
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int, c_double_p,
             ]
+    if hasattr(lib, "avr_item_bands"):
+        lib.avr_item_bands.argtypes = [
+            c_float_p,                      # meta [L,12]
+            ctypes.POINTER(ctypes.c_int32),  # brick_bounds [L]
+            ctypes.POINTER(ctypes.c_int64),  # wt [W]
+            ctypes.POINTER(ctypes.c_int64),  # wb [W]
+            ctypes.c_int64,                  # num_items
+            c_double_p, c_double_p, c_double_p, c_double_p,  # eye/f/r/u (permuted)
+            ctypes.c_double, ctypes.c_double,  # tan_half, aspect
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,  # tiles_x, tile_w, tile_h
+            ctypes.c_int, ctypes.c_int,      # logical w/h
+            ctypes.POINTER(ctypes.c_uint16),  # occ_bits [L,S]
+            ctypes.c_int, ctypes.c_int,      # cap, nq
+            c_double_p, c_double_p, ctypes.c_int,  # su, sv, per_brick
+            ctypes.c_int, ctypes.c_int64,    # ghost, min_gap
+            ctypes.POINTER(ctypes.c_int32),  # out band1
+            ctypes.POINTER(ctypes.c_int32),  # out band2
+            c_u8_p,                          # out forward
+        ]
+        lib.avr_item_bands.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -199,6 +219,85 @@ def scalar_stats(arrays) -> Optional[tuple]:
                 single(_ptr(a, ctype), a.size, _ptr(out4, ctypes.c_double))
                 fold()
     return float(mn), float(mx), float(mp), count
+
+
+def item_bands(
+    meta: np.ndarray,  # [L, 12] f32 permuted pmin/pmax/cell
+    brick_bounds: np.ndarray,  # [L] i32 packed (lo<<16)|hi
+    wt: np.ndarray,  # [W] tile per item
+    wb: np.ndarray,  # [W] brick per item
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    axes,
+    width: int,
+    logical_width: int,
+    logical_height: int,
+    occ_bits: np.ndarray,  # [L, S] u16
+    nq: int,
+    split,
+    split_v=None,
+    ghost: int = 0,
+    min_gap: int = 6,
+) -> Optional[tuple]:
+    """Native per-(tile, brick) slice bounds + chord-gap band splitting
+    (ops/tilemarch.compute_item_bands contract); None if the library is
+    unavailable (caller falls back to the NumPy oracle)."""
+    import math
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "avr_item_bands"):
+        return None
+    from .ops.slicemarch import TILE_H, TILE_W
+
+    axes = list(axes)
+    meta = np.ascontiguousarray(meta, dtype=np.float32)
+    bb = np.ascontiguousarray(brick_bounds, dtype=np.int32)
+    wt64 = np.ascontiguousarray(wt, dtype=np.int64)
+    wb64 = np.ascontiguousarray(wb, dtype=np.int64)
+    occ_bits = np.ascontiguousarray(occ_bits, dtype=np.uint16)
+    eye_p = np.ascontiguousarray(np.asarray(eye, np.float64)[axes])
+    fwd_p = np.ascontiguousarray(np.asarray(forward, np.float64)[axes])
+    right_p = np.ascontiguousarray(np.asarray(right, np.float64)[axes])
+    up_p = np.ascontiguousarray(np.asarray(up, np.float64)[axes])
+    if split_v is None:
+        split_v = split
+    per_brick = 1 if np.ndim(split) else 0
+    su = np.ascontiguousarray(
+        np.atleast_1d(np.asarray(split, np.float64))
+    )
+    sv = np.ascontiguousarray(
+        np.atleast_1d(np.asarray(split_v, np.float64))
+    )
+    if per_brick and (len(su) != len(meta) or len(sv) != len(meta)):
+        return None
+    n = len(wt64)
+    band1 = np.empty(n, dtype=np.int32)
+    band2 = np.empty(n, dtype=np.int32)
+    fwd_flag = np.empty(n, dtype=np.uint8)
+    tan_half = math.tan(math.radians(fov_y_degrees) * 0.5)
+    aspect = logical_width / max(logical_height, 1)
+    ok = lib.avr_item_bands(
+        _ptr(meta, ctypes.c_float), _ptr(bb, ctypes.c_int32),
+        _ptr(wt64, ctypes.c_int64), _ptr(wb64, ctypes.c_int64),
+        n,
+        _ptr(eye_p, ctypes.c_double), _ptr(fwd_p, ctypes.c_double),
+        _ptr(right_p, ctypes.c_double), _ptr(up_p, ctypes.c_double),
+        tan_half, aspect,
+        width // TILE_W, TILE_W, TILE_H,
+        logical_width, logical_height,
+        _ptr(occ_bits, ctypes.c_uint16),
+        occ_bits.shape[1], int(nq),
+        _ptr(su, ctypes.c_double), _ptr(sv, ctypes.c_double), per_brick,
+        int(ghost), int(min_gap),
+        _ptr(band1, ctypes.c_int32), _ptr(band2, ctypes.c_int32),
+        _ptr(fwd_flag, ctypes.c_uint8),
+    )
+    if not ok:
+        return None
+    return band1, band2, fwd_flag.astype(bool)
 
 
 def visibility_order(

@@ -851,84 +851,113 @@ def compute_item_slice_bounds(
     return out.astype(np.int32)
 
 
-def split_item_bands(
-    wt: np.ndarray,  # [W] tile per item (tile-sorted CSR order)
-    wb: np.ndarray,  # [W] brick per item
-    owners: np.ndarray,  # [W] run key per item
-    item_bounds: np.ndarray,  # [W] packed (lo<<16)|hi
+def find_second_bands(
     sel: np.ndarray,  # [W, S] per-slice occupancy (compute_item_slice_bounds)
+    item_bounds: np.ndarray,  # [W] packed (lo<<16)|hi (tightened)
     ok: np.ndarray,  # [W] footprint maths trusted (incl. uniform d_a sign)
-    forward: np.ndarray,  # [W] tile march direction (d_a > 0)
     min_gap: int = 6,
-    max_candidates: int = 8192,
-):
-    """Split two-sided occupied ranges into TWO separate march bands.
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Locate each item's largest internal empty gap (vectorized).
 
-    A chord through a hollow feature (a shell, a bubble wall) enters and
-    exits the occupied region with an empty middle; the contiguous
-    [lo, hi) range marches the gap for nothing.  For items whose largest
-    internal gap is >= ``min_gap`` slices, emit two adjacent work items
-    covering [lo, gap_start) and [gap_end, hi), ordered in the tile's
-    MARCH direction so the kernel's run blend (depth tie -> earlier item
-    stays in front) composites them front-to-back for every ray in the
-    tile — valid exactly where the footprint maths is trusted (``ok``
-    requires a uniform d_a sign across the tile's corner rays).
-    Conservative: the two bands cover every occupied slice.
-
-    Returns (wt, wb, owners, item_bounds) with split items expanded in
-    place (CSR tile order preserved).  Beyond reference: the reference
-    marches every step of every box (VolumePainter.cpp:837-900).
-    """
-    wt = np.asarray(wt)
+    Returns (band1, band2), both [W] i32 packed ``(lo<<16)|hi``: where a
+    gap of >= ``min_gap`` empty slices splits the occupied range, band1 /
+    band2 are the two covering sub-ranges in slice order; elsewhere band1
+    is the input bounds and band2 is 0 (unsplit)."""
     ib = np.asarray(item_bounds).astype(np.int64)
     lo = ib >> 16
     hi = ib & 0xFFFF
-    span = np.maximum(hi - lo, 0)
-    occ_counts = np.zeros(len(wt), np.int64)
-    valid = span > 0
-    if sel is not None and len(wt):
-        occ_counts[valid] = np.asarray(sel)[valid].sum(axis=1)
-    cand = np.flatnonzero(
-        np.asarray(ok) & valid & (span - occ_counts >= min_gap)
+    W, S = np.asarray(sel).shape
+    s_idx = np.arange(S, dtype=np.int64)[None, :]
+    occ = np.asarray(sel) & (s_idx >= lo[:, None]) & (s_idx < hi[:, None])
+    # prev_occ[j] = index of the last occupied slice STRICTLY before j
+    prev = np.maximum.accumulate(np.where(occ, s_idx, -1), axis=1)
+    prev_sh = np.concatenate(
+        [np.full((W, 1), -1, np.int64), prev[:, :-1]], axis=1
     )
-    if len(cand) > max_candidates:
-        # keep the biggest potential savings (host time stays bounded)
-        gaps = (span - occ_counts)[cand]
-        cand = cand[np.argsort(gaps)[::-1][:max_candidates]]
-        cand.sort()
-    if len(cand) == 0:
-        return wt, np.asarray(wb), np.asarray(owners), np.asarray(item_bounds)
+    # gap ending at occupied slice j = run of empties since the previous
+    # occupied slice; -1 where not an (internal) gap end
+    gap = np.where(occ & (prev_sh >= 0), s_idx - prev_sh - 1, -1)
+    rows = np.arange(W)
+    g_end = gap.argmax(axis=1)  # first maximal gap's closing occupied slice
+    g_len = gap[rows, g_end]
+    g_prev = prev_sh[rows, g_end]  # occupied slice opening the gap
+    split = np.asarray(ok, bool) & (g_len >= min_gap) & (hi > lo)
+    band1 = np.where(split, (lo << 16) | (g_prev + 1), ib)
+    band2 = np.where(split, (g_end << 16) | hi, 0)
+    return band1.astype(np.int32), band2.astype(np.int32)
 
-    extra_at = {}
-    sel = np.asarray(sel)
-    for i in cand:
-        occ = sel[i, lo[i]: hi[i]]
-        # longest internal zero-run (bounds are tight, so ends are occupied)
-        idx = np.flatnonzero(occ)
-        if len(idx) < 2:
-            continue
-        gaps = np.diff(idx) - 1
-        g = int(gaps.argmax())
-        if gaps[g] < min_gap:
-            continue
-        b1 = (int(lo[i]) << 16) | int(lo[i] + idx[g] + 1)
-        b2 = (int(lo[i] + idx[g + 1]) << 16) | int(hi[i])
-        extra_at[int(i)] = (b1, b2) if forward[i] else (b2, b1)
-    if not extra_at:
-        return wt, np.asarray(wb), np.asarray(owners), np.asarray(item_bounds)
 
-    reps = np.ones(len(wt), np.int64)
-    split_idx = np.fromiter(extra_at, dtype=np.int64)
-    reps[split_idx] = 2
+def expand_bands(
+    wt: np.ndarray,  # [W] tile per item (tile-sorted CSR order)
+    wb: np.ndarray,  # [W] brick per item
+    owners: np.ndarray,  # [W] run key per item
+    band1: np.ndarray,  # [W] packed first band (== bounds when unsplit)
+    band2: np.ndarray,  # [W] packed second band, 0 = unsplit
+    forward: np.ndarray,  # [W] tile march direction (d_a > 0)
+):
+    """Expand split items into TWO adjacent work items.
+
+    A chord through a hollow feature (a shell, a bubble wall) enters and
+    exits the occupied region with an empty middle; the contiguous
+    [lo, hi) range marches the gap for nothing.  Split items emit their
+    two bands ordered in the tile's MARCH direction so the kernel's run
+    blend (depth tie -> earlier item stays in front) composites them
+    front-to-back for every ray in the tile — valid exactly where the
+    footprint maths is trusted (compute_item_bands only emits band2 where
+    ``ok``, which requires a uniform d_a sign across the tile's corner
+    rays).  Conservative: the two bands cover every occupied slice.
+
+    Returns (wt, wb, owners, item_bounds) with split items expanded in
+    place (CSR tile order preserved).  Beyond reference: the reference
+    marches every step of every box (VolumePainter.cpp:837-900)."""
+    wt = np.asarray(wt)
+    band1 = np.asarray(band1, np.int32)
+    band2 = np.asarray(band2, np.int32)
+    has2 = band2 != 0
+    if not has2.any():
+        return wt, np.asarray(wb), np.asarray(owners), band1
+    fwd = np.asarray(forward, bool)
+    first = np.where(has2 & ~fwd, band2, band1)
+    second = np.where(fwd, band2, band1)
+    reps = np.where(has2, 2, 1).astype(np.int64)
     wt2 = np.repeat(wt, reps)
     wb2 = np.repeat(np.asarray(wb), reps)
     ow2 = np.repeat(np.asarray(owners), reps)
-    ib2 = np.repeat(np.asarray(item_bounds), reps)
-    starts = np.cumsum(reps) - reps
-    for i, (b1, b2) in extra_at.items():
-        ib2[starts[i]] = b1
-        ib2[starts[i] + 1] = b2
+    ib2 = np.repeat(first, reps)
+    starts = np.cumsum(reps) - 1  # row of each item's LAST emitted slot
+    ib2[starts[has2]] = second[has2]
     return wt2, wb2, ow2, ib2
+
+
+def compute_item_bands(
+    meta, brick_bounds, wt, wb, eye, forward, right, up, fov_y_degrees,
+    axes, width, height, logical_width, logical_height,
+    occ_bits, nq, split, split_v=None, ghost: int = 0, min_gap: int = 6,
+):
+    """Per-item occupied-slice bounds + second-band split, native-first.
+
+    Same geometry contract as ``compute_item_slice_bounds`` (the NumPy
+    oracle); returns (band1, band2, march_forward) for ``expand_bands``.
+    The native path (native.item_bands, avr_native.cpp) fuses the
+    footprint maths, occupancy AND, and gap scan into one C++ pass —
+    this is per-frame host work on the product path, so it follows the
+    reference's native-host-layer design (SceneBuilder.cpp:113-189)."""
+    from .. import native as _native
+
+    res = _native.item_bands(
+        meta, brick_bounds, wt, wb, eye, forward, right, up,
+        fov_y_degrees, axes, width, logical_width, logical_height,
+        occ_bits, nq, split, split_v, ghost, min_gap,
+    )
+    if res is not None:
+        return res
+    bounds, sel, ok, fwd = compute_item_slice_bounds(
+        meta, brick_bounds, wt, wb, eye, forward, right, up,
+        fov_y_degrees, axes, width, height, logical_width, logical_height,
+        occ_bits, nq, split, split_v, ghost=ghost, return_mask=True,
+    )
+    band1, band2 = find_second_bands(sel, bounds, ok, min_gap=min_gap)
+    return band1, band2, fwd
 
 
 def build_tile_worklist(

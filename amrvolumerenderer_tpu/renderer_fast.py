@@ -301,11 +301,15 @@ def prepare_slicemarch_scene(
         up, camera.fov_y_degrees, pad_w, pad_h,
         logical_width=render_width, logical_height=render_height,
     )
-    wbounds = tm.compute_item_slice_bounds(
+    # min_gap sentinel disables band splitting: the layered slicemarch
+    # kernel maps items 1:1 to (piece, tile) coverage, so each item must
+    # keep its full occupied range
+    wbounds, _, _ = tm.compute_item_bands(
         meta, dims[:, 7], wt, wb, np.asarray(camera.eye), forward, right,
         up, camera.fov_y_degrees, [axis] + [a for a in range(3) if a != axis],
         pad_w, pad_h, render_width, render_height,
         lp["occ_bits"], gp["nq"], gp["split_u"], gp["split_v"], ghost=ghost,
+        min_gap=1 << 30,
     )
     # cull fully-empty (piece, tile) items: clear their coverage bit so the
     # composite masks treat the (unwritten) output block as background
@@ -869,16 +873,16 @@ def render_composited_tilemarch(
     # culling — the same sparse-scene machinery as the persistent path
     # (fast_scene.frame_inputs)
     wt_items = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-    ibounds, sel_mask, bounds_ok, march_fwd = tm.compute_item_slice_bounds(
+    band1, band2, march_fwd = tm.compute_item_bands(
         prep["meta"], prep["dims"][:, 7], wt_items, tbricks,
         np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
         list(prep["dims"][0, 3:6]), prep["pad_w"], prep["pad_h"],
         render_width, render_height,
         prep["occ_bits"], prep["nq"], prep["split_u"], prep["split_v"],
-        ghost=prep["ghost"], return_mask=True,
+        ghost=prep["ghost"],
     )
-    wt_items, tbricks, towners, ibounds = tm.split_item_bands(
-        wt_items, tbricks, towners, ibounds, sel_mask, bounds_ok, march_fwd
+    wt_items, tbricks, towners, ibounds = tm.expand_bands(
+        wt_items, tbricks, towners, band1, band2, march_fwd
     )
     nonempty = (ibounds >> 16) < (ibounds & 0xFFFF)
     wt_items = wt_items[nonempty]

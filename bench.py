@@ -9,8 +9,12 @@ renders it through the persistent-scene tile-loop mega-kernel
 (fast_scene.FastSceneRenderer -> ops/tilemarch.py).
 
 Reported numbers (all in the one JSON line; "extra" keys):
-  value / frame_ms ......... device-only composited frame time (K frames in
-                             one jitted fori_loop; the kernel MFU number)
+  value / frame_ms ......... device-only composited frame time (F frames in
+                             ONE pallas launch, slope over F — the true
+                             kernel time; `frame_ms_launch_chain` is the
+                             same frame measured as one launch per
+                             fori_loop step, which through this remote-TPU
+                             relay adds ~1.3 ms/launch serialization)
   mrays_per_s .............. primary rays retired per second per chip
   host_prep_ms ............. per-frame host work from the persistent-scene
                              path: work list, slice bounds, depth sort,
@@ -189,6 +193,71 @@ def measure_device_frame(fsr, camera, width, height, K=None):
     return max((t2 - t1) / (k2 - k1), 1e-3)
 
 
+def measure_device_frame_single_launch(fsr, camera, F=None):
+    """TRUE per-frame KERNEL time: F frames in ONE pallas launch, slope
+    over two F values.
+
+    ``measure_device_frame``'s fori_loop runs one launch per iteration,
+    and the remote-TPU runtime charges ~1.3 ms per serialized program
+    step (scripts/fixed_cost_probe.py zero-work controls) — a relay
+    artifact that is microseconds on directly attached chips, yet it
+    lands on every iteration of the loop and so inflates the slope.
+    ``tilemarch_render_batch`` flattens the frame axis into the pallas
+    grid, so t(F) = dispatch + launch_tax + F * frame; differencing two
+    F values cancels both fixed terms.  Frames differ only in the unused
+    camera slot 19 (anti-hoist; pixels identical)."""
+    import jax
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.ops import tilemarch as tm
+
+    if F is None:
+        F = (4, 16) if jax.default_backend() == "tpu" else (1, 2)
+    inputs = fsr.frame_inputs(camera, as_numpy=True)
+
+    def launch_time(f):
+        cams = np.tile(inputs["cam"], (f, 1)).astype(np.float32)
+        cams[:, 19] = np.arange(f)  # unused slot: defeats CSE across frames
+
+        @jax.jit
+        def frames(vol, meta, dims, lut, cams, offsets, bricks, owners,
+                   ibounds, tile_ids):
+            out_c, _out_d = tm.tilemarch_render_batch(
+                vol, meta, dims, lut, cams, offsets, bricks, owners,
+                ibounds, tile_ids,
+                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                logical_width=fsr.render_width,
+                logical_height=fsr.render_height,
+                interpret=fsr.interpret,
+                sampling=fsr.parameters.sampling,
+                ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
+                classification=fsr.parameters.classification,
+            )
+            return jnp.sum(out_c[:, ::8])  # strided checksum readback
+
+        tile = lambda a: jnp.asarray(np.tile(a[None], (f,) + (1,) * a.ndim))
+        args = (
+            fsr._packed_vol, jnp.asarray(inputs["meta"]),
+            jnp.asarray(inputs["dims"]), fsr._lut_device, jnp.asarray(cams),
+            tile(inputs["offsets"]), tile(inputs["bricks"]),
+            tile(inputs["owners"]), tile(inputs["item_bounds"]),
+            tile(inputs["tile_ids"]),
+        )
+        checksum = float(frames(*args))
+        assert np.isfinite(checksum) and checksum > 0.0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(frames(*args))
+            times.append(time.perf_counter() - t0)
+        return min(times) * 1e3
+
+    f1, f2 = F
+    t1 = launch_time(f1)
+    t2 = launch_time(f2)
+    return max((t2 - t1) / (f2 - f1), 1e-3)
+
+
 def exchange_payload_bytes(fsr, camera, num_devices: int):
     """Static per-frame ICI payload of the depth-contiguous multi-chip
     pipeline on this scene: (D-1) rect-compacted frames cross the links per
@@ -300,11 +369,20 @@ def main() -> None:
         inputs = fsr.frame_inputs(camera)
     host_prep_ms = (time.perf_counter() - t0) * 1e3 / reps
 
-    # ---- device-only composited frame (K frames, one dispatch) ----------
-    # Host->device dispatch latency through the runtime can exceed the frame
-    # time itself, so the per-frame number comes from a K-frame loop inside
-    # one jitted program with a scalar readback.
-    frame_ms = measure_device_frame(fsr, camera, width, height)
+    # ---- device-only composited frame ----------------------------------
+    # Two measurements, both slope-based (dispatch intercept cancelled):
+    #   frame_ms_launch_chain: K sequential launches in one fori_loop —
+    #     includes the ~1.3 ms/step serialization tax this remote-TPU
+    #     runtime charges per launch (a relay artifact, microseconds on
+    #     directly attached chips);
+    #   frame_ms (headline): F frames flattened into ONE pallas launch
+    #     (tilemarch_render_batch) — the true per-frame kernel time, what
+    #     direct-attached hardware retires per frame.
+    frame_ms_chain = measure_device_frame(fsr, camera, width, height)
+    try:
+        frame_ms = measure_device_frame_single_launch(fsr, camera)
+    except Exception:
+        frame_ms = frame_ms_chain
     mrays_per_s = (fsr.render_width * fsr.render_height) / (frame_ms * 1e-3) / 1e6
 
     # ---- end-to-end render() wall clock (host + dispatch + readback) ----
@@ -379,7 +457,7 @@ def main() -> None:
                 shell_geom, RenderParameters(width=width, height=height)
             )
             shell_cam = auto_orbit_camera(shell_fsr.bounds)
-            shell_ms = measure_device_frame(shell_fsr, shell_cam, width, height)
+            shell_ms = measure_device_frame_single_launch(shell_fsr, shell_cam)
             shell_grays = (width * height) / (shell_ms * 1e-3) / 1e9
 
         # same shell under a transfer function with a transparent range
@@ -392,8 +470,8 @@ def main() -> None:
                 (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
                 (0.5, 1.0, 0.5, 0.2, 0.4), (1.0, 1.0, 1.0, 1.0, 0.8),
             ]))
-            shell_tf_ms = measure_device_frame(
-                shell_fsr, shell_cam, width, height
+            shell_tf_ms = measure_device_frame_single_launch(
+                shell_fsr, shell_cam
             )
             shell_tf_grays = (width * height) / (shell_tf_ms * 1e-3) / 1e9
     except Exception:
@@ -455,6 +533,7 @@ def main() -> None:
         ),
         "mrays_per_s_per_chip": round(mrays_per_s, 1),
         "gsamples_per_s": round(gsamples_per_s, 2),
+        "frame_ms_launch_chain": round(frame_ms_chain, 2),
         "sparse_shell_frame_ms": opt(shell_ms, 2),
         "sparse_shell_grays_per_s": opt(shell_grays, 3),
         "sparse_shell_tf_frame_ms": opt(shell_tf_ms, 2),

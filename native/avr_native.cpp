@@ -593,4 +593,181 @@ int avr_visibility_order(const double* box_min,  // [n][3]
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Per-(tile, brick) occupied-slice bounds + two-band chord splitting.
+//
+// Native twin of ops/tilemarch.py compute_item_slice_bounds +
+// find_second_bands (the NumPy oracle): for each work item, bound the
+// tile's corner-ray footprint on the brick per slice SEGMENT, AND it with
+// the cached per-block occupancy bitmask, collapse to a [lo, hi) slice
+// range, and locate the largest internal empty gap (a chord through a
+// hollow feature) for entry/exit band splitting.  Identical arithmetic
+// (double precision, same operation order) so results match the oracle
+// bit-for-bit; this is per-frame host work on the product render path.
+// ---------------------------------------------------------------------------
+
+static void item_bands_range(
+    const float* meta, const int32_t* brick_bounds, const int64_t* wt,
+    const int64_t* wb, int64_t begin, int64_t end, const double* eye_p,
+    const double* fwd_p, const double* right_p, const double* up_p,
+    double tan_half, double aspect, int tiles_x, int tile_w, int tile_h,
+    int logical_width, int logical_height, const uint16_t* occ_bits,
+    int cap, int nq, const double* su, const double* sv, int per_brick,
+    int ghost, int64_t min_gap, int32_t* out_band1, int32_t* out_band2,
+    uint8_t* out_forward) {
+  const int seg_len = 4;
+  const int n_seg = (cap + seg_len - 1) / seg_len;
+  const double margin = ghost + 2.0;
+  std::vector<double> cu_min(n_seg + 1), cu_max(n_seg + 1);
+  std::vector<double> cv_min(n_seg + 1), cv_max(n_seg + 1);
+  std::vector<uint16_t> fmask(n_seg);
+
+  for (int64_t i = begin; i < end; ++i) {
+    const int64_t b = wb[i];
+    const int32_t bb = brick_bounds[b];
+    const int64_t blo = bb >> 16;
+    const int64_t bhi = bb & 0xFFFF;
+    const int64_t t_id = wt[i];
+    const double tx = static_cast<double>(t_id % tiles_x);
+    const double ty = static_cast<double>(t_id / tiles_x);
+    // extreme pixel centers of the tile (the kernel samples px + 0.5)
+    const double px[2] = {tx * tile_w + 0.5, tx * tile_w + tile_w - 0.5};
+    const double py[2] = {ty * tile_h + 0.5, ty * tile_h + tile_h - 0.5};
+    double plane_x[2], plane_y[2];
+    for (int j = 0; j < 2; ++j) {
+      plane_x[j] = (px[j] * (2.0 / logical_width) - 1.0) * tan_half * aspect;
+      plane_y[j] = (py[j] * (2.0 / logical_height) - 1.0) * tan_half;
+    }
+    // 4 corner rays in permuted (march-axis-first) coordinates
+    double dp[4][3], d_a[4];
+    bool pos = true, neg = true, nonzero = true;
+    for (int c = 0; c < 4; ++c) {
+      const double cx = plane_x[c >> 1];
+      const double cy = plane_y[c & 1];
+      for (int k = 0; k < 3; ++k)
+        dp[c][k] = fwd_p[k] + cx * right_p[k] + cy * up_p[k];
+      d_a[c] = dp[c][0];
+      pos &= d_a[c] > 0.0;
+      neg &= d_a[c] < 0.0;
+      nonzero &= std::fabs(d_a[c]) > 1e-8;
+    }
+    const bool sign_ok = nonzero && (pos || neg);
+    out_forward[i] = pos ? 1 : 0;
+
+    const double pmin0 = meta[b * 12 + 0];
+    const double pmin1 = meta[b * 12 + 1];
+    const double pmin2 = meta[b * 12 + 2];
+    const double cell0 = meta[b * 12 + 6];
+    const double cell1 = meta[b * 12 + 7];
+    const double cell2 = meta[b * 12 + 8];
+
+    bool ok = sign_ok;
+    if (ok) {
+      for (int g = 0; g <= n_seg && ok; ++g) {
+        const int ks = std::min(g * seg_len, cap - 1);
+        const double z = pmin0 + (ks + 0.5) * cell0;
+        double umin = std::numeric_limits<double>::infinity(), umax = -umin;
+        double vmin = umin, vmax = -umin;
+        for (int c = 0; c < 4; ++c) {
+          const double t = (z - eye_p[0]) / d_a[c];
+          if (!(t > 0.0)) { ok = false; break; }
+          const double u = eye_p[1] + t * dp[c][1];
+          const double v = eye_p[2] + t * dp[c][2];
+          const double cu = (u - pmin1) / cell1 + ghost;
+          const double cv = (v - pmin2) / cell2 + ghost;
+          umin = std::min(umin, cu); umax = std::max(umax, cu);
+          vmin = std::min(vmin, cv); vmax = std::max(vmax, cv);
+        }
+        cu_min[g] = umin; cu_max[g] = umax;
+        cv_min[g] = vmin; cv_max[g] = vmax;
+      }
+    }
+    if (!ok || bhi <= blo) {
+      out_band1[i] = bb;
+      out_band2[i] = 0;
+      continue;
+    }
+    const double su_b = per_brick ? su[b] : su[0];
+    const double sv_b = per_brick ? sv[b] : sv[0];
+    for (int g = 0; g < n_seg; ++g) {
+      const double cu_lo = std::min(cu_min[g], cu_min[g + 1]) - margin;
+      const double cu_hi = std::max(cu_max[g], cu_max[g + 1]) + margin;
+      const double cv_lo = std::min(cv_min[g], cv_min[g + 1]) - margin;
+      const double cv_hi = std::max(cv_max[g], cv_max[g + 1]) + margin;
+      uint32_t fu = 0, fv = 0;
+      for (int q = 0; q < nq; ++q) {
+        const double eu_lo = su_b * q, ev_lo = sv_b * q;
+        if (cu_lo < eu_lo + su_b && cu_hi > eu_lo) fu |= 1u << (q * nq);
+        if (cv_lo < ev_lo + sv_b && cv_hi > ev_lo) fv |= 1u << q;
+      }
+      fmask[g] = static_cast<uint16_t>(fu * fv);
+    }
+    // slice scan: first/last occupied + largest internal empty gap
+    const uint16_t* occ_row = occ_bits + b * cap;
+    int64_t first = -1, last = -1, prev = -1, best = -1;
+    int64_t gap_prev = -1, gap_end = -1;
+    for (int64_t s = blo; s < bhi; ++s) {
+      const int seg = std::min(static_cast<int>(s / seg_len), n_seg - 1);
+      if ((fmask[seg] & occ_row[s]) == 0) continue;
+      if (first < 0) first = s;
+      if (prev >= 0 && s - prev - 1 > best) {
+        best = s - prev - 1;
+        gap_prev = prev;
+        gap_end = s;
+      }
+      prev = s;
+      last = s;
+    }
+    if (first >= 0 && best >= min_gap) {
+      out_band1[i] = static_cast<int32_t>((first << 16) | (gap_prev + 1));
+      out_band2[i] = static_cast<int32_t>((gap_end << 16) | (last + 1));
+    } else if (first >= 0) {
+      out_band1[i] = static_cast<int32_t>((first << 16) | (last + 1));
+      out_band2[i] = 0;
+    } else {
+      out_band1[i] = static_cast<int32_t>((bhi << 16) | bhi);
+      out_band2[i] = 0;
+    }
+  }
+}
+
+int avr_item_bands(const float* meta, const int32_t* brick_bounds,
+                   const int64_t* wt, const int64_t* wb, int64_t num_items,
+                   const double* eye_p, const double* fwd_p,
+                   const double* right_p, const double* up_p, double tan_half,
+                   double aspect, int tiles_x, int tile_w, int tile_h,
+                   int logical_width, int logical_height,
+                   const uint16_t* occ_bits, int cap, int nq,
+                   const double* su, const double* sv, int per_brick,
+                   int ghost, int64_t min_gap, int32_t* out_band1,
+                   int32_t* out_band2, uint8_t* out_forward) {
+  if (cap <= 0 || nq <= 0 || nq > 4 || tiles_x <= 0) return 0;
+  const int64_t kChunk = 8192;
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(
+      hw ? hw : 1, (num_items + kChunk - 1) / kChunk);
+  if (n_threads <= 1) {
+    item_bands_range(meta, brick_bounds, wt, wb, 0, num_items, eye_p, fwd_p,
+                     right_p, up_p, tan_half, aspect, tiles_x, tile_w, tile_h,
+                     logical_width, logical_height, occ_bits, cap, nq, su, sv,
+                     per_brick, ghost, min_gap, out_band1, out_band2,
+                     out_forward);
+    return 1;
+  }
+  std::vector<std::thread> pool;
+  const int64_t step = (num_items + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * step;
+    const int64_t hi = std::min(num_items, lo + step);
+    if (lo >= hi) break;
+    pool.emplace_back(item_bands_range, meta, brick_bounds, wt, wb, lo, hi,
+                      eye_p, fwd_p, right_p, up_p, tan_half, aspect, tiles_x,
+                      tile_w, tile_h, logical_width, logical_height, occ_bits,
+                      cap, nq, su, sv, per_brick, ghost, min_gap, out_band1,
+                      out_band2, out_forward);
+  }
+  for (auto& th : pool) th.join();
+  return 1;
+}
+
 }  // extern "C"

@@ -590,13 +590,16 @@ def test_band_split_shell_pixel_parity(monkeypatch):
     counts = {}
     for mode in ("split", "unsplit"):
         if mode == "unsplit":
-            monkeypatch.setattr(
-                tm, "split_item_bands",
-                lambda wt, wb, ow, ib, *a, **k: (
-                    np.asarray(wt), np.asarray(wb), np.asarray(ow),
-                    np.asarray(ib),
-                ),
-            )
+            def merge_bands(wt, wb, ow, b1, b2, fwd):
+                # re-fuse the two bands into the original [lo, hi) range
+                b1 = np.asarray(b1, np.int64)
+                b2 = np.asarray(b2, np.int64)
+                full = np.where(
+                    b2 != 0, (b1 & ~0xFFFF) | (b2 & 0xFFFF), b1
+                ).astype(np.int32)
+                return np.asarray(wt), np.asarray(wb), np.asarray(ow), full
+
+            monkeypatch.setattr(tm, "expand_bands", merge_bands)
         fsr = FastSceneRenderer(geometry, params, color_map=cmap)
         cam = auto_orbit_camera(fsr.bounds)
         inputs = fsr.frame_inputs(cam, as_numpy=True)
@@ -609,3 +612,87 @@ def test_band_split_shell_pixel_parity(monkeypatch):
     np.testing.assert_allclose(
         frames["split"], frames["unsplit"], atol=1e-6
     )
+
+
+def test_native_item_bands_matches_numpy(monkeypatch):
+    """The native C++ fast path (native.item_bands / avr_item_bands) must
+    reproduce the NumPy oracle (compute_item_slice_bounds +
+    find_second_bands) BIT-EXACTLY on real frames: the bounds are a
+    conservativeness contract (CLAUDE.md), so any divergence is a bug in
+    whichever side diverges."""
+    import amrvolumerenderer_tpu.native as native
+    from amrvolumerenderer_tpu.camera import auto_orbit_camera
+    from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+    from amrvolumerenderer_tpu.types import (
+        CameraParameters,
+        RenderParameters,
+        color_map_from_tuples,
+    )
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "avr_item_bands"):
+        pytest.skip("native library unavailable")
+
+    n = 64
+    c = (np.arange(n) + 0.5) / n
+    r = np.sqrt(
+        (c[:, None, None] - 0.5) ** 2
+        + (c[None, :, None] - 0.5) ** 2
+        + (c[None, None, :] - 0.5) ** 2
+    )
+    f = np.exp(-((r - 0.40) / 0.02) ** 2)
+    boxes = [
+        LevelBox(f[i:i + 32, j:j + 32, k:k + 32], np.array([i, j, k], int))
+        for i in range(0, n, 32)
+        for j in range(0, n, 32)
+        for k in range(0, n, 32)
+    ]
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+    g = api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    cmap = color_map_from_tuples([
+        (0.0, 0, 0, 0, 0.0), (0.3, 0, 0, 0, 0.0),
+        (0.5, 1.0, 0.5, 0.2, 0.4), (1.0, 1.0, 1.0, 1.0, 0.8),
+    ])
+
+    recorded = []
+    orig = tm.compute_item_bands
+
+    def record(*a, **k):
+        recorded.append((a, dict(k)))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(tm, "compute_item_bands", record)
+    cams = [
+        CameraParameters(eye=e, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0))
+        for e in [
+            (0.5, 0.6, 3.2), (3.1, 0.5, 0.4), (-1.9, 2.3, -1.2),
+            (0.4, 0.45, 0.5),  # eye inside the domain
+        ]
+    ]
+    # nearest (ghost=0) and trilinear (ghost=1) scenes, value cut active
+    for sampling in ("nearest", "trilinear"):
+        fsr = FastSceneRenderer(
+            g, RenderParameters(width=128, height=128, sampling=sampling),
+            color_map=cmap, interpret=True,
+        )
+        for cam in cams + [auto_orbit_camera(fsr.bounds)]:
+            fsr.frame_inputs(cam)
+    monkeypatch.setattr(tm, "compute_item_bands", orig)
+    assert len(recorded) >= 8
+
+    saved = native.item_bands
+    for a, k in recorded:
+        got = orig(*a, **k)  # native path (lib is available)
+        native.item_bands = lambda *x, **y: None
+        try:
+            want = orig(*a, **k)  # forced NumPy oracle
+        finally:
+            native.item_bands = saved
+        for name, g_arr, w_arr in zip(
+            ("band1", "band2", "forward"), got, want
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(g_arr), np.asarray(w_arr), err_msg=name
+            )
