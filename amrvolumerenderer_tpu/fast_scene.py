@@ -141,7 +141,10 @@ def _render_batch_frames(
     The frame axis is flattened into the pallas grid
     (tm.tilemarch_render_batch) so the whole chunk pays the per-launch
     serialization cost once — a lax.scan of launches pays it per frame.
-    Returns [F, out_pixels, 5] frames (or [F, out_pixels, 4] u8)."""
+    Returns [F, out_pixels, 5] frames; ``bytes_out=True`` -> [F,
+    out_pixels, 4] u8, ``bytes_out="rgb"`` -> [F, out_pixels, 3] u8 (the
+    alpha byte dropped on device — PPM/PNG consumers never read it, and
+    on a readback-bound link the transfer is the frame time)."""
     tiles_x = width // sm.TILE_W
     tiles_y = height // sm.TILE_H
 
@@ -163,12 +166,15 @@ def _render_batch_frames(
             enc = jnp.clip(
                 (out_c * jnp.float32(256.0)).astype(jnp.int32), 0, 255
             ).astype(jnp.uint8)
+            if bytes_out == "rgb":
+                enc = enc[:, :3]  # drop alpha before untiling: less HBM too
+            nch = enc.shape[1]
             full = jnp.zeros(
                 (tiles_x * tiles_y,) + enc.shape[1:], jnp.uint8
             ).at[tids].set(enc)
-            c = full.reshape(tiles_y, tiles_x, 4, sm.TILE_H, sm.TILE_W)
-            c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, 4)
-            return c[:logical_height, :logical_width].reshape(-1, 4)
+            c = full.reshape(tiles_y, tiles_x, nch, sm.TILE_H, sm.TILE_W)
+            c = c.transpose(0, 3, 1, 4, 2).reshape(height, width, nch)
+            return c[:logical_height, :logical_width].reshape(-1, nch)
         out_c, out_d = tm.scatter_tiles(
             out_c, out_d, tids, tiles_x * tiles_y
         )
@@ -184,10 +190,12 @@ def _render_batch_frames(
             )
         if bytes_out:
             # Mesa byte codec on device (image.color_to_byte): the readback
-            # shrinks 5x (4 u8 vs 4+1 f32 per pixel)
+            # shrinks 5x (4 u8 vs 4+1 f32 per pixel); "rgb" drops alpha too
             frame = jnp.clip(
                 (frame[:, :4] * jnp.float32(256.0)).astype(jnp.int32), 0, 255
             ).astype(jnp.uint8)
+            if bytes_out == "rgb":
+                frame = frame[:, :3]
         return frame
 
     return jax.vmap(assemble)(out_c, out_d, tile_ids)
@@ -751,7 +759,10 @@ class FastSceneRenderer:
         With ``bytes_out=True`` frames come back as [B, width*height, 4]
         RGBA uint8 (the Mesa byte codec applied on device): the readback
         shrinks 5x — the right mode when the frames are headed for
-        PPM/PNG anyway.  ``overlay`` requires float frames.
+        PPM/PNG anyway.  ``bytes_out="rgb"`` additionally drops the alpha
+        byte on device ([B, width*height, 3]): PPM/PNG never read it, and
+        on a readback-bound link that is a further 25% off the frame
+        time.  ``overlay`` requires float frames.
         Beyond reference — the reference has no batched render entry.
         """
         cameras = list(cameras)
@@ -759,8 +770,8 @@ class FastSceneRenderer:
             raise ValueError("bytes_out requires overlay=False (the "
                              "wireframe overlay blends float pixels)")
         num_out = self.parameters.width * self.parameters.height
-        chans = 4 if bytes_out else 5
-        frame_bytes = num_out * (4 if bytes_out else 5 * 4)
+        chans = (3 if bytes_out == "rgb" else 4) if bytes_out else 5
+        frame_bytes = num_out * (chans if bytes_out else 5 * 4)
         results: List[Optional[np.ndarray]] = [None] * len(cameras)
         # where the batch wall clock goes (read via ``last_batch_stats``):
         # host camera-table prep, dispatch count, device->host readback
@@ -891,10 +902,18 @@ class FastSceneRenderer:
                 else ImageKind.RGBA_F32_DEPTH_SORT
             )
             for i, camera in enumerate(cameras):
+                px = out[i]
+                if bytes_out == "rgb":
+                    # the save path's u8 kind carries alpha; re-attach an
+                    # opaque byte host-side (the readback stays 3-channel)
+                    px = np.concatenate(
+                        [px, np.full((px.shape[0], 1), 255, np.uint8)],
+                        axis=1,
+                    )
                 image = ImageBuffer(
                     kind,
                     self.parameters.width, self.parameters.height,
-                    out[i],
+                    px,
                 )
                 if overlay:
                     render_bounding_box_overlay(

@@ -223,11 +223,19 @@ def _kernel(
         t_lo = jnp.maximum(tmin, 0.0)
         t_hi = tmax
 
-        def sample_slice(k):
-            """One slice's (r, g, b, sample_alpha); out-of-range ``k`` (the
-            unroll tail) is masked to zero alpha."""
+        def sample_slice(k, mode):
+            """One slice's (r, g, b, sample_alpha) for loop index ``k``;
+            out-of-range ``k`` (the unroll tail) is masked to zero alpha.
+            ``mode`` in {"fwd", "bwd", "mixed"} selects the per-ray
+            slice-direction handling — uniform-sign (tile, brick) items
+            skip the dual slice load (see slicemarch.sample_slice)."""
             k_rev = s_lo + s_hi - 1 - k
-            k_eff = jnp.where(backward, k_rev, k)
+            if mode == "fwd":
+                k_eff = k
+            elif mode == "bwd":
+                k_eff = k_rev
+            else:
+                k_eff = jnp.where(backward, k_rev, k)
             z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
             t_k = (z_k - eye[0]) * inv_da
             pos_u = eye[1] + d[1] * t_k
@@ -310,12 +318,11 @@ def _kernel(
             # bf16-storable slices: upcast the vreg once, gather in f32
             # (``ghost`` shifts core slice k to its data row; ``buf_base``
             # rebases into the trimmed DMA window)
-            tile_f = vol_buf[slot, k_load + ghost - buf_base].astype(
-                jnp.float32
-            )
-            tile_b = vol_buf[slot, k_rev_load + ghost - buf_base].astype(
-                jnp.float32
-            )
+            def load_tile(kk):
+                return vol_buf[slot, kk + ghost - buf_base].astype(
+                    jnp.float32
+                )
+
             if sampling != "nearest" and classification == "pre":
                 # VTK-style PRE-classification: classify each bilinear
                 # corner, then interpolate the classified channels; opacity
@@ -329,11 +336,16 @@ def _kernel(
                         bilerp_at(tile, iu0, iv1), bilerp_at(tile, iu1, iv1),
                     )
 
-                cf = corners_of(tile_f)
-                cb = corners_of(tile_b)
-                corners = tuple(
-                    jnp.where(backward, b_, f_) for f_, b_ in zip(cf, cb)
-                )
+                if mode == "fwd":
+                    corners = corners_of(load_tile(k_load))
+                elif mode == "bwd":
+                    corners = corners_of(load_tile(k_rev_load))
+                else:
+                    cf = corners_of(load_tile(k_load))
+                    cb = corners_of(load_tile(k_rev_load))
+                    corners = tuple(
+                        jnp.where(backward, b_, f_) for f_, b_ in zip(cf, cb)
+                    )
                 wts = (
                     (1.0 - wu) * (1.0 - wv), wu * (1.0 - wv),
                     (1.0 - wu) * wv, wu * wv,
@@ -348,9 +360,14 @@ def _kernel(
                     )
                 s_r, s_g, s_bl, s_l = chans
             else:
-                s_f = sample(tile_f)
-                s_b = sample(tile_b)
-                scalar = jnp.where(backward, s_b, s_f)
+                if mode == "fwd":
+                    scalar = sample(load_tile(k_load))
+                elif mode == "bwd":
+                    scalar = sample(load_tile(k_rev_load))
+                else:
+                    s_f = sample(load_tile(k_load))
+                    s_b = sample(load_tile(k_rev_load))
+                    scalar = jnp.where(backward, s_b, s_f)
                 s_r, s_g, s_bl, s_l = classify(scalar)
 
             q_k = w / ref_distance
@@ -363,36 +380,70 @@ def _kernel(
             t = 1.0 - pa
             return (pr + qr * t, pg + qg * t, pb + qb * t, pa + qa * t)
 
-        def body(kn, carry):
-            # unrolled: ``unroll`` independent samples combined in a tree
-            # before the accumulator (see slicemarch.make_body_unrolled)
-            acc_r, acc_g, acc_b, acc_a = carry
-            k0 = s_lo + unroll * kn
-            parts = []
-            for i in range(unroll):
-                r, g, b, a = sample_slice(k0 + i)
-                parts.append((r * a, g * a, b * a, a))
-            while len(parts) > 1:
-                parts = [
-                    over(parts[i], parts[i + 1])
-                    if i + 1 < len(parts)
-                    else parts[i]
-                    for i in range(0, len(parts), 2)
-                ]
-            pr, pg, pb, pa = parts[0]
-            one_m = 1.0 - acc_a
-            return (
-                acc_r + pr * one_m,
-                acc_g + pg * one_m,
-                acc_b + pb * one_m,
-                acc_a + pa * one_m,
-            )
+        def make_body(mode):
+            def body(kn, carry):
+                # unrolled: ``unroll`` independent samples combined in a
+                # tree before the accumulator (slicemarch.make_body_unrolled)
+                acc_r, acc_g, acc_b, acc_a = carry
+                k0 = s_lo + unroll * kn
+                parts = []
+                for i in range(unroll):
+                    r, g, b, a = sample_slice(k0 + i, mode)
+                    parts.append((r * a, g * a, b * a, a))
+                while len(parts) > 1:
+                    parts = [
+                        over(parts[i], parts[i + 1])
+                        if i + 1 < len(parts)
+                        else parts[i]
+                        for i in range(0, len(parts), 2)
+                    ]
+                pr, pg, pb, pa = parts[0]
+                one_m = 1.0 - acc_a
+                return (
+                    acc_r + pr * one_m,
+                    acc_g + pg * one_m,
+                    acc_b + pb * one_m,
+                    acc_a + pa * one_m,
+                )
+
+            return body
 
         zero = plane_x * 0.0
+        init = (zero, zero, zero, zero)
         hi_k = jnp.minimum(s_hi, max_slices)
         trips = (hi_k - s_lo + unroll - 1) // unroll
-        l_r, l_g, l_b, l_a = jax.lax.fori_loop(
-            0, trips, body, (zero, zero, zero, zero)
+
+        def run_loop(mode):
+            def run(_):
+                return jax.lax.fori_loop(0, trips, make_body(mode), init)
+
+            return run
+
+        def skip_loop(_):
+            return init
+
+        # item-level culling + uniform-direction dispatch: the host work
+        # list is built from conservative screen bboxes, so some (tile,
+        # brick) items miss every ray; and march direction is uniform
+        # across a tile except when corner rays straddle the eye axis —
+        # the one-sided bodies halve the dominant slice-gather cost
+        # (mirrors slicemarch's tile-level dispatch).
+        live = hit & marchable
+        any_hit = jnp.any(live)
+        any_bwd = jnp.any(backward & live)
+        any_fwd = jnp.any(jnp.logical_not(backward) & live)
+        l_r, l_g, l_b, l_a = jax.lax.cond(
+            any_hit,
+            lambda op: jax.lax.cond(
+                any_bwd,
+                lambda o: jax.lax.cond(
+                    any_fwd, run_loop("mixed"), run_loop("bwd"), o
+                ),
+                run_loop("fwd"),
+                op,
+            ),
+            skip_loop,
+            0,
         )
         l_r = jnp.clip(l_r, 0.0, 1.0)
         l_g = jnp.clip(l_g, 0.0, 1.0)

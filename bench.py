@@ -429,6 +429,22 @@ def main() -> None:
     except Exception:
         pass
 
+    # rgb readback: the batched path is readback-bound on this link
+    # (e2e_batch8_split), so dropping the alpha byte on device is a
+    # direct ~25% cut of the per-frame e2e
+    frame_ms_e2e_batch_rgb = None
+    try:
+        if frame_ms_e2e_batch is not None and budget_left():
+            fsr.render_batch(orbit, overlay=False, bytes_out="rgb")  # warm
+            eb = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fsr.render_batch(orbit, overlay=False, bytes_out="rgb")
+                eb.append(time.perf_counter() - t0)
+            frame_ms_e2e_batch_rgb = min(eb) * 1e3 / B
+    except Exception:
+        pass
+
     # ---- kernel sample throughput ---------------------------------------
     # The Gray/s north star is scene-dependent (a ray's cost is its marched
     # samples, and multi-level scenes march several pieces per ray), so
@@ -543,6 +559,7 @@ def main() -> None:
         "host_prep_512_warm_ms": prep512_warm_ms,
         "frame_ms_e2e": round(frame_ms_e2e, 2),
         "frame_ms_e2e_batch8": opt(frame_ms_e2e_batch, 2),
+        "frame_ms_e2e_batch8_rgb": opt(frame_ms_e2e_batch_rgb, 2),
         "ici_exchange_mb_f32": round(bytes_f32 / 1e6, 2),
         "ici_exchange_mb_ubyte": round(bytes_ubyte / 1e6, 2),
         "ici_rect_fraction": round(rect_frac, 3),

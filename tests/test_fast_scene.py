@@ -427,6 +427,28 @@ class TestRenderBatch:
             np.testing.assert_array_equal(got[i], color_to_byte(single[:, :4]))
             assert (tmp_path / f"b{i:02d}.ppm").exists()
 
+    def test_batch_bytes_out_rgb(self, geometry, tmp_path):
+        """bytes_out="rgb" drops the alpha byte on device: pixels match the
+        RGBA mode's first three channels and the saved PPMs are identical
+        (PPM never reads alpha)."""
+        params = RenderParameters(width=24, height=24)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(2)
+        rgba = fast.render_batch(cams, overlay=False, bytes_out=True)
+        pattern = str(tmp_path / "r{:02d}.ppm")
+        got = fast.render_batch(
+            cams, overlay=False, output_pattern=pattern, bytes_out="rgb"
+        )
+        assert got.dtype == np.uint8 and got.shape == (2, 24 * 24, 3)
+        np.testing.assert_array_equal(got, rgba[:, :, :3])
+        pattern4 = str(tmp_path / "a{:02d}.ppm")
+        fast.render_batch(
+            cams, overlay=False, output_pattern=pattern4, bytes_out=True
+        )
+        for i in range(2):
+            rgb_bytes = (tmp_path / f"r{i:02d}.ppm").read_bytes()
+            assert rgb_bytes == (tmp_path / f"a{i:02d}.ppm").read_bytes()
+
 
 def test_update_data_host_arrays_single_upload(geometry):
     """NumPy timesteps (the plotfile time-series workload) assemble the
