@@ -33,6 +33,7 @@ import numpy as np
 
 from .camera import camera_basis, compute_box_depth_hints
 from .colormap import SOFT_CLIP_TOLERANCE, build_color_table
+from .image import color_to_byte_device
 from .ops import slicemarch as sm
 from .renderer import (
     compute_global_bounds,
@@ -160,12 +161,10 @@ def _render_batch_frames(
     def assemble(out_c, out_d, tids):
         if bytes_out and sqrt_aa == 1:
             # byte-first assembly: encode the COMPACT output (Mesa codec,
-            # image.color_to_byte), then scatter/untile in u8 and drop the
-            # depth plane — 4-5x less HBM traffic than assembling the
-            # float frame first (frame assembly is bandwidth-bound)
-            enc = jnp.clip(
-                (out_c * jnp.float32(256.0)).astype(jnp.int32), 0, 255
-            ).astype(jnp.uint8)
+            # image.color_to_byte_device), then scatter/untile in u8 and
+            # drop the depth plane — 4-5x less HBM traffic than assembling
+            # the float frame first (frame assembly is bandwidth-bound)
+            enc = color_to_byte_device(out_c)
             if bytes_out == "rgb":
                 enc = enc[:, :3]  # drop alpha before untiling: less HBM too
             nch = enc.shape[1]
@@ -189,11 +188,9 @@ def _render_batch_frames(
                 frame, logical_width, logical_height, sqrt_aa
             )
         if bytes_out:
-            # Mesa byte codec on device (image.color_to_byte): the readback
-            # shrinks 5x (4 u8 vs 4+1 f32 per pixel); "rgb" drops alpha too
-            frame = jnp.clip(
-                (frame[:, :4] * jnp.float32(256.0)).astype(jnp.int32), 0, 255
-            ).astype(jnp.uint8)
+            # Mesa byte codec on device: the readback shrinks 5x (4 u8 vs
+            # 4+1 f32 per pixel); "rgb" drops the alpha byte too
+            frame = color_to_byte_device(frame[:, :4])
             if bytes_out == "rgb":
                 frame = frame[:, :3]
         return frame

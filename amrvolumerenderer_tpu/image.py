@@ -83,6 +83,23 @@ def byte_to_color(b):
     return np.clip(np.asarray(b, dtype=np.float32) / np.float32(255.0), 0.0, 1.0)
 
 
+def color_to_byte_device(colors):
+    """Device twin of ``color_to_byte`` (jnp): the ONE definition of the
+    Mesa codec on device — the ubyte exchange transport and the batched
+    byte readback must stay bit-identical to the host conversion."""
+    import jax.numpy as jnp
+
+    tv = (colors * jnp.float32(256.0)).astype(jnp.int32)
+    return jnp.clip(tv, 0, 255).astype(jnp.uint8)
+
+
+def byte_to_color_device(b):
+    """Device twin of ``byte_to_color`` (jnp)."""
+    import jax.numpy as jnp
+
+    return b.astype(jnp.float32) / jnp.float32(255.0)
+
+
 # ---------------------------------------------------------------------------
 # Pixel-wise blend rules.  ``top`` is blended on top of ``bottom``.
 # ---------------------------------------------------------------------------

@@ -264,15 +264,22 @@ def item_bands(
     up_p = np.ascontiguousarray(np.asarray(up, np.float64)[axes])
     if split_v is None:
         split_v = split
-    per_brick = 1 if np.ndim(split) else 0
-    su = np.ascontiguousarray(
-        np.atleast_1d(np.asarray(split, np.float64))
-    )
-    sv = np.ascontiguousarray(
-        np.atleast_1d(np.asarray(split_v, np.float64))
-    )
-    if per_brick and (len(su) != len(meta) or len(sv) != len(meta)):
-        return None
+    # per-brick mode if EITHER stride is an array (the oracle treats the
+    # two axes independently); broadcast a scalar partner so a mixed
+    # scalar/array call can never silently apply brick 0's stride to
+    # every brick (the bounds must stay conservative — CLAUDE.md)
+    per_brick = 1 if (np.ndim(split) or np.ndim(split_v)) else 0
+    su = np.atleast_1d(np.asarray(split, np.float64))
+    sv = np.atleast_1d(np.asarray(split_v, np.float64))
+    if per_brick:
+        if len(su) == 1:
+            su = np.full(len(meta), su[0])
+        if len(sv) == 1:
+            sv = np.full(len(meta), sv[0])
+        if len(su) != len(meta) or len(sv) != len(meta):
+            return None
+    su = np.ascontiguousarray(su)
+    sv = np.ascontiguousarray(sv)
     n = len(wt64)
     band1 = np.empty(n, dtype=np.int32)
     band2 = np.empty(n, dtype=np.int32)

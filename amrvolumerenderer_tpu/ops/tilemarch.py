@@ -700,8 +700,14 @@ def scatter_tiles(
     valid_steps: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Compacted grid output -> full tile-space frame (uncovered tiles =
-    background: transparent color, +inf depth).  ``valid_steps`` drops
-    bucket-padding steps (their rows are redundant repeats of tile 0)."""
+    background: transparent color, +inf depth).
+
+    Padding contract (what the callers actually rely on): pad steps carry
+    the OUT-OF-RANGE sentinel ``tile_ids == num_tiles`` with an empty work
+    list, so JAX's scatter drops them — padding with a real tile id (e.g.
+    0) would overwrite that tile's rendered output with background.
+    ``valid_steps`` additionally slices off a known pad tail before the
+    scatter (optional; the sentinel alone is sufficient)."""
     if valid_steps is not None and valid_steps < out_c.shape[0]:
         out_c = out_c[:valid_steps]
         out_d = out_d[:valid_steps]

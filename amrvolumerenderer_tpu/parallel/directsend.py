@@ -63,14 +63,17 @@ def mesh_axes(mesh: Mesh):
 
 
 def _encode_ubyte(colors: jnp.ndarray) -> jnp.ndarray:
-    """Mesa-compatible float->byte codec ``clamp(int(c * 256))`` as a jnp op
-    (the device twin of image.color_to_byte, Common/Color.hpp:66-91)."""
-    tv = (colors * jnp.float32(256.0)).astype(jnp.int32)
-    return jnp.clip(tv, 0, 255).astype(jnp.uint8)
+    """Mesa-compatible float->byte codec ``clamp(int(c * 256))`` on device
+    (image.color_to_byte_device, Common/Color.hpp:66-91)."""
+    from ..image import color_to_byte_device
+
+    return color_to_byte_device(colors)
 
 
 def _decode_ubyte(b: jnp.ndarray) -> jnp.ndarray:
-    return b.astype(jnp.float32) / jnp.float32(255.0)
+    from ..image import byte_to_color_device
+
+    return byte_to_color_device(b)
 
 
 def _compose_shard(
@@ -551,10 +554,13 @@ def coverage_tiles(
     equivalent of the reference's per-run RLE compression
     (ImageSparse.hpp:17-150: ship foreground runs, skip background).
 
-    Returns ``(pix_idx, valid_pixels, fraction)`` or None when compaction
-    cannot help: ``pix_idx`` [P_pad] int32 gathers the active tiles' pixels
-    from a row-major frame (tail entries repeat pixel 0 so P_pad divides
-    the mesh — read-only duplicates, dropped on paste), ``valid_pixels`` is
+    Always returns ``(pix_idx, valid_pixels, fraction)`` (for empty
+    coverage a single placeholder tile keeps the shapes well-formed —
+    the caller, ``select_compaction``, is what decides whether the
+    fraction is worth compacting and substitutes None when not):
+    ``pix_idx`` [P_pad] int32 gathers the active tiles' pixels from a
+    row-major frame (tail entries repeat pixel 0 so P_pad divides the
+    mesh — read-only duplicates, dropped on paste), ``valid_pixels`` is
     the un-padded count, ``fraction`` the active-tile fraction.
     """
     tiles_x = width // tile_w

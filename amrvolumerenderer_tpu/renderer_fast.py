@@ -110,6 +110,9 @@ def _geometry_pack(
     The cache key includes the brick data identities and the scalar
     transform, so swapping geometry rebuilds; in-place mutation of brick
     arrays is not tracked (rebuild the geometry, as the reference reloads).
+    The cached entry pins the brick data objects it was built from, so a
+    recycled ``id()`` (CPython reuses addresses after GC) can never alias
+    a live cache key — a replaced data array always misses and repacks.
     Returns None when the scene packs to zero pieces."""
     bricks = geometry.bricks
     key = (
@@ -118,10 +121,13 @@ def _geometry_pack(
         tuple(id(b.data) for b in bricks),
     )
     cache = geometry.__dict__.setdefault("_slicemarch_packs", {})
+    refs = geometry.__dict__.setdefault("_slicemarch_pack_refs", [])
     if key in cache:
         return cache[key]
     if len(cache) >= 4:  # bound retained HBM-sized host tables
         cache.clear()
+        refs.clear()
+    refs.append([b.data for b in bricks])
 
     t = geometry.scalar_transform
     axes = [axis] + [a for a in range(3) if a != axis]
@@ -605,7 +611,7 @@ def render_composited_sharded(
             num_tiles = (prep["pad_w"] // sm.TILE_W) * (
                 prep["pad_h"] // sm.TILE_H
             )
-            offsets, tbricks, towners, ibounds, _bmax = (
+            offsets, tbricks, towners, ibounds = (
                 _depth_contiguous_tile_worklists(
                     prep["wb"], prep["wt"], prep["wbounds"], key_order,
                     num_devices, num_tiles,
@@ -685,7 +691,7 @@ def _depth_contiguous_tile_worklists(
     depth exactly like the slicemarch path's slot-order fold.
 
     Returns (offsets [D, T+1] i32, bricks [D, Wmax] i32, owners [D, Wmax]
-    i32, ibounds [D, Wmax] i32, bmax).
+    i32, ibounds [D, Wmax] i32); Wmax is readable from the array shapes.
     """
     n = len(key_order)
     base, extra = n // num_devices, n % num_devices
@@ -726,7 +732,7 @@ def _depth_contiguous_tile_worklists(
         bricks[d, :w] = s_d
         owners[d, :w] = s_d  # run key = slot: one run per piece
         ibounds[d, :w] = b_d
-    return offsets, bricks, owners, ibounds, bmax
+    return offsets, bricks, owners, ibounds
 
 
 def render_layers_slicemarch(

@@ -193,7 +193,7 @@ def measure_device_frame(fsr, camera, width, height, K=None):
     return max((t2 - t1) / (k2 - k1), 1e-3)
 
 
-def measure_device_frame_single_launch(fsr, camera, F=None):
+def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
     """TRUE per-frame KERNEL time: F frames in ONE pallas launch, slope
     over two F values.
 
@@ -232,6 +232,7 @@ def measure_device_frame_single_launch(fsr, camera, F=None):
                 sampling=fsr.parameters.sampling,
                 ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
                 classification=fsr.parameters.classification,
+                unroll=unroll,
             )
             return jnp.sum(out_c[:, ::8])  # strided checksum readback
 

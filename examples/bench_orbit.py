@@ -34,6 +34,9 @@ def main() -> None:
     parser.add_argument("--batch", action="store_true",
                         help="render the orbit through render_batch "
                              "(one dispatch per chunk, byte-coded readback)")
+    parser.add_argument("--rgb", action="store_true",
+                        help="with --batch: drop the alpha byte on device "
+                             "(bytes_out='rgb'; ~25%% less readback)")
     args = parser.parse_args()
 
     from amrvolumerenderer_tpu import api
@@ -84,18 +87,25 @@ def main() -> None:
         ))
 
     if args.batch:
-        frames = fast.render_batch(cams, overlay=False, bytes_out=True)  # warm
+        mode = "rgb" if args.rgb else True
+        frames = fast.render_batch(cams, overlay=False, bytes_out=mode)  # warm
         t0 = time.perf_counter()
-        frames = fast.render_batch(cams, overlay=False, bytes_out=True)
+        frames = fast.render_batch(cams, overlay=False, bytes_out=mode)
         dt = time.perf_counter() - t0
-        assert frames[:, :, 3].max() > 0
+        assert frames[:, :, :3].max() > 0
         if args.save_first:
             from amrvolumerenderer_tpu.image import ImageBuffer, ImageKind
             from amrvolumerenderer_tpu.io import save_image
 
+            first = frames[0]
+            if args.rgb:
+                first = np.concatenate(
+                    [first, np.full((first.shape[0], 1), 255, np.uint8)],
+                    axis=1,
+                )
             save_image(
                 ImageBuffer(ImageKind.RGBA_U8, args.width, args.height,
-                            frames[0]),
+                            first),
                 args.save_first,
             )
         print(

@@ -36,22 +36,26 @@ _DTYPE_BYTES = {"f32": 4, "f64": 8, "bf16": 2, "f16": 2, "u8": 1, "s8": 1,
 
 
 def cross_link_bytes(hlo_text: str, num_devices: int) -> int:
-    """Per-frame bytes crossing ICI links, from the compiled HLO: each
-    collective's per-device output, of which (D-1)/D came from other
-    devices, summed over the D devices."""
+    """Per-DEVICE bytes crossing ICI links per frame, from the compiled
+    HLO.  For each collective, the op's output type (left of the op name)
+    is the per-device output — a TUPLE of split shapes for tuple-form
+    all-to-all, a plain array for all-gather — of which (D-1)/D arrived
+    over links.  Multiply by D for the all-device total (main() reports
+    both; *_link_mb_total is the number comparable to the
+    ici_exchange_mb_* payload model in bench.py)."""
     total = 0
     for line in hlo_text.splitlines():
-        if re.search(r"\b(all-to-all|all-gather)\(", line):
-            m = re.search(r"(\w+)\[([\d,]*)\]", line)
-            if not m:
-                continue
-            dtype, dims = m.group(1), m.group(2)
+        m = re.search(r"=\s*(.*?)\s*(all-to-all|all-gather)\(", line)
+        if not m:
+            continue
+        out_bytes = 0
+        for dtype, dims in re.findall(r"(\w+)\[([\d,]*)\]", m.group(1)):
             size = _DTYPE_BYTES.get(dtype)
             if size is None or not dims:
                 continue
             elems = int(np.prod([int(d) for d in dims.split(",")]))
-            # per-device output; all D devices receive it, (D-1)/D crossed
-            total += elems * size * (num_devices - 1)
+            out_bytes += elems * size
+        total += out_bytes * (num_devices - 1) // num_devices
     return total
 
 

@@ -1,15 +1,18 @@
 """Re-validate the march-loop unroll factor with the slope method.
 
 The round-2 sweep ("unroll 2/4/8 identical") was drawn from the
-hoisting-poisoned methodology; this one uses the single-launch slope
-measurement on the real chip.  Usage: python scripts/unroll_sweep.py
+hoisting-poisoned methodology; this one reuses the benchmark's
+single-launch slope harness (bench.measure_device_frame_single_launch)
+so any future methodology fix propagates here automatically.
+
+Usage: python scripts/unroll_sweep.py
+Result (v5e-lite, 1024^2, 2026-08-17): unroll=2 dense 4.90 / shell_tf
+2.68 ms; unroll=4 3.17 / 1.69; unroll=8 3.18 / 1.88 — 4 stands.
 """
 
 import sys
 
 sys.path.insert(0, "/root/repo")
-
-import numpy as np  # noqa: E402
 
 import bench  # noqa: E402
 from amrvolumerenderer_tpu.camera import auto_orbit_camera  # noqa: E402
@@ -18,56 +21,6 @@ from amrvolumerenderer_tpu.types import (  # noqa: E402
     RenderParameters,
     color_map_from_tuples,
 )
-
-
-def measure(fsr, cam, unroll, F=(4, 16)):
-    import jax
-    import jax.numpy as jnp
-
-    from amrvolumerenderer_tpu.ops import tilemarch as tm
-
-    inputs = fsr.frame_inputs(cam, as_numpy=True)
-
-    def launch_time(f):
-        import time
-
-        cams = np.tile(inputs["cam"], (f, 1)).astype(np.float32)
-        cams[:, 19] = np.arange(f)
-
-        @jax.jit
-        def frames(vol, meta, dims, lut, cams, offsets, bricks, owners,
-                   ibounds, tile_ids):
-            out_c, _ = tm.tilemarch_render_batch(
-                vol, meta, dims, lut, cams, offsets, bricks, owners,
-                ibounds, tile_ids,
-                width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
-                logical_width=fsr.render_width,
-                logical_height=fsr.render_height,
-                interpret=fsr.interpret, sampling=fsr.parameters.sampling,
-                ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
-                classification=fsr.parameters.classification,
-                unroll=unroll,
-            )
-            return jnp.sum(out_c[:, ::8])
-
-        tile = lambda a: jnp.asarray(np.tile(a[None], (f,) + (1,) * a.ndim))
-        args = (
-            fsr._packed_vol, jnp.asarray(inputs["meta"]),
-            jnp.asarray(inputs["dims"]), fsr._lut_device, jnp.asarray(cams),
-            tile(inputs["offsets"]), tile(inputs["bricks"]),
-            tile(inputs["owners"]), tile(inputs["item_bounds"]),
-            tile(inputs["tile_ids"]),
-        )
-        float(frames(*args))  # warm/compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(frames(*args))
-            times.append(time.perf_counter() - t0)
-        return min(times) * 1e3
-
-    f1, f2 = F
-    return max((launch_time(f2) - launch_time(f1)) / (f2 - f1), 1e-3)
 
 
 def main():
@@ -89,8 +42,8 @@ def main():
     ]))
 
     for unroll in (2, 4, 8):
-        d = measure(fsr, cam, unroll)
-        s = measure(sfsr, scam, unroll)
+        d = bench.measure_device_frame_single_launch(fsr, cam, unroll=unroll)
+        s = bench.measure_device_frame_single_launch(sfsr, scam, unroll=unroll)
         print(f"unroll={unroll}: dense {d:.3f} ms  shell_tf {s:.3f} ms",
               flush=True)
 

@@ -608,7 +608,6 @@ def test_band_split_shell_pixel_parity(monkeypatch):
         monkeypatch.undo()
 
     assert counts["split"] > counts["unsplit"]  # bands actually emitted
-    occ = inputs["item_bounds"].astype(np.int64)
     np.testing.assert_allclose(
         frames["split"], frames["unsplit"], atol=1e-6
     )
@@ -696,3 +695,32 @@ def test_native_item_bands_matches_numpy(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(g_arr), np.asarray(w_arr), err_msg=name
             )
+
+    # mixed scalar/array split strides: a scalar ``split`` with a
+    # per-brick ``split_v`` array must broadcast, not silently apply
+    # sv[0] to every brick (non-conservative bounds)
+    names = [
+        "meta", "brick_bounds", "wt", "wb", "eye", "forward", "right",
+        "up", "fov_y_degrees", "axes", "width", "height",
+        "logical_width", "logical_height", "occ_bits", "nq", "split",
+        "split_v", "ghost", "min_gap",
+    ]
+    a, k = recorded[0]
+    call = dict(zip(names, a))
+    call.update(k)
+    call.pop("height", None)  # native.item_bands derives rays without it
+    nb = len(np.asarray(call["meta"]))
+    sv = np.full(nb, 8.0)
+    sv[::2] = 16.0  # varies per brick: sv[0] alone would be wrong
+    call["split_v"] = sv
+    call["split"] = np.full(nb, 8.0)
+    all_array = native.item_bands(**call)
+    call["split"] = 8.0
+    mixed = native.item_bands(**call)
+    assert all_array is not None and mixed is not None
+    for name, g_arr, w_arr in zip(
+        ("band1", "band2", "forward"), mixed, all_array
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(g_arr), np.asarray(w_arr), err_msg=name
+        )
