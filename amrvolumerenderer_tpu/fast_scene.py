@@ -354,9 +354,13 @@ class FastSceneRenderer:
         g = self.ghost
         self._slice_minmax = {}
         self._slice_quad_minmax = {}
-        self._occ_bits_cache = {}  # axis -> [L, S] u16 (per LUT, see
+        self._occ_bits_cache = {}  # axis -> [L, S] u64 (per LUT, see
         #                            tm.block_occupancy_bits)
-        nq = 4  # (u, v) blocks per axis for per-(tile, brick) slice bounds
+        # (u, v) blocks per axis for per-(tile, brick) slice bounds: 8x8
+        # (4x4-cell blocks on the 32-cube) — measured on the bench thin
+        # shell: ~14% fewer marched slices than 4x4 at negligible extra
+        # host cost (the masks are uint64 either way)
+        nq = 8 if self.cube % 8 == 0 else 4
         self._quad_blocks = nq
         self._quad_split = self.cube // nq  # stored-coordinate block edge
         for a in range(3):
@@ -808,7 +812,16 @@ class FastSceneRenderer:
             dims = jnp.asarray(group[0][1]["dims"])
             w_max = max(int(len(g[1]["bricks"])) for g in group)
             w_pad = 1 << max(w_max - 1, 0).bit_length()  # pow2 bucket
-            chunk_max = int(max(1, min(16, max_chunk_bytes // frame_bytes)))
+            # two frame-count caps: readback bytes AND scoped SMEM — the
+            # batched kernel prefetches [F, w_pad] item tables into SMEM,
+            # which a deep-AMR scene (hundreds of bricks) exhausts at F=16
+            smem_cap = tm.max_batch_frames(
+                max(len(g[1]["tile_ids"]) for g in group),
+                w_pad, int(meta.shape[0]),
+            )
+            chunk_max = int(
+                max(1, min(16, max_chunk_bytes // frame_bytes, smem_cap))
+            )
             c0 = 0
             while c0 < len(group):
                 # largest power-of-two sub-chunk that fits: no wasted frames,

@@ -99,7 +99,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_double, ctypes.c_double,  # tan_half, aspect
             ctypes.c_int, ctypes.c_int, ctypes.c_int,  # tiles_x, tile_w, tile_h
             ctypes.c_int, ctypes.c_int,      # logical w/h
-            ctypes.POINTER(ctypes.c_uint16),  # occ_bits [L,S]
+            ctypes.POINTER(ctypes.c_uint64),  # occ_bits [L,S]
             ctypes.c_int, ctypes.c_int,      # cap, nq
             c_double_p, c_double_p, ctypes.c_int,  # su, sv, per_brick
             ctypes.c_int, ctypes.c_int64,    # ghost, min_gap
@@ -235,7 +235,7 @@ def item_bands(
     width: int,
     logical_width: int,
     logical_height: int,
-    occ_bits: np.ndarray,  # [L, S] u16
+    occ_bits: np.ndarray,  # [L, S] u64
     nq: int,
     split,
     split_v=None,
@@ -257,7 +257,7 @@ def item_bands(
     bb = np.ascontiguousarray(brick_bounds, dtype=np.int32)
     wt64 = np.ascontiguousarray(wt, dtype=np.int64)
     wb64 = np.ascontiguousarray(wb, dtype=np.int64)
-    occ_bits = np.ascontiguousarray(occ_bits, dtype=np.uint16)
+    occ_bits = np.ascontiguousarray(occ_bits, dtype=np.uint64)
     eye_p = np.ascontiguousarray(np.asarray(eye, np.float64)[axes])
     fwd_p = np.ascontiguousarray(np.asarray(forward, np.float64)[axes])
     right_p = np.ascontiguousarray(np.asarray(right, np.float64)[axes])
@@ -295,7 +295,7 @@ def item_bands(
         tan_half, aspect,
         width // TILE_W, TILE_W, TILE_H,
         logical_width, logical_height,
-        _ptr(occ_bits, ctypes.c_uint16),
+        _ptr(occ_bits, ctypes.c_uint64),
         occ_bits.shape[1], int(nq),
         _ptr(su, ctypes.c_double), _ptr(sv, ctypes.c_double), per_brick,
         int(ghost), int(min_gap),

@@ -51,8 +51,9 @@ def _kernel(
     # paid once per pallas_call, so animation batches flatten the frame
     # axis into the grid instead of looping launches)
     cam_ref,  # [F, 20] f32 (slicemarch.pack_camera layout)
-    meta_ref,  # [B, 12] f32: pmin(3) pmax(3) cell(3) pad(3), permuted axes
-    dims_ref,  # [B, 8] i32: n_slices nu nv perm(3) pad pad
+    meta_ref,  # [12, B] f32: pmin(3) pmax(3) cell(3) pad(3), permuted axes
+    #          (brick-major transpose: SMEM pads the minor dim to 128)
+    dims_ref,  # [8, B] i32: n_slices nu nv perm(3) pad pad
     tile_ids_ref,  # [F, S] i32 frame tile id per grid step (the compacted
     #               grid: only covered tiles get steps; dense = arange(T))
     offsets_ref,  # [F, S + 1] i32 CSR offsets into the per-step brick list
@@ -173,14 +174,18 @@ def _kernel(
         Returns its (r, g, b, a, depth) layer planes for this tile."""
         bi = bricks_ref[f, work_idx]
         buf_base = dma_start_slice(work_idx)
-        pmin = [meta_ref[bi, i] for i in range(3)]
-        pmax = [meta_ref[bi, 3 + i] for i in range(3)]
-        cell = [meta_ref[bi, 6 + i] for i in range(3)]
-        n_slices = dims_ref[bi, 0]
-        nu = dims_ref[bi, 1]
-        nv = dims_ref[bi, 2]
-        perm = [dims_ref[bi, 3 + i] for i in range(3)]
-        nv_stride = dims_ref[bi, 6]
+        # transposed [12, B]/[8, B] layout: SMEM operands pad their minor
+        # dimension to 128 words, so [B, 12] would burn 128 words per brick
+        # (512 KB of the 1 MiB SMEM at 512 bricks); brick-major costs
+        # ceil8(12) rows once
+        pmin = [meta_ref[i, bi] for i in range(3)]
+        pmax = [meta_ref[3 + i, bi] for i in range(3)]
+        cell = [meta_ref[6 + i, bi] for i in range(3)]
+        n_slices = dims_ref[0, bi]
+        nu = dims_ref[1, bi]
+        nv = dims_ref[2, bi]
+        perm = [dims_ref[3 + i, bi] for i in range(3)]
+        nv_stride = dims_ref[6, bi]
         nv_stride = jnp.where(nv_stride > 0, nv_stride, nv)
         # occupied slice bounds, PER WORK ITEM (slicemarch
         # compute_slice_bounds packing, optionally tightened to this tile's
@@ -622,6 +627,65 @@ def tilemarch_render_batch(
     )
 
 
+# Scalar-prefetch operands live in scoped SMEM for the whole launch.
+# Measured constraints (Mosaic RESOURCE_EXHAUSTED dump, v5e-lite): total
+# SMEM is exactly 1.00 MiB, and every prefetched operand is PADDED — rows
+# to a multiple of 8, minor dim to a multiple of 128 words (a [5, 5934]
+# i32 table occupies 8 x 6016 words; a [512, 12] f32 table occupies
+# 512 x 128 = 256 KB, which is why meta/dims ship transposed).  The
+# margin covers the compiler's own scoped scratch (spill slots: 1 KB in
+# the measured dump).
+SMEM_BYTES = 1 << 20
+SMEM_MARGIN = 64 * 1024
+
+
+def _pad8(n: int) -> int:
+    return -(-int(n) // 8) * 8
+
+
+def _pad128(n: int) -> int:
+    return -(-int(n) // 128) * 128
+
+
+def smem_prefetch_bytes(
+    frames: int, steps: int, items: int, bricks: int
+) -> int:
+    """Scoped-SMEM bytes the batched kernel's scalar-prefetch operands
+    occupy, with Mosaic's row/minor-dim padding applied (see above)."""
+    row_words = (
+        _pad128(20)          # cams
+        + _pad128(steps)     # tile_ids
+        + _pad128(steps + 1)  # CSR offsets
+        + 3 * _pad128(items)  # bricks / owners / item_bounds
+    )
+    shared_words = (_pad8(12) + _pad8(8)) * _pad128(bricks)  # meta.T/dims.T
+    return (_pad8(frames) * row_words + shared_words) * 4
+
+
+def max_batch_frames(
+    steps: int,
+    items: int,
+    bricks: int,
+    budget_bytes: Optional[int] = None,
+) -> int:
+    """Largest frame count whose batched scalar-prefetch tables fit SMEM.
+
+    SMEM is a fixed scoped resource, so the frame axis must be chunked on
+    large scenes (the per-launch serialization tax then lands once per
+    chunk instead of once per batch).  ``steps``/``items`` are the PADDED
+    per-frame table widths the caller will actually ship.  Row padding
+    quantizes the answer to multiples of 8 (frame counts 1-8 all occupy
+    8 SMEM rows); the floor is 1 so a huge scene still attempts
+    single-frame launches rather than failing host-side."""
+    budget = SMEM_BYTES - SMEM_MARGIN if budget_bytes is None else budget_bytes
+    row_bytes = smem_prefetch_bytes(8, steps, items, bricks) - (
+        smem_prefetch_bytes(0, steps, items, bricks)
+    )
+    shared = smem_prefetch_bytes(0, steps, items, bricks)
+    rows = (budget - shared) * 8 // max(row_bytes, 1)
+    return max(1, int(rows // 8) * 8)
+
+
 def _tilemarch_call(
     vol, meta, dims, lut, cams, tile_offsets, tile_bricks, tile_owners,
     item_bounds, tile_ids, *,
@@ -687,8 +751,11 @@ def _tilemarch_call(
         ],
         interpret=interpret,
     )(
-        cams, meta, dims, tile_ids, tile_offsets, tile_bricks, tile_owners,
-        item_bounds, vol, lut,
+        # meta/dims ship brick-major ([12, B]/[8, B]): SMEM pads each
+        # operand's minor dim to 128 words, so the public [B, 12] layout
+        # would cost 128 words per brick in scoped SMEM
+        cams, jnp.asarray(meta).T, jnp.asarray(dims).T, tile_ids,
+        tile_offsets, tile_bricks, tile_owners, item_bounds, vol, lut,
     )
 
 
@@ -724,14 +791,14 @@ def block_occupancy_bits(
     range_min: float,
     inverse_range: float,
 ) -> np.ndarray:
-    """[L, S] uint16 bitmask: bit (qu * Q + qv) set when block (qu, qv) of
+    """[L, S] uint64 bitmask: bit (qu * Q + qv) set when block (qu, qv) of
     the slice can map to nonzero alpha under the current transfer function.
     Depends only on (piece table, LUT) — cache per (axis, LUT), NOT per
     frame (compute_item_slice_bounds consumes it every frame)."""
-    if quad_min.shape[2] > 4 or quad_min.shape[3] > 4:
-        # the packed masks are uint16: nq > 4 would silently drop high
+    if quad_min.shape[2] > 8 or quad_min.shape[3] > 8:
+        # the packed masks are uint64: nq > 8 would silently drop high
         # bits and non-conservatively skip occupied slices
-        raise ValueError("block occupancy masks support at most 4x4 blocks")
+        raise ValueError("block occupancy masks support at most 8x8 blocks")
     nz = np.asarray(lut_alpha) > 0.0
     prefix = np.concatenate([[0], np.cumsum(nz)])
     n0 = np.clip((quad_min - range_min) * inverse_range, 0.0, 1.0)
@@ -743,11 +810,11 @@ def block_occupancy_bits(
     occ = (prefix[i1 + 1] - prefix[i0]) > 0  # [L, S, Q, Q]
     num, cap, nq, _ = occ.shape
     bit = (np.arange(nq)[:, None] * nq + np.arange(nq)[None, :]).astype(
-        np.uint16
+        np.uint64
     )
     return (
-        occ.astype(np.uint16) << bit[None, None]
-    ).reshape(num, cap, nq * nq).sum(axis=2, dtype=np.uint16)
+        occ.astype(np.uint64) << bit[None, None]
+    ).reshape(num, cap, nq * nq).sum(axis=2, dtype=np.uint64)
 
 
 def compute_item_slice_bounds(
@@ -765,7 +832,7 @@ def compute_item_slice_bounds(
     height: int,
     logical_width: int,
     logical_height: int,
-    occ_bits: np.ndarray,  # [L, S] uint16 from block_occupancy_bits
+    occ_bits: np.ndarray,  # [L, S] uint64 from block_occupancy_bits
     nq: int,  # blocks per axis (Q)
     split,  # stored-coordinate block edge stride (stored_u_extent / Q);
     #         scalar (uniform pieces, the canonical-cube path) or [L]
@@ -802,8 +869,8 @@ def compute_item_slice_bounds(
     maths cannot be trusted keep their brick's bounds.  (Beyond reference:
     the reference marches every step of every box, VolumePainter.cpp:
     837-900.)"""
-    if nq > 4:
-        raise ValueError("block occupancy masks support at most 4x4 blocks")
+    if nq > 8:
+        raise ValueError("block occupancy masks support at most 8x8 blocks")
     wb = np.asarray(wb, np.int64)
     wt = np.asarray(wt, np.int64)
     bb = np.asarray(brick_bounds, np.int64)[wb]
@@ -880,14 +947,14 @@ def compute_item_slice_bounds(
     qu = (cu_lo[..., None] < eu_hi) & (cu_hi[..., None] > eu_lo)
     qv = (cv_lo[..., None] < ev_hi) & (cv_hi[..., None] > ev_lo)
     # footprint bitmask per segment: bit (a*Q+b) = u-block a AND v-block b
-    shift_u = (np.arange(nq, dtype=np.uint32) * nq)
-    fu = (qu.astype(np.uint32) << shift_u).sum(axis=2, dtype=np.uint32)
-    fv = (qv.astype(np.uint32) << np.arange(nq, dtype=np.uint32)).sum(
-        axis=2, dtype=np.uint32
+    shift_u = (np.arange(nq, dtype=np.uint64) * np.uint64(nq))
+    fu = (qu.astype(np.uint64) << shift_u).sum(axis=2, dtype=np.uint64)
+    fv = (qv.astype(np.uint64) << np.arange(nq, dtype=np.uint64)).sum(
+        axis=2, dtype=np.uint64
     )
     # (Σ_a qu_a 2^(aQ)) * (Σ_b qv_b 2^b) = Σ_{a,b} qu_a qv_b 2^(aQ+b):
-    # the nibble products never carry because each partial bit is distinct
-    fmask = (fu * fv).astype(np.uint16)  # [W, G]
+    # the products never carry because each partial bit is distinct
+    fmask = fu * fv  # [W, G] uint64
     # expand to per-slice and AND against the cached block occupancy
     seg_of_slice = np.minimum(np.arange(cap) // seg_len, n_seg - 1)
     sel = (fmask[:, seg_of_slice] & occ_bits[wb]) != 0  # [W, S]

@@ -175,10 +175,11 @@ def _geometry_pack(
     box_min = np.zeros((num_layers, 3))
     box_max = np.zeros((num_layers, 3))
     parents = np.zeros(num_layers, np.int32)
-    # per-piece per-slice 4x4 stored-(u, v) block extrema for the
+    # per-piece per-slice 8x8 stored-(u, v) block extrema for the
     # per-(tile, brick) slice bounds (tm.compute_item_slice_bounds);
-    # padding slices are (+inf, -inf) = never occupied
-    nq = 4
+    # padding slices are (+inf, -inf) = never occupied (_quad_extrema
+    # ceil-divides, so pieces narrower than 8 cells still work)
+    nq = 8
     quad_min = np.full((num_layers, s_max_all, nq, nq), np.inf, np.float32)
     quad_max = np.full((num_layers, s_max_all, nq, nq), -np.inf, np.float32)
     split_u = np.zeros(num_layers, np.float64)

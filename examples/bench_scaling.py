@@ -108,28 +108,37 @@ def main() -> None:
         jnp.asarray(tbricks), jnp.asarray(towners),
     )
 
-    def frame(*args):
-        c, d = tm.tilemarch_render(
-            *args, width=width, height=height, max_slices=32,
-            interpret=interp,
-        )
-        return jnp.sum(c)
+    # two-K slope with an anti-hoist perturbation: XLA hoists a
+    # loop-invariant fori_loop body (it would time ONE frame + dispatch);
+    # varying the unused camera slot 19 per iteration defeats that without
+    # changing any pixel, and differencing two loop lengths cancels the
+    # dispatch intercept (bench.measure_device_frame methodology)
+    def loop_time(k):
+        @jax.jit
+        def frames(vol_, meta_, dims_, lut_, cam_, offs_, brs_, ows_):
+            def body(i, acc):
+                cam_i = cam_.at[19].set(i.astype(jnp.float32))
+                c, _d = tm.tilemarch_render(
+                    vol_, meta_, dims_, lut_, cam_i, offs_, brs_, ows_,
+                    width=width, height=height, max_slices=32,
+                    interpret=interp,
+                )
+                return acc + jnp.sum(c[::8])
 
-    K = args.frames
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    @jax.jit
-    def frames(*args):
-        return jax.lax.fori_loop(
-            0, K, lambda i, acc: acc + frame(*args), jnp.float32(0.0)
-        )
+        print(f"checksum (K={k}):", float(frames(*a)))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(frames(*a))
+            times.append(time.perf_counter() - t0)
+        return min(times) * 1e3
 
-    print("checksum:", float(frames(*a)))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(frames(*a))
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1e3 / K
+    k1, k2 = max(1, args.frames // 5), args.frames
+    if k2 <= k1:
+        k2 = k1 + 1
+    ms = (loop_time(k2) - loop_time(k1)) / (k2 - k1)
     print(f"{ms:.2f} ms/frame at {width}x{height} with {num_bricks} bricks")
 
 

@@ -611,7 +611,7 @@ static void item_bands_range(
     const int64_t* wb, int64_t begin, int64_t end, const double* eye_p,
     const double* fwd_p, const double* right_p, const double* up_p,
     double tan_half, double aspect, int tiles_x, int tile_w, int tile_h,
-    int logical_width, int logical_height, const uint16_t* occ_bits,
+    int logical_width, int logical_height, const uint64_t* occ_bits,
     int cap, int nq, const double* su, const double* sv, int per_brick,
     int ghost, int64_t min_gap, int32_t* out_band1, int32_t* out_band2,
     uint8_t* out_forward) {
@@ -620,7 +620,7 @@ static void item_bands_range(
   const double margin = ghost + 2.0;
   std::vector<double> cu_min(n_seg + 1), cu_max(n_seg + 1);
   std::vector<double> cv_min(n_seg + 1), cv_max(n_seg + 1);
-  std::vector<uint16_t> fmask(n_seg);
+  std::vector<uint64_t> fmask(n_seg);
 
   for (int64_t i = begin; i < end; ++i) {
     const int64_t b = wb[i];
@@ -694,16 +694,17 @@ static void item_bands_range(
       const double cu_hi = std::max(cu_max[g], cu_max[g + 1]) + margin;
       const double cv_lo = std::min(cv_min[g], cv_min[g + 1]) - margin;
       const double cv_hi = std::max(cv_max[g], cv_max[g + 1]) + margin;
-      uint32_t fu = 0, fv = 0;
+      uint64_t fu = 0, fv = 0;
       for (int q = 0; q < nq; ++q) {
         const double eu_lo = su_b * q, ev_lo = sv_b * q;
-        if (cu_lo < eu_lo + su_b && cu_hi > eu_lo) fu |= 1u << (q * nq);
-        if (cv_lo < ev_lo + sv_b && cv_hi > ev_lo) fv |= 1u << q;
+        if (cu_lo < eu_lo + su_b && cu_hi > eu_lo) fu |= 1ull << (q * nq);
+        if (cv_lo < ev_lo + sv_b && cv_hi > ev_lo) fv |= 1ull << q;
       }
-      fmask[g] = static_cast<uint16_t>(fu * fv);
+      // no-carry product (each partial bit distinct); 8x8 fits 64 bits
+      fmask[g] = fu * fv;
     }
     // slice scan: first/last occupied + largest internal empty gap
-    const uint16_t* occ_row = occ_bits + b * cap;
+    const uint64_t* occ_row = occ_bits + b * cap;
     int64_t first = -1, last = -1, prev = -1, best = -1;
     int64_t gap_prev = -1, gap_end = -1;
     for (int64_t s = blo; s < bhi; ++s) {
@@ -737,11 +738,11 @@ int avr_item_bands(const float* meta, const int32_t* brick_bounds,
                    const double* right_p, const double* up_p, double tan_half,
                    double aspect, int tiles_x, int tile_w, int tile_h,
                    int logical_width, int logical_height,
-                   const uint16_t* occ_bits, int cap, int nq,
+                   const uint64_t* occ_bits, int cap, int nq,
                    const double* su, const double* sv, int per_brick,
                    int ghost, int64_t min_gap, int32_t* out_band1,
                    int32_t* out_band2, uint8_t* out_forward) {
-  if (cap <= 0 || nq <= 0 || nq > 4 || tiles_x <= 0) return 0;
+  if (cap <= 0 || nq <= 0 || nq > 8 || tiles_x <= 0) return 0;
   const int64_t kChunk = 8192;
   unsigned hw = std::thread::hardware_concurrency();
   int64_t n_threads = std::min<int64_t>(

@@ -379,6 +379,24 @@ class TestRenderBatch:
         small = fast.render_batch(cams, overlay=False, max_chunk_bytes=1)
         np.testing.assert_array_equal(big, small)
 
+    def test_batch_smem_cap_forces_chunking(self, geometry, monkeypatch):
+        """Deep-AMR scenes must chunk the batched frame axis: the kernel's
+        [F, W] scalar-prefetch tables live in scoped SMEM (a 512-brick
+        scene at F=16 exhausts it on v5e).  Force the cap to 1 frame and
+        check the batch splits into per-frame launches with identical
+        pixels."""
+        from amrvolumerenderer_tpu.ops import tilemarch as tm
+
+        params = RenderParameters(width=32, height=32)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(3, dist=4.0)
+        big = fast.render_batch(cams, overlay=False)
+        n_big = fast.last_batch_stats["dispatch_count"]
+        monkeypatch.setattr(tm, "max_batch_frames", lambda *a, **k: 1)
+        capped = fast.render_batch(cams, overlay=False)
+        assert fast.last_batch_stats["dispatch_count"] > n_big
+        np.testing.assert_array_equal(big, capped)
+
     def test_batch_culled_frame(self, geometry):
         """A fully transparent transfer function culls every work item;
         batched frames come back cleared, like render()."""

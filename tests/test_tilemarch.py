@@ -567,16 +567,17 @@ def test_band_split_shell_pixel_parity(monkeypatch):
         color_map_from_tuples,
     )
 
+    # two full-plane slabs with an empty middle: every covering tile's
+    # chord has an entry band, a >= min_gap hole, and an exit band — the
+    # split must engage regardless of the block-occupancy granularity
+    # (a thin curved shell stops triggering at 8x8 blocks: the tighter
+    # footprints legitimately cull the would-be-split items instead)
     n = 32
-    c = (np.arange(n) + 0.5) / n
-    r = np.sqrt(
-        (c[:, None, None] - 0.5) ** 2
-        + (c[None, :, None] - 0.5) ** 2
-        + (c[None, None, :] - 0.5) ** 2
-    )
-    shell = np.exp(-((r - 0.35) / 0.03) ** 2).astype(np.float32)
+    slabs = np.zeros((n, n, n), np.float32)
+    slabs[4:9] = 1.0
+    slabs[23:28] = 1.0
     geometry = SceneGeometry(
-        bricks=[Brick(shell, (0, 0, 0), (1, 1, 1), owner=0)],
+        bricks=[Brick(slabs, (0, 0, 0), (1, 1, 1), owner=0)],
         scalar_range=(0.0, 1.0), has_scalar_range=True,
         scalar_transform=ScalarTransform(),
     )
@@ -601,7 +602,14 @@ def test_band_split_shell_pixel_parity(monkeypatch):
 
             monkeypatch.setattr(tm, "expand_bands", merge_bands)
         fsr = FastSceneRenderer(geometry, params, color_map=cmap)
-        cam = auto_orbit_camera(fsr.bounds)
+        # camera along the slab normal (+x) so the march axis slices
+        # PARALLEL to the slabs and every chord sees the empty middle
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        cam = CameraParameters(
+            eye=(3.5, 0.62, 0.55), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+            fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+        )
         inputs = fsr.frame_inputs(cam, as_numpy=True)
         counts[mode] = len(inputs["bricks"])
         frames[mode] = fsr.render(cam, overlay=False)
@@ -724,3 +732,34 @@ def test_native_item_bands_matches_numpy(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(g_arr), np.asarray(w_arr), err_msg=name
         )
+
+
+def test_max_batch_frames_smem_cap():
+    """Calibration contract of the batched-kernel SMEM frame cap against
+    the measured Mosaic RESOURCE_EXHAUSTED dump (v5e, 1.00 MiB SMEM): the
+    512-brick scene shape (S=384, W=5934) exhausted SMEM at F=16 AND at
+    F=5 (rows pad to 8) with the old [B, 12] meta layout; with the
+    transposed layout F=8 fits (644 KB) but F=16 must still cap; the
+    known-good bench scene shape (S=384, W=1491) must allow 16; the cap
+    never drops below one frame."""
+    assert tm.max_batch_frames(384, 5934, 512) < 16
+    assert tm.max_batch_frames(384, 5934, 512) >= 8
+    assert tm.max_batch_frames(384, 1491, 36) >= 16
+    # floor: even an absurd work list still renders one frame per launch
+    assert tm.max_batch_frames(8192, 10_000_000, 4096) == 1
+    # monotone in the budget
+    assert tm.max_batch_frames(384, 5934, 512, budget_bytes=2 << 20) >= (
+        tm.max_batch_frames(384, 5934, 512)
+    )
+    # the byte model reproduces the measured dump exactly: F=5 (padded to
+    # 8 rows), S=384, W=5934, B=512 with UNtransposed [512, 12]/[512, 8]
+    # meta/dims = 1.08 MiB total; the transposed layout's shared term is
+    # (16 + 8) x 512 words
+    measured = (
+        4 * 1024 + 12 * 1024 + 16 * 1024 + 3 * 188 * 1024  # per-frame
+        + 2 * 256 * 1024                                   # old meta/dims
+    )
+    got = tm.smem_prefetch_bytes(5, 384, 5934, 512)
+    old_shared = 2 * 512 * 128 * 4
+    new_shared = (16 + 8) * 512 * 4
+    assert got - new_shared + old_shared == measured
