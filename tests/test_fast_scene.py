@@ -379,6 +379,22 @@ class TestRenderBatch:
         small = fast.render_batch(cams, overlay=False, max_chunk_bytes=1)
         np.testing.assert_array_equal(big, small)
 
+    def test_batch_eager_window_flush(self, geometry):
+        """Batches longer than the 16-frame window flush eagerly (so host
+        prep of the next window overlaps the device rendering this one);
+        frames stay identical to per-frame renders and in input order."""
+        params = RenderParameters(width=16, height=16)
+        fast = FastSceneRenderer(geometry, params, interpret=True)
+        cams = self._orbit(17, dist=4.0)
+        batch = fast.render_batch(cams, overlay=False)
+        assert fast.last_batch_stats["dispatch_count"] >= 2
+        assert batch.shape[0] == 17
+        for i in (0, 15, 16):
+            np.testing.assert_allclose(
+                batch[i], fast.render(cams[i], overlay=False),
+                rtol=1e-6, atol=1e-6,
+            )
+
     def test_batch_smem_cap_forces_chunking(self, geometry, monkeypatch):
         """Deep-AMR scenes must chunk the batched frame axis: the kernel's
         [F, W] scalar-prefetch tables live in scoped SMEM (a 512-brick
