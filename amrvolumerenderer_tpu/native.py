@@ -44,7 +44,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_attempted:
         return _lib
     _load_attempted = True
-    if not os.path.exists(_LIB_PATH) and not _try_build():
+    # ALWAYS run make, even when the .so exists: the build is mtime-based
+    # (a fresh library is a no-op), and loading a stale library after a C
+    # ABI/contract change (e.g. the uint16 -> uint64 occupancy-mask
+    # widening) would silently disable native paths — old avr_item_bands
+    # rejects nq=8, so every frame would fall back to the NumPy oracle
+    # with no warning.
+    if not _try_build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

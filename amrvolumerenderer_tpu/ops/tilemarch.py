@@ -675,15 +675,29 @@ def max_batch_frames(
     chunk instead of once per batch).  ``steps``/``items`` are the PADDED
     per-frame table widths the caller will actually ship.  Row padding
     quantizes the answer to multiples of 8 (frame counts 1-8 all occupy
-    8 SMEM rows); the floor is 1 so a huge scene still attempts
-    single-frame launches rather than failing host-side."""
+    8 SMEM rows).
+
+    Raises ValueError when even ONE frame cannot fit: dispatching it
+    would be a known-RESOURCE_EXHAUSTED Mosaic compile, and on a
+    relay-attached TPU a compiler crash wedges every TPU call for
+    ~10-15 minutes — a host-side error is strictly better."""
     budget = SMEM_BYTES - SMEM_MARGIN if budget_bytes is None else budget_bytes
     row_bytes = smem_prefetch_bytes(8, steps, items, bricks) - (
         smem_prefetch_bytes(0, steps, items, bricks)
     )
     shared = smem_prefetch_bytes(0, steps, items, bricks)
     rows = (budget - shared) * 8 // max(row_bytes, 1)
-    return max(1, int(rows // 8) * 8)
+    if rows < 8:  # one frame still occupies 8 padded SMEM rows
+        raise ValueError(
+            f"the per-frame work tables ({items} items, {steps} tile "
+            f"steps, {bricks} bricks = "
+            f"{smem_prefetch_bytes(1, steps, items, bricks)} bytes of "
+            f"scalar-prefetch SMEM) exceed the {budget}-byte budget even "
+            f"for a single frame; the scene is too deep for the "
+            f"mega-kernel at this resolution — reduce the frame size or "
+            f"split the scene"
+        )
+    return int(rows // 8) * 8
 
 
 def _tilemarch_call(

@@ -230,7 +230,10 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
         else:
             F = (1, 2)
 
-    def launch_time(f):
+    def make_timer(f):
+        """Compile the F-frame launch ONCE and return a re-timeable thunk
+        (the retry loop below must not pay a fresh trace + Mosaic compile
+        per attempt)."""
         cams = np.tile(inputs["cam"], (f, 1)).astype(np.float32)
         cams[:, 19] = np.arange(f)  # unused slot: defeats CSE across frames
 
@@ -259,29 +262,34 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
             tile(inputs["owners"]), tile(inputs["item_bounds"]),
             tile(inputs["tile_ids"]),
         )
-        checksum = float(frames(*args))
+        checksum = float(frames(*args))  # compile + warm
         assert np.isfinite(checksum) and checksum > 0.0
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(frames(*args))
-            times.append(time.perf_counter() - t0)
-        return min(times) * 1e3
+
+        def timed():
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(frames(*args))
+                times.append(time.perf_counter() - t0)
+            return min(times) * 1e3
+
+        return timed
 
     f1, f2 = F
+    timer1 = make_timer(f1)
+    timer2 = make_timer(f2)
     # TPU contention makes wall clocks vary run to run; a glitch can push
     # t(F2) below t(F1) and the slope to <= 0 (observed once: a "0.0 ms
     # frame" = 1048 Gray/s in the JSON).  No composited frame can beat
-    # ~50 Grays/s on this chip, so retry implausible slopes instead of
-    # reporting an artifact.
+    # ~50 Grays/s on this chip, so re-time implausible slopes (execution
+    # only — the launches above stay compiled) instead of reporting an
+    # artifact.
     min_plausible = (
         fsr.render_width * fsr.render_height / 50e9 * 1e3
     )  # ms
     slope = 0.0
     for _attempt in range(3):
-        t1 = launch_time(f1)
-        t2 = launch_time(f2)
-        slope = (t2 - t1) / (f2 - f1)
+        slope = (timer2() - timer1()) / (f2 - f1)
         if slope > min_plausible:
             return slope
     return max(slope, min_plausible)

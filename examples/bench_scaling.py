@@ -112,7 +112,9 @@ def main() -> None:
     # loop-invariant fori_loop body (it would time ONE frame + dispatch);
     # varying the unused camera slot 19 per iteration defeats that without
     # changing any pixel, and differencing two loop lengths cancels the
-    # dispatch intercept (bench.measure_device_frame methodology)
+    # dispatch intercept.  CANONICAL implementation:
+    # bench.measure_device_frame / scripts/measure_scaling.py — keep this
+    # standalone copy in sync with any methodology fix there.
     def loop_time(k):
         @jax.jit
         def frames(vol_, meta_, dims_, lut_, cam_, offs_, brs_, ows_):
@@ -127,7 +129,9 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-        print(f"checksum (K={k}):", float(frames(*a)))
+        checksum = float(frames(*a))
+        assert np.isfinite(checksum) and checksum > 0.0
+        print(f"checksum (K={k}):", checksum)
         times = []
         for _ in range(3):
             t0 = time.perf_counter()

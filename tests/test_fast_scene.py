@@ -379,16 +379,41 @@ class TestRenderBatch:
         small = fast.render_batch(cams, overlay=False, max_chunk_bytes=1)
         np.testing.assert_array_equal(big, small)
 
-    def test_batch_eager_window_flush(self, geometry):
-        """Batches longer than the 16-frame window flush eagerly (so host
-        prep of the next window overlaps the device rendering this one);
+    def test_batch_eager_window_flush(self, geometry, monkeypatch):
+        """Batches longer than the 16-frame window flush eagerly — the
+        first window's DISPATCH must happen before the last frame's host
+        prep (that interleaving is what lets prep overlap the device);
         frames stay identical to per-frame renders and in input order."""
+        import amrvolumerenderer_tpu.fast_scene as fs
+
         params = RenderParameters(width=16, height=16)
         fast = FastSceneRenderer(geometry, params, interpret=True)
         cams = self._orbit(17, dist=4.0)
+
+        events = []
+        real_dispatch = fs._render_batch_frames
+        real_prep = FastSceneRenderer.frame_inputs
+
+        def spy_dispatch(*a, **k):
+            events.append("dispatch")
+            return real_dispatch(*a, **k)
+
+        def spy_prep(self, *a, **k):
+            events.append("prep")
+            return real_prep(self, *a, **k)
+
+        monkeypatch.setattr(fs, "_render_batch_frames", spy_dispatch)
+        monkeypatch.setattr(FastSceneRenderer, "frame_inputs", spy_prep)
         batch = fast.render_batch(cams, overlay=False)
+        monkeypatch.undo()
+
         assert fast.last_batch_stats["dispatch_count"] >= 2
         assert batch.shape[0] == 17
+        # eager flush: a dispatch is interleaved into the prep sequence,
+        # not appended after all 17 preps (which a whole-group flush with
+        # internal chunking would also produce)
+        first_dispatch = events.index("dispatch")
+        assert events[:first_dispatch].count("prep") < 17
         for i in (0, 15, 16):
             np.testing.assert_allclose(
                 batch[i], fast.render(cams[i], overlay=False),

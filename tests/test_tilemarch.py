@@ -745,8 +745,11 @@ def test_max_batch_frames_smem_cap():
     assert tm.max_batch_frames(384, 5934, 512) < 16
     assert tm.max_batch_frames(384, 5934, 512) >= 8
     assert tm.max_batch_frames(384, 1491, 36) >= 16
-    # floor: even an absurd work list still renders one frame per launch
-    assert tm.max_batch_frames(8192, 10_000_000, 4096) == 1
+    # a work list too deep for even ONE frame must fail HOST-side: that
+    # launch is a known-RESOURCE_EXHAUSTED Mosaic compile, and a Mosaic
+    # crash wedges a relay-attached TPU for ~10-15 minutes
+    with pytest.raises(ValueError, match="scalar-prefetch SMEM"):
+        tm.max_batch_frames(8192, 10_000_000, 4096)
     # monotone in the budget
     assert tm.max_batch_frames(384, 5934, 512, budget_bytes=2 << 20) >= (
         tm.max_batch_frames(384, 5934, 512)
