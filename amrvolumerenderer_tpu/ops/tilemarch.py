@@ -57,8 +57,12 @@ def _kernel(
     tile_ids_ref,  # [F, S] i32 frame tile id per grid step (the compacted
     #               grid: only covered tiles get steps; dense = arange(T))
     offsets_ref,  # [F, S + 1] i32 CSR offsets into the per-step brick list
-    bricks_ref,  # [F, W] i32 CSR brick ids, front-to-back per tile
-    owners_ref,  # [F, W] i32 owner of each work item (run grouping)
+    work_ref,  # [F, W] i32 CSR work items, front-to-back per tile:
+    #            (owner << 16) | brick — one packed table instead of two
+    #            halves a third of the W-wide scalar-prefetch SMEM (the
+    #            mega-kernel's scene-depth ceiling); owner is only ever
+    #            compared for equality, so its 16-bit truncation is safe,
+    #            and brick ids are exact (B <= 65536 checked host-side)
     ibounds_ref,  # [F, W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
     #               defaults to the brick's dims[7], tightened per tile by
     #               compute_item_slice_bounds)
@@ -157,7 +161,7 @@ def _kernel(
         """The (src, dst, sem) descriptor for this item's brick DMA —
         built ONCE here so start and wait always describe the same
         (possibly window-trimmed) transfer."""
-        b = bricks_ref[f, work_idx]
+        b = work_ref[f, work_idx] & 0xFFFF
         if dma_slices is None:
             src = vol_hbm.at[b]
         else:
@@ -170,9 +174,9 @@ def _kernel(
             brick_copy(work_idx, slot).start()
 
     def march_brick(work_idx, slot):
-        """March brick ``bricks_ref[work_idx]`` (already in vol_buf[slot]).
+        """March the item's brick (already in vol_buf[slot]).
         Returns its (r, g, b, a, depth) layer planes for this tile."""
-        bi = bricks_ref[f, work_idx]
+        bi = work_ref[f, work_idx] & 0xFFFF
         buf_base = dma_start_slice(work_idx)
         # transposed [12, B]/[8, B] layout: SMEM operands pad their minor
         # dimension to 128 words, so [B, 12] would burn 128 words per brick
@@ -495,7 +499,10 @@ def _kernel(
 
         same_owner = jnp.logical_and(
             work_idx > work_begin,
-            owners_ref[f, work_idx] == owners_ref[f, jnp.maximum(work_idx - 1, 0)],
+            # owner equality survives the 16-bit packing (arithmetic shift
+            # applies the same sign-extension to both sides)
+            (work_ref[f, work_idx] >> 16)
+            == (work_ref[f, jnp.maximum(work_idx - 1, 0)] >> 16),
         )
         closed_c, closed_d = blend(tot_c, tot_d, run_c, run_d)
         closed_c = select4(have_tot, closed_c, run_c)
@@ -656,7 +663,7 @@ def smem_prefetch_bytes(
         _pad128(20)          # cams
         + _pad128(steps)     # tile_ids
         + _pad128(steps + 1)  # CSR offsets
-        + 3 * _pad128(items)  # bricks / owners / item_bounds
+        + 2 * _pad128(items)  # packed (owner, brick) / item_bounds
     )
     shared_words = (_pad8(12) + _pad8(8)) * _pad128(bricks)  # meta.T/dims.T
     return (_pad8(frames) * row_words + shared_words) * 4
@@ -721,6 +728,19 @@ def _tilemarch_call(
     grid = frames * steps
     if dma_slices is not None:
         dma_slices = min(int(dma_slices), s_max)
+    if vol.shape[0] > 0x10000:
+        # the packed work table stores brick ids in 16 bits
+        raise ValueError(
+            f"{vol.shape[0]} bricks exceed the mega-kernel's 65536-brick "
+            f"work-table limit; split the scene across devices"
+        )
+    # pack (owner, brick) into ONE prefetch table: owner is only compared
+    # for equality (16-bit truncation safe), brick ids are exact under the
+    # check above — one less W-wide SMEM operand (the scene-depth ceiling)
+    work = (
+        (jnp.asarray(tile_owners, jnp.int32) << 16)
+        | (jnp.asarray(tile_bricks, jnp.int32) & 0xFFFF)
+    )
 
     unroll = unroll if unroll is not None else (1 if interpret else 4)
     kernel = functools.partial(
@@ -739,7 +759,7 @@ def _tilemarch_call(
         steps_per_frame=steps if batched else None,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=7,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
@@ -769,7 +789,7 @@ def _tilemarch_call(
         # operand's minor dim to 128 words, so the public [B, 12] layout
         # would cost 128 words per brick in scoped SMEM
         cams, jnp.asarray(meta).T, jnp.asarray(dims).T, tile_ids,
-        tile_offsets, tile_bricks, tile_owners, item_bounds, vol, lut,
+        tile_offsets, work, item_bounds, vol, lut,
     )
 
 

@@ -738,12 +738,11 @@ def test_max_batch_frames_smem_cap():
     """Calibration contract of the batched-kernel SMEM frame cap against
     the measured Mosaic RESOURCE_EXHAUSTED dump (v5e, 1.00 MiB SMEM): the
     512-brick scene shape (S=384, W=5934) exhausted SMEM at F=16 AND at
-    F=5 (rows pad to 8) with the old [B, 12] meta layout; with the
-    transposed layout F=8 fits (644 KB) but F=16 must still cap; the
-    known-good bench scene shape (S=384, W=1491) must allow 16; the cap
-    never drops below one frame."""
-    assert tm.max_batch_frames(384, 5934, 512) < 16
-    assert tm.max_batch_frames(384, 5934, 512) >= 8
+    F=5 (rows pad to 8) with the old [B, 12] meta layout + separate
+    brick/owner tables; with the transposed metadata and the packed
+    (owner, brick) table F=16 fits; the known-good bench scene shape
+    (S=384, W=1491) must allow 16."""
+    assert tm.max_batch_frames(384, 5934, 512) >= 16
     assert tm.max_batch_frames(384, 1491, 36) >= 16
     # a work list too deep for even ONE frame must fail HOST-side: that
     # launch is a known-RESOURCE_EXHAUSTED Mosaic compile, and a Mosaic
@@ -755,9 +754,10 @@ def test_max_batch_frames_smem_cap():
         tm.max_batch_frames(384, 5934, 512)
     )
     # the byte model reproduces the measured dump exactly: F=5 (padded to
-    # 8 rows), S=384, W=5934, B=512 with UNtransposed [512, 12]/[512, 8]
-    # meta/dims = 1.08 MiB total; the transposed layout's shared term is
-    # (16 + 8) x 512 words
+    # 8 rows), S=384, W=5934, B=512 with the dump's UNtransposed
+    # [512, 12]/[512, 8] meta/dims and THREE separate [F, W] tables =
+    # 1.08 MiB total; today's layout differs by the transposed shared
+    # term ((16 + 8) x 512 words) and one fewer W-wide table
     measured = (
         4 * 1024 + 12 * 1024 + 16 * 1024 + 3 * 188 * 1024  # per-frame
         + 2 * 256 * 1024                                   # old meta/dims
@@ -765,4 +765,5 @@ def test_max_batch_frames_smem_cap():
     got = tm.smem_prefetch_bytes(5, 384, 5934, 512)
     old_shared = 2 * 512 * 128 * 4
     new_shared = (16 + 8) * 512 * 4
-    assert got - new_shared + old_shared == measured
+    third_table = 8 * (-(-5934 // 128) * 128) * 4  # 8 padded rows
+    assert got - new_shared + old_shared + third_table == measured
