@@ -42,6 +42,14 @@ def plotfile(tmp_path):
 def run_example(script, args, cwd):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # JAX_PLATFORMS=cpu alone is NOT enough on a relay-attached box: a
+    # sitecustomize gated on PALLAS_AXON_POOL_IPS registers the remote
+    # TPU backend at interpreter start, and with the relay down the
+    # subprocess hangs forever in backend init (observed: the whole
+    # suite wedged on this test during a relay outage).  Unset the gate
+    # so the sitecustomize no-ops and the test suite never depends on
+    # TPU availability.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = (
         os.path.dirname(EXAMPLES) + os.pathsep + env.get("PYTHONPATH", "")
     )
