@@ -767,3 +767,22 @@ def test_max_batch_frames_smem_cap():
     new_shared = (16 + 8) * 512 * 4
     third_table = 8 * (-(-5934 // 128) * 128) * 4  # 8 padded rows
     assert got - new_shared + old_shared + third_table == measured
+
+
+def test_brick_count_limit_fails_host_side():
+    """The packed work table stores brick ids in 16 bits; a >65536-brick
+    scene must be refused on the host with a clear error, not silently
+    alias brick ids in the kernel."""
+    vol = jnp.zeros((0x10001, 1, 8, 128), jnp.float32)
+    meta = jnp.zeros((0x10001, 12), jnp.float32)
+    dims = jnp.zeros((0x10001, 8), jnp.int32)
+    lut = jnp.zeros((4, 2, 128), jnp.float32)
+    cam = jnp.zeros(20, jnp.float32)
+    offs = jnp.zeros(2, jnp.int32)  # one tile, empty work list
+    one = jnp.zeros(1, jnp.int32)
+    with pytest.raises(ValueError, match="65536-brick"):
+        tm.tilemarch_render(
+            vol, meta, dims, lut, cam, offs, one, one, one, one,
+            width=tm.TILE_W, height=tm.TILE_H, max_slices=1,
+            interpret=True,
+        )
