@@ -149,14 +149,29 @@ def _render_batch_frames(
     tiles_x = width // sm.TILE_W
     tiles_y = height // sm.TILE_H
 
-    out_c, out_d = tm.tilemarch_render_batch(
-        vol, meta, dims, lut, cams, offsets, bricks, owners, ibounds,
-        tile_ids,
-        width=width, height=height, max_slices=max_slices,
-        logical_width=logical_width, logical_height=logical_height,
-        interpret=interpret, sampling=sampling, ghost=ghost,
-        dma_slices=dma_slices, classification=classification,
-    )
+    if cams.shape[0] == 1:
+        # frameless single-frame launch: the batched kernel's 2-D [1, W]
+        # SMEM tables pad to 8 rows (8x the bytes) — a deep scene or a
+        # supersampled frame that fits frameless would RESOURCE_EXHAUST
+        # batched.  Shapes are static under jit, so this branch is free.
+        c1, d1 = tm.tilemarch_render(
+            vol, meta, dims, lut, cams[0], offsets[0], bricks[0],
+            owners[0], ibounds[0], tile_ids[0],
+            width=width, height=height, max_slices=max_slices,
+            logical_width=logical_width, logical_height=logical_height,
+            interpret=interpret, sampling=sampling, ghost=ghost,
+            dma_slices=dma_slices, classification=classification,
+        )
+        out_c, out_d = c1[None], d1[None]
+    else:
+        out_c, out_d = tm.tilemarch_render_batch(
+            vol, meta, dims, lut, cams, offsets, bricks, owners, ibounds,
+            tile_ids,
+            width=width, height=height, max_slices=max_slices,
+            logical_width=logical_width, logical_height=logical_height,
+            interpret=interpret, sampling=sampling, ghost=ghost,
+            dma_slices=dma_slices, classification=classification,
+        )
 
     def assemble(out_c, out_d, tids):
         if bytes_out and sqrt_aa == 1:
@@ -814,13 +829,18 @@ class FastSceneRenderer:
             w_pad = 1 << max(w_max - 1, 0).bit_length()  # pow2 bucket
             # two frame-count caps: readback bytes AND scoped SMEM — the
             # batched kernel prefetches [F, w_pad] item tables into SMEM,
-            # which a deep-AMR scene (hundreds of bricks) exhausts at F=16
+            # which a deep-AMR scene (hundreds of bricks) exhausts at
+            # F=16.  A cap of 0 means NO batched count fits (e.g. the
+            # 4096^2 supersampled stretch config): chunk to single frames,
+            # which _render_batch_frames routes through the frameless
+            # kernel (1-D tables, 1/8 the SMEM rows).
             smem_cap = tm.max_batch_frames(
                 max(len(g[1]["tile_ids"]) for g in group),
                 w_pad, int(meta.shape[0]),
             )
             chunk_max = int(
-                max(1, min(16, max_chunk_bytes // frame_bytes, smem_cap))
+                max(1, min(16, max_chunk_bytes // frame_bytes,
+                           smem_cap if smem_cap > 0 else 1))
             )
             c0 = 0
             while c0 < len(group):

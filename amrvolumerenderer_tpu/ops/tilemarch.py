@@ -46,11 +46,13 @@ from .vreg import gather_rows
 
 
 def _kernel(
-    # scalar prefetch (leading F axis = frames batched into ONE launch;
-    # single-frame callers pass F=1 — a launch/serialization overhead is
-    # paid once per pallas_call, so animation batches flatten the frame
-    # axis into the grid instead of looping launches)
-    cam_ref,  # [F, 20] f32 (slicemarch.pack_camera layout)
+    # scalar prefetch.  Batched launches (steps_per_frame set) carry a
+    # leading F axis on the per-frame tables — a launch/serialization
+    # overhead is paid once per pallas_call, so animation batches flatten
+    # the frame axis into the grid.  Single-frame launches ship the
+    # tables 1-D (steps_per_frame=None): Mosaic pads 2-D SMEM operand
+    # rows to 8, so a [1, W] table would cost 8x its bytes.
+    cam_ref,  # [F, 20] f32, or [20] frameless (pack_camera layout)
     meta_ref,  # [12, B] f32: pmin(3) pmax(3) cell(3) pad(3), permuted axes
     #          (brick-major transpose: SMEM pads the minor dim to 128)
     dims_ref,  # [8, B] i32: n_slices nu nv perm(3) pad pad
@@ -101,23 +103,38 @@ def _kernel(
         dma_slices = None  # full-brick copy, no index shift
     gstep = pl.program_id(0)
     if steps_per_frame is None:
-        f = jnp.int32(0)
+        # frameless single-frame launch: the scalar tables are 1-D ([20],
+        # [S], [S + 1], [W]).  This is NOT cosmetic — a 2-D [1, W] SMEM
+        # operand pads to EIGHT rows (8x the bytes; the 4096^2
+        # supersampled stretch config then exceeds the 1 MiB SMEM, a
+        # regression the frame-axis batching introduced and this branch
+        # removes).
         step = gstep
+        cam_at = lambda j: cam_ref[j]
+        tid_at = lambda s: tile_ids_ref[s]
+        off_at = lambda s: offsets_ref[s]
+        work_at = lambda w: work_ref[w]
+        ib_at = lambda w: ibounds_ref[w]
     else:
         f = gstep // steps_per_frame
         step = gstep - f * steps_per_frame
-    t = tile_ids_ref[f, step]  # frame tile this step renders
+        cam_at = lambda j: cam_ref[f, j]
+        tid_at = lambda s: tile_ids_ref[f, s]
+        off_at = lambda s: offsets_ref[f, s]
+        work_at = lambda w: work_ref[f, w]
+        ib_at = lambda w: ibounds_ref[f, w]
+    t = tid_at(step)  # frame tile this step renders
     inf = jnp.float32(np.inf)
 
-    eye_w = [cam_ref[f, i] for i in range(3)]
-    fwd = [cam_ref[f, 3 + i] for i in range(3)]
-    right = [cam_ref[f, 6 + i] for i in range(3)]
-    up = [cam_ref[f, 9 + i] for i in range(3)]
-    tan_half_fov = cam_ref[f, 12]
-    aspect = cam_ref[f, 13]
-    range_min = cam_ref[f, 14]
-    inverse_range = cam_ref[f, 15]
-    ref_distance = cam_ref[f, 16]
+    eye_w = [cam_at(i) for i in range(3)]
+    fwd = [cam_at(3 + i) for i in range(3)]
+    right = [cam_at(6 + i) for i in range(3)]
+    up = [cam_at(9 + i) for i in range(3)]
+    tan_half_fov = cam_at(12)
+    aspect = cam_at(13)
+    range_min = cam_at(14)
+    inverse_range = cam_at(15)
+    ref_distance = cam_at(16)
 
     # ---- per-tile rays (same mapping as the slice-march kernel) ----
     tiles_x = width // TILE_W
@@ -146,14 +163,14 @@ def _kernel(
     def gather_vreg(tile, row, col, num_rows):
         return gather_rows(lambda rr: tile[rr, :], num_rows, row, col)
 
-    work_begin = offsets_ref[f, step]
-    work_end = offsets_ref[f, step + 1]
+    work_begin = off_at(step)
+    work_end = off_at(step + 1)
 
     def dma_start_slice(work_idx):
         """First stored slice of the item's DMA window (0 = full copy)."""
         if dma_slices is None:
             return jnp.int32(0)
-        sb = ibounds_ref[f, work_idx]
+        sb = ib_at(work_idx)
         lo = jnp.where(sb > 0, sb >> 16, 0)
         return jnp.clip(lo + ghost, 0, s_stored - dma_slices)
 
@@ -161,7 +178,7 @@ def _kernel(
         """The (src, dst, sem) descriptor for this item's brick DMA —
         built ONCE here so start and wait always describe the same
         (possibly window-trimmed) transfer."""
-        b = work_ref[f, work_idx] & 0xFFFF
+        b = work_at(work_idx) & 0xFFFF
         if dma_slices is None:
             src = vol_hbm.at[b]
         else:
@@ -176,7 +193,7 @@ def _kernel(
     def march_brick(work_idx, slot):
         """March the item's brick (already in vol_buf[slot]).
         Returns its (r, g, b, a, depth) layer planes for this tile."""
-        bi = work_ref[f, work_idx] & 0xFFFF
+        bi = work_at(work_idx) & 0xFFFF
         buf_base = dma_start_slice(work_idx)
         # transposed [12, B]/[8, B] layout: SMEM operands pad their minor
         # dimension to 128 words, so [B, 12] would burn 128 words per brick
@@ -194,7 +211,7 @@ def _kernel(
         # occupied slice bounds, PER WORK ITEM (slicemarch
         # compute_slice_bounds packing, optionally tightened to this tile's
         # footprint on the brick by compute_item_slice_bounds)
-        s_bounds = ibounds_ref[f, work_idx]
+        s_bounds = ib_at(work_idx)
         s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
         s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
 
@@ -501,8 +518,8 @@ def _kernel(
             work_idx > work_begin,
             # owner equality survives the 16-bit packing (arithmetic shift
             # applies the same sign-extension to both sides)
-            (work_ref[f, work_idx] >> 16)
-            == (work_ref[f, jnp.maximum(work_idx - 1, 0)] >> 16),
+            (work_at(work_idx) >> 16)
+            == (work_at(jnp.maximum(work_idx - 1, 0)) >> 16),
         )
         closed_c, closed_d = blend(tot_c, tot_d, run_c, run_d)
         closed_c = select4(have_tot, closed_c, run_c)
@@ -589,10 +606,10 @@ def tilemarch_render(
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     num_tiles = tile_ids.shape[0]  # grid steps (== frame tiles when dense)
     assert tile_offsets.shape[0] == num_tiles + 1
+    # tables ship 1-D (frameless): a [1, W] SMEM operand pads to 8 rows
     out_c, out_d = _tilemarch_call(
-        vol, meta, dims, lut, cam[None], tile_offsets[None],
-        tile_bricks[None], tile_owners[None], item_bounds[None],
-        tile_ids[None],
+        vol, meta, dims, lut, cam, tile_offsets,
+        tile_bricks, tile_owners, item_bounds, tile_ids,
         width=width, height=height, max_slices=max_slices,
         logical_width=logical_width, logical_height=logical_height,
         interpret=interpret, sampling=sampling, unroll=unroll,
@@ -655,10 +672,15 @@ def _pad128(n: int) -> int:
 
 
 def smem_prefetch_bytes(
-    frames: int, steps: int, items: int, bricks: int
+    frames: Optional[int], steps: int, items: int, bricks: int
 ) -> int:
-    """Scoped-SMEM bytes the batched kernel's scalar-prefetch operands
-    occupy, with Mosaic's row/minor-dim padding applied (see above)."""
+    """Scoped-SMEM bytes the kernel's scalar-prefetch operands occupy,
+    with Mosaic's row/minor-dim padding applied (see above).
+
+    ``frames=None`` models the FRAMELESS single-frame launch (1-D
+    tables, one row each); an integer models the batched launch, whose
+    2-D tables pad rows to 8 — a batched F=1 launch costs 8x the
+    frameless one, which is why ``tilemarch_render`` ships 1-D."""
     row_words = (
         _pad128(20)          # cams
         + _pad128(steps)     # tile_ids
@@ -666,7 +688,8 @@ def smem_prefetch_bytes(
         + 2 * _pad128(items)  # packed (owner, brick) / item_bounds
     )
     shared_words = (_pad8(12) + _pad8(8)) * _pad128(bricks)  # meta.T/dims.T
-    return (_pad8(frames) * row_words + shared_words) * 4
+    rows = 1 if frames is None else _pad8(frames)
+    return (rows * row_words + shared_words) * 4
 
 
 def max_batch_frames(
@@ -681,30 +704,21 @@ def max_batch_frames(
     large scenes (the per-launch serialization tax then lands once per
     chunk instead of once per batch).  ``steps``/``items`` are the PADDED
     per-frame table widths the caller will actually ship.  Row padding
-    quantizes the answer to multiples of 8 (frame counts 1-8 all occupy
-    8 SMEM rows).
+    quantizes the answer to multiples of 8 (batched frame counts 1-8 all
+    occupy 8 SMEM rows).
 
-    Raises ValueError when even ONE frame cannot fit: dispatching it
-    would be a known-RESOURCE_EXHAUSTED Mosaic compile, and on a
-    relay-attached TPU a compiler crash wedges every TPU call for
-    ~10-15 minutes — a host-side error is strictly better."""
+    Returns 0 when no BATCHED frame count fits — the caller must then
+    fall back to frameless single-frame launches (``tilemarch_render``,
+    1-D tables at 1/8 the row cost), which is exactly what
+    ``render_batch`` does for e.g. the 4096^2 supersampled stretch
+    config."""
     budget = SMEM_BYTES - SMEM_MARGIN if budget_bytes is None else budget_bytes
     row_bytes = smem_prefetch_bytes(8, steps, items, bricks) - (
         smem_prefetch_bytes(0, steps, items, bricks)
     )
     shared = smem_prefetch_bytes(0, steps, items, bricks)
     rows = (budget - shared) * 8 // max(row_bytes, 1)
-    if rows < 8:  # one frame still occupies 8 padded SMEM rows
-        raise ValueError(
-            f"the per-frame work tables ({items} items, {steps} tile "
-            f"steps, {bricks} bricks = "
-            f"{smem_prefetch_bytes(1, steps, items, bricks)} bytes of "
-            f"scalar-prefetch SMEM) exceed the {budget}-byte budget even "
-            f"for a single frame; the scene is too deep for the "
-            f"mega-kernel at this resolution — reduce the frame size or "
-            f"split the scene"
-        )
-    return int(rows // 8) * 8
+    return max(0, int(rows // 8) * 8)
 
 
 def _tilemarch_call(
@@ -724,7 +738,10 @@ def _tilemarch_call(
     batched: bool = False,
 ):
     s_max = vol.shape[1]
-    frames, steps = tile_ids.shape
+    if batched:
+        frames, steps = tile_ids.shape
+    else:
+        frames, steps = 1, tile_ids.shape[0]  # frameless 1-D tables
     grid = frames * steps
     if dma_slices is not None:
         dma_slices = min(int(dma_slices), s_max)
@@ -734,6 +751,19 @@ def _tilemarch_call(
             f"{vol.shape[0]} bricks exceed the mega-kernel's 65536-brick "
             f"work-table limit; split the scene across devices"
         )
+    if not interpret:
+        # refuse known-RESOURCE_EXHAUSTED Mosaic compiles host-side: a
+        # Mosaic crash wedges a relay-attached TPU for ~10-15 minutes
+        need = smem_prefetch_bytes(
+            frames if batched else None,
+            steps, tile_bricks.shape[-1], vol.shape[0],
+        )
+        if need > SMEM_BYTES - 8 * 1024:
+            raise ValueError(
+                f"the scalar-prefetch work tables need {need} bytes of "
+                f"scoped SMEM ({SMEM_BYTES} available); reduce the frame "
+                f"size, the batch size, or split the scene"
+            )
     # pack (owner, brick) into ONE prefetch table: owner is only compared
     # for equality (16-bit truncation safe), brick ids are exact under the
     # check above — one less W-wide SMEM operand (the scene-depth ceiling)

@@ -744,11 +744,18 @@ def test_max_batch_frames_smem_cap():
     (S=384, W=1491) must allow 16."""
     assert tm.max_batch_frames(384, 5934, 512) >= 16
     assert tm.max_batch_frames(384, 1491, 36) >= 16
-    # a work list too deep for even ONE frame must fail HOST-side: that
-    # launch is a known-RESOURCE_EXHAUSTED Mosaic compile, and a Mosaic
-    # crash wedges a relay-attached TPU for ~10-15 minutes
-    with pytest.raises(ValueError, match="scalar-prefetch SMEM"):
-        tm.max_batch_frames(8192, 10_000_000, 4096)
+    # the 4096^2 supersampled stretch config (S=6144, W~20.6k): no
+    # batched frame count fits (2-D tables pad rows to 8), so the cap is
+    # 0 and render_batch falls back to frameless single-frame launches —
+    # whose 1-D tables DO fit (this exact config RESOURCE_EXHAUSTED the
+    # batched kernel on hardware and crashed the relay)
+    assert tm.max_batch_frames(6144, 32768, 64) == 0
+    assert tm.smem_prefetch_bytes(None, 6144, 32768, 64) < tm.SMEM_BYTES
+    # frameless = one row; batched F=1 pads to 8 rows
+    shared = tm.smem_prefetch_bytes(0, 384, 5934, 512)
+    one = tm.smem_prefetch_bytes(None, 384, 5934, 512) - shared
+    eight = tm.smem_prefetch_bytes(1, 384, 5934, 512) - shared
+    assert eight == 8 * one
     # monotone in the budget
     assert tm.max_batch_frames(384, 5934, 512, budget_bytes=2 << 20) >= (
         tm.max_batch_frames(384, 5934, 512)
@@ -785,4 +792,25 @@ def test_brick_count_limit_fails_host_side():
             vol, meta, dims, lut, cam, offs, one, one, one, one,
             width=tm.TILE_W, height=tm.TILE_H, max_slices=1,
             interpret=True,
+        )
+
+
+def test_smem_gate_refuses_known_bad_compile():
+    """A launch whose prefetch tables exceed scoped SMEM must raise
+    host-side BEFORE any Mosaic compile (interpret mode skips the gate —
+    it has no SMEM)."""
+    W = 300_000  # frameless tables ~2.4 MB > 1 MiB
+    vol = jnp.zeros((2, 1, 8, 128), jnp.float32)
+    meta = jnp.zeros((2, 12), jnp.float32)
+    dims = jnp.zeros((2, 8), jnp.int32)
+    lut = jnp.zeros((4, 2, 128), jnp.float32)
+    cam = jnp.zeros(20, jnp.float32)
+    offs = jnp.zeros(2, jnp.int32)
+    w = jnp.zeros(W, jnp.int32)
+    tid = jnp.zeros(1, jnp.int32)
+    with pytest.raises(ValueError, match="scoped SMEM"):
+        tm.tilemarch_render(
+            vol, meta, dims, lut, cam, offs, w, w, w, tid,
+            width=tm.TILE_W, height=tm.TILE_H, max_slices=1,
+            interpret=False,
         )
