@@ -437,6 +437,13 @@ class TestRenderBatch:
         capped = fast.render_batch(cams, overlay=False)
         assert fast.last_batch_stats["dispatch_count"] > n_big
         np.testing.assert_array_equal(big, capped)
+        # cap 0 = NO batched frame count fits (stretch-config regime):
+        # render_batch must fall back to frameless single-frame chunks
+        # with identical pixels, not raise
+        monkeypatch.setattr(tm, "max_batch_frames", lambda *a, **k: 0)
+        frameless = fast.render_batch(cams, overlay=False)
+        assert fast.last_batch_stats["dispatch_count"] == len(cams)
+        np.testing.assert_array_equal(big, frameless)
 
     def test_batch_culled_frame(self, geometry):
         """A fully transparent transfer function culls every work item;
