@@ -60,11 +60,13 @@ def _kernel(
     #               grid: only covered tiles get steps; dense = arange(T))
     offsets_ref,  # [F, S + 1] i32 CSR offsets into the per-step brick list
     work_ref,  # [F, W] i32 CSR work items, front-to-back per tile:
-    #            (owner << 16) | brick — one packed table instead of two
-    #            halves a third of the W-wide scalar-prefetch SMEM (the
-    #            mega-kernel's scene-depth ceiling); owner is only ever
-    #            compared for equality, so its 16-bit truncation is safe,
-    #            and brick ids are exact (B <= 65536 checked host-side)
+    #            (owner << 16) | brick — packing drops one of the three
+    #            W-wide tables (bricks/owners/ibounds -> work/ibounds),
+    #            cutting that scalar-prefetch SMEM term (the mega-kernel's
+    #            scene-depth ceiling) by a third; owner is only ever
+    #            compared for equality and validated to int16 range at
+    #            build_tile_worklist, brick ids are exact (B <= 65536
+    #            checked host-side)
     ibounds_ref,  # [F, W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
     #               defaults to the brick's dims[7], tightened per tile by
     #               compute_item_slice_bounds)
@@ -758,7 +760,13 @@ def _tilemarch_call(
             frames if batched else None,
             steps, tile_bricks.shape[-1], vol.shape[0],
         )
-        if need > SMEM_BYTES - 8 * 1024:
+        # same margin the batched planner (max_batch_frames) budgets:
+        # only 1 KB of compiler scratch was measured on ONE dump, so the
+        # gate keeps the full calibrated headroom rather than a thinner
+        # ad-hoc one — a passed-gate-then-RESOURCE_EXHAUSTED compile
+        # wedges a relay-attached TPU, the exact failure the gate exists
+        # to prevent
+        if need > SMEM_BYTES - SMEM_MARGIN:
             raise ValueError(
                 f"the scalar-prefetch work tables need {need} bytes of "
                 f"scoped SMEM ({SMEM_BYTES} available); reduce the frame "
@@ -1166,6 +1174,18 @@ def build_tile_worklist(
     """CSR per-tile brick lists, front-to-back by (hint, owner, index).
 
     Returns (offsets [T+1], bricks [W], work_owners [W])."""
+    owners = np.asarray(owners)
+    if len(owners) and (owners.min() < 0 or owners.max() > 0x7FFF):
+        # the kernel's packed work table carries the owner in the high 16
+        # bits and compares runs via an arithmetic shift: ids outside
+        # int16 would alias modulo 65536 and silently merge per-owner
+        # runs (wrong compositing order) — enforce the assumption here,
+        # the single host choke point where user-supplied owner/rank ids
+        # enter the work list
+        raise ValueError(
+            f"owner ids must be in [0, 32767] for the packed work table "
+            f"(got range [{owners.min()}, {owners.max()}])"
+        )
     wb, wt, _cov = compute_worklist(
         box_min, box_max, eye, forward, right, up, fov_y_degrees,
         width, height, logical_width=logical_width,

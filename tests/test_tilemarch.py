@@ -780,18 +780,23 @@ def test_brick_count_limit_fails_host_side():
     """The packed work table stores brick ids in 16 bits; a >65536-brick
     scene must be refused on the host with a clear error, not silently
     alias brick ids in the kernel."""
-    vol = jnp.zeros((0x10001, 1, 8, 128), jnp.float32)
-    meta = jnp.zeros((0x10001, 12), jnp.float32)
-    dims = jnp.zeros((0x10001, 8), jnp.int32)
-    lut = jnp.zeros((4, 2, 128), jnp.float32)
-    cam = jnp.zeros(20, jnp.float32)
-    offs = jnp.zeros(2, jnp.int32)  # one tile, empty work list
-    one = jnp.zeros(1, jnp.int32)
+    S = jax.ShapeDtypeStruct
+    vol = S((0x10001, 1, 8, 128), jnp.float32)  # never materialized
+    meta = S((0x10001, 12), jnp.float32)
+    dims = S((0x10001, 8), jnp.int32)
+    lut = S((4, 2, 128), jnp.float32)
+    cam = S((20,), jnp.float32)
+    offs = S((2,), jnp.int32)  # one tile, empty work list
+    one = S((1,), jnp.int32)
     with pytest.raises(ValueError, match="65536-brick"):
-        tm.tilemarch_render(
+        # eval_shape traces without committing the ~268 MB of zeros the
+        # check never reads (it fires on vol.shape alone)
+        jax.eval_shape(
+            lambda *a: tm.tilemarch_render(
+                *a, width=tm.TILE_W, height=tm.TILE_H, max_slices=1,
+                interpret=True,
+            ),
             vol, meta, dims, lut, cam, offs, one, one, one, one,
-            width=tm.TILE_W, height=tm.TILE_H, max_slices=1,
-            interpret=True,
         )
 
 
@@ -814,3 +819,22 @@ def test_smem_gate_refuses_known_bad_compile():
             width=tm.TILE_W, height=tm.TILE_H, max_slices=1,
             interpret=False,
         )
+
+
+def test_owner_ids_validated_at_worklist_build():
+    """Owner ids outside int16 would alias modulo 65536 in the packed
+    work table and silently merge per-owner runs (wrong compositing
+    order); the host choke point must refuse them."""
+    box_min = np.zeros((1, 3))
+    box_max = np.ones((1, 3))
+    hints = np.zeros(1, np.float32)
+    eye = np.array([0.5, 0.5, 4.0])
+    fwd = np.array([0.0, 0.0, -1.0])
+    right = np.array([1.0, 0.0, 0.0])
+    up = np.array([0.0, 1.0, 0.0])
+    for bad in (np.array([0x8000]), np.array([-1])):
+        with pytest.raises(ValueError, match="owner ids"):
+            tm.build_tile_worklist(
+                box_min, box_max, hints, bad.astype(np.int64),
+                eye, fwd, right, up, 45.0, 128, 128,
+            )
