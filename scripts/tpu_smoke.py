@@ -149,6 +149,34 @@ def main() -> int:
     diff = float(np.abs(mega_c - expected[:, :4]).max())
     ok &= check("mega-kernel vs layered fold", diff < 5e-5, f"max diff {diff:.2e}")
 
+    # ---- batched (frame-axis) kernel vs two frameless launches ----
+    # the batched kernel carries [F, ...] scalar tables (8-row SMEM
+    # padding) while single-frame launches ship 1-D; both must produce
+    # identical pixels on compiled Mosaic, not just in interpret mode
+    item_bounds = dims[tbricks, 7]
+    tile_ids = np.arange(len(offsets) - 1, dtype=np.int32)
+    cam2 = np.stack([cam, cam]).astype(np.float32)
+    cam2[1, 19] = 1.0  # unused slot: frames must not be CSE'd
+    tile2 = lambda a: np.tile(np.asarray(a)[None], (2,) + (1,) * np.ndim(a))
+    b_c, b_d = tm.tilemarch_render_batch(
+        jnp.asarray(vol), jnp.asarray(meta), jnp.asarray(dims),
+        jnp.asarray(packed), jnp.asarray(cam2),
+        jnp.asarray(tile2(offsets)), jnp.asarray(tile2(tbricks)),
+        jnp.asarray(tile2(towners)), jnp.asarray(tile2(item_bounds)),
+        jnp.asarray(tile2(tile_ids)),
+        width=width, height=height, max_slices=int(dims[0, 0]),
+        interpret=interp,
+    )
+    bdiff = max(
+        float(np.abs(np.asarray(b_c[f]).reshape(-1) -
+                     np.asarray(out_c).reshape(-1)).max())
+        for f in range(2)
+    )
+    ok &= check(
+        "batched kernel vs frameless launch", bdiff == 0.0,
+        f"max diff {bdiff:.2e}",
+    )
+
     # ---- end-to-end plotfile render ----
     import tempfile
 
