@@ -607,6 +607,14 @@ class FastSceneRenderer:
             self.render_width, self.render_height,
             occ_bits, self._quad_blocks, self._quad_split,
             ghost=self.ghost,
+            # 2-slice footprint segments + the tight per-sampling-mode hull
+            # pad: measured -16% marched slice-iterations on the bench thin
+            # shell, -9% on the dense 3-level scene vs the legacy
+            # (seg4, ghost+2) config (scripts/bounds_variant_sweep.py)
+            seg_len=2,
+            margin=tm.footprint_margin(
+                self.ghost, self.parameters.sampling
+            ),
         )
         # two-sided chords (shells, bubble walls): split the occupied
         # range into separate entry/exit bands so the empty middle is

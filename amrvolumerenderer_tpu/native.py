@@ -94,8 +94,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(c_double_p if "f64" in name else c_float_p),
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int, c_double_p,
             ]
-    if hasattr(lib, "avr_item_bands"):
-        lib.avr_item_bands.argtypes = [
+    # v2 adds (seg_len, margin) to the footprint maths; an older library
+    # without the symbol cleanly falls back to the NumPy oracle instead of
+    # silently mis-parsing the extra arguments
+    if hasattr(lib, "avr_item_bands_v2"):
+        lib.avr_item_bands_v2.argtypes = [
             c_float_p,                      # meta [L,12]
             ctypes.POINTER(ctypes.c_int32),  # brick_bounds [L]
             ctypes.POINTER(ctypes.c_int64),  # wt [W]
@@ -109,11 +112,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,      # cap, nq
             c_double_p, c_double_p, ctypes.c_int,  # su, sv, per_brick
             ctypes.c_int, ctypes.c_int64,    # ghost, min_gap
+            ctypes.c_int, ctypes.c_double,   # seg_len, margin
             ctypes.POINTER(ctypes.c_int32),  # out band1
             ctypes.POINTER(ctypes.c_int32),  # out band2
             c_u8_p,                          # out forward
         ]
-        lib.avr_item_bands.restype = ctypes.c_int
+        lib.avr_item_bands_v2.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -247,6 +251,8 @@ def item_bands(
     split_v=None,
     ghost: int = 0,
     min_gap: int = 6,
+    seg_len: int = 4,
+    margin: Optional[float] = None,
 ) -> Optional[tuple]:
     """Native per-(tile, brick) slice bounds + chord-gap band splitting
     (ops/tilemarch.compute_item_bands contract); None if the library is
@@ -254,7 +260,9 @@ def item_bands(
     import math
 
     lib = get_lib()
-    if lib is None or not hasattr(lib, "avr_item_bands"):
+    if lib is None or not hasattr(lib, "avr_item_bands_v2"):
+        return None
+    if seg_len < 1:
         return None
     from .ops.slicemarch import TILE_H, TILE_W
 
@@ -292,7 +300,7 @@ def item_bands(
     fwd_flag = np.empty(n, dtype=np.uint8)
     tan_half = math.tan(math.radians(fov_y_degrees) * 0.5)
     aspect = logical_width / max(logical_height, 1)
-    ok = lib.avr_item_bands(
+    ok = lib.avr_item_bands_v2(
         _ptr(meta, ctypes.c_float), _ptr(bb, ctypes.c_int32),
         _ptr(wt64, ctypes.c_int64), _ptr(wb64, ctypes.c_int64),
         n,
@@ -305,6 +313,8 @@ def item_bands(
         occ_bits.shape[1], int(nq),
         _ptr(su, ctypes.c_double), _ptr(sv, ctypes.c_double), per_brick,
         int(ghost), int(min_gap),
+        int(seg_len),
+        float(ghost + 2.0 if margin is None else margin),
         _ptr(band1, ctypes.c_int32), _ptr(band2, ctypes.c_int32),
         _ptr(fwd_flag, ctypes.c_uint8),
     )

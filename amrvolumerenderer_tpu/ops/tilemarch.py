@@ -912,6 +912,8 @@ def compute_item_slice_bounds(
     #                scalar; defaults to ``split``)
     ghost: int = 0,
     return_mask: bool = False,
+    seg_len: int = 4,
+    margin: Optional[float] = None,
 ) -> np.ndarray:
     """Per-(tile, brick) occupied-slice bounds: tighten each work item's
     march range to the slices whose values can be non-transparent WITHIN
@@ -928,11 +930,17 @@ def compute_item_slice_bounds(
         the tile), so the 4 corner rays evaluated at slice-SEGMENT
         boundary planes bound each segment's footprint exactly; sign
         changes / behind-eye planes fall back to the brick bounds;
-      * slices are grouped into segments of ``SEG_LEN`` so oblique rays'
+      * slices are grouped into segments of ``seg_len`` so oblique rays'
         transverse drift (up to one cell per slice at 45 degrees) widens
-        only the segment's footprint, not the whole brick's;
-      * the footprint is padded by ``ghost + 2`` cells (clamp-to-edge
-        sampling drift is < 1 cell; interpolation reaches ``ghost``);
+        only the segment's footprint, not the whole brick's (hull over
+        the two endpoint planes bounds every interior slice exactly —
+        u(z) is linear along each ray — so finer segments only tighten);
+      * the footprint hull is padded by ``margin`` cells.  The default
+        ``ghost + 2`` is safe for every sampling mode; the exact
+        requirement is the sampling stencil's reach from the continuous
+        cell coordinate ``cu``: nearest touches floor(cu) in (cu-1, cu],
+        trilinear/pre touch floor(cu-0.5)+{0,1} in (cu-1.5, cu+0.5] —
+        ``footprint_margin`` returns the tight value per mode;
       * occupancy is tested per stored-(u, v) BLOCK of each slice
         (Q x Q equal blocks of edge ``split``; extrema include vreg
         padding zeros, widening ranges only).
@@ -943,6 +951,8 @@ def compute_item_slice_bounds(
     837-900.)"""
     if nq > 8:
         raise ValueError("block occupancy masks support at most 8x8 blocks")
+    if seg_len < 1:
+        raise ValueError("seg_len must be >= 1")
     wb = np.asarray(wb, np.int64)
     wt = np.asarray(wt, np.int64)
     bb = np.asarray(brick_bounds, np.int64)[wb]
@@ -978,7 +988,6 @@ def compute_item_slice_bounds(
         (d_a > 0).all(1) | (d_a < 0).all(1)
     )
     cap = occ_bits.shape[1]
-    seg_len = 4
     n_seg = (cap + seg_len - 1) // seg_len
     # segment boundary slice centers: 0, L, 2L, ..., then cap-1
     ks = np.minimum(np.arange(n_seg + 1) * seg_len, cap - 1)  # [G+1]
@@ -990,7 +999,8 @@ def compute_item_slice_bounds(
         v_pts = eye_p[2] + t * dp[:, :, 2:3]
         cu = (u_pts - pmin[:, 1:2, None]) / cell[:, 1:2, None] + ghost
         cv = (v_pts - pmin[:, 2:3, None]) / cell[:, 2:3, None] + ghost
-    margin = ghost + 2.0
+    if margin is None:
+        margin = ghost + 2.0
     # segment g's footprint = hull of the 4 corners at boundaries g, g+1
     # (reduce over corners first, then over the two endpoints)
     cu_min = cu.min(axis=1)  # [W, G+1]
@@ -1045,6 +1055,27 @@ def compute_item_slice_bounds(
         forward = (d_a > 0).all(1)
         return out.astype(np.int32), sel, ok, forward
     return out.astype(np.int32)
+
+
+def footprint_margin(ghost: int, sampling: str) -> float:
+    """Tight conservative footprint pad (cells) for a sampling mode.
+
+    The per-item bounds hull the tile's corner rays in continuous cell
+    coordinates ``cu``; the pad must cover every CELL INDEX the kernel's
+    stencil can touch from a position inside the hull:
+
+      * nearest: index = floor(cu) in (cu - 1, cu]  -> pad 1
+      * trilinear / pre-classified: stored indices floor(cu - 0.5) + {0, 1}
+        in (cu - 1.5, cu + 0.5]  -> pad 1.5
+
+    plus 0.01 cells of slack for the f32-kernel vs f64-host position
+    rounding (the kernel's positions differ from the host hull by at most
+    a few ULPs of the cell coordinate, orders of magnitude below 0.01;
+    grazing rays with large amplification have correspondingly huge hulls
+    that swallow the slack).  Measured on the bench thin shell this pad
+    (vs the legacy ghost + 2) cuts marched slice-iterations ~12%
+    (scripts/bounds_variant_sweep.py)."""
+    return ghost + (1.01 if sampling == "nearest" else 1.51)
 
 
 def find_second_bands(
@@ -1129,6 +1160,7 @@ def compute_item_bands(
     meta, brick_bounds, wt, wb, eye, forward, right, up, fov_y_degrees,
     axes, width, height, logical_width, logical_height,
     occ_bits, nq, split, split_v=None, ghost: int = 0, min_gap: int = 6,
+    seg_len: int = 4, margin: Optional[float] = None,
 ):
     """Per-item occupied-slice bounds + second-band split, native-first.
 
@@ -1137,13 +1169,18 @@ def compute_item_bands(
     The native path (native.item_bands, avr_native.cpp) fuses the
     footprint maths, occupancy AND, and gap scan into one C++ pass —
     this is per-frame host work on the product path, so it follows the
-    reference's native-host-layer design (SceneBuilder.cpp:113-189)."""
+    reference's native-host-layer design (SceneBuilder.cpp:113-189).
+
+    ``seg_len``/``margin`` tune the footprint granularity/pad (see
+    ``compute_item_slice_bounds``; ``footprint_margin`` gives the tight
+    pad per sampling mode)."""
     from .. import native as _native
 
     res = _native.item_bands(
         meta, brick_bounds, wt, wb, eye, forward, right, up,
         fov_y_degrees, axes, width, logical_width, logical_height,
         occ_bits, nq, split, split_v, ghost, min_gap,
+        seg_len=seg_len, margin=margin,
     )
     if res is not None:
         return res
@@ -1151,6 +1188,7 @@ def compute_item_bands(
         meta, brick_bounds, wt, wb, eye, forward, right, up,
         fov_y_degrees, axes, width, height, logical_width, logical_height,
         occ_bits, nq, split, split_v, ghost=ghost, return_mask=True,
+        seg_len=seg_len, margin=margin,
     )
     band1, band2 = find_second_bands(sel, bounds, ok, min_gap=min_gap)
     return band1, band2, fwd

@@ -317,6 +317,8 @@ def prepare_slicemarch_scene(
         pad_w, pad_h, render_width, render_height,
         lp["occ_bits"], gp["nq"], gp["split_u"], gp["split_v"], ghost=ghost,
         min_gap=1 << 30,
+        seg_len=2,
+        margin=tm.footprint_margin(ghost, parameters.sampling),
     )
     # cull fully-empty (piece, tile) items: clear their coverage bit so the
     # composite masks treat the (unwritten) output block as background
@@ -887,6 +889,8 @@ def render_composited_tilemarch(
         render_width, render_height,
         prep["occ_bits"], prep["nq"], prep["split_u"], prep["split_v"],
         ghost=prep["ghost"],
+        seg_len=2,
+        margin=tm.footprint_margin(prep["ghost"], parameters.sampling),
     )
     wt_items, tbricks, towners, ibounds = tm.expand_bands(
         wt_items, tbricks, towners, band1, band2, march_fwd

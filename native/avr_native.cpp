@@ -613,11 +613,9 @@ static void item_bands_range(
     double tan_half, double aspect, int tiles_x, int tile_w, int tile_h,
     int logical_width, int logical_height, const uint64_t* occ_bits,
     int cap, int nq, const double* su, const double* sv, int per_brick,
-    int ghost, int64_t min_gap, int32_t* out_band1, int32_t* out_band2,
-    uint8_t* out_forward) {
-  const int seg_len = 4;
+    int ghost, int64_t min_gap, int seg_len, double margin,
+    int32_t* out_band1, int32_t* out_band2, uint8_t* out_forward) {
   const int n_seg = (cap + seg_len - 1) / seg_len;
-  const double margin = ghost + 2.0;
   std::vector<double> cu_min(n_seg + 1), cu_max(n_seg + 1);
   std::vector<double> cv_min(n_seg + 1), cv_max(n_seg + 1);
   std::vector<uint64_t> fmask(n_seg);
@@ -732,17 +730,21 @@ static void item_bands_range(
   }
 }
 
-int avr_item_bands(const float* meta, const int32_t* brick_bounds,
-                   const int64_t* wt, const int64_t* wb, int64_t num_items,
-                   const double* eye_p, const double* fwd_p,
-                   const double* right_p, const double* up_p, double tan_half,
-                   double aspect, int tiles_x, int tile_w, int tile_h,
-                   int logical_width, int logical_height,
-                   const uint64_t* occ_bits, int cap, int nq,
-                   const double* su, const double* sv, int per_brick,
-                   int ghost, int64_t min_gap, int32_t* out_band1,
-                   int32_t* out_band2, uint8_t* out_forward) {
-  if (cap <= 0 || nq <= 0 || nq > 8 || tiles_x <= 0) return 0;
+// v2: adds (seg_len, margin) — the footprint segment granularity and the
+// conservative hull pad in cells (ops/tilemarch.footprint_margin gives the
+// tight per-sampling-mode value; ghost + 2 reproduces v1 exactly).
+int avr_item_bands_v2(const float* meta, const int32_t* brick_bounds,
+                      const int64_t* wt, const int64_t* wb, int64_t num_items,
+                      const double* eye_p, const double* fwd_p,
+                      const double* right_p, const double* up_p,
+                      double tan_half, double aspect, int tiles_x, int tile_w,
+                      int tile_h, int logical_width, int logical_height,
+                      const uint64_t* occ_bits, int cap, int nq,
+                      const double* su, const double* sv, int per_brick,
+                      int ghost, int64_t min_gap, int seg_len, double margin,
+                      int32_t* out_band1, int32_t* out_band2,
+                      uint8_t* out_forward) {
+  if (cap <= 0 || nq <= 0 || nq > 8 || tiles_x <= 0 || seg_len < 1) return 0;
   const int64_t kChunk = 8192;
   unsigned hw = std::thread::hardware_concurrency();
   int64_t n_threads = std::min<int64_t>(
@@ -751,8 +753,8 @@ int avr_item_bands(const float* meta, const int32_t* brick_bounds,
     item_bands_range(meta, brick_bounds, wt, wb, 0, num_items, eye_p, fwd_p,
                      right_p, up_p, tan_half, aspect, tiles_x, tile_w, tile_h,
                      logical_width, logical_height, occ_bits, cap, nq, su, sv,
-                     per_brick, ghost, min_gap, out_band1, out_band2,
-                     out_forward);
+                     per_brick, ghost, min_gap, seg_len, margin, out_band1,
+                     out_band2, out_forward);
     return 1;
   }
   std::vector<std::thread> pool;
@@ -764,11 +766,29 @@ int avr_item_bands(const float* meta, const int32_t* brick_bounds,
     pool.emplace_back(item_bands_range, meta, brick_bounds, wt, wb, lo, hi,
                       eye_p, fwd_p, right_p, up_p, tan_half, aspect, tiles_x,
                       tile_w, tile_h, logical_width, logical_height, occ_bits,
-                      cap, nq, su, sv, per_brick, ghost, min_gap, out_band1,
-                      out_band2, out_forward);
+                      cap, nq, su, sv, per_brick, ghost, min_gap, seg_len,
+                      margin, out_band1, out_band2, out_forward);
   }
   for (auto& th : pool) th.join();
   return 1;
+}
+
+int avr_item_bands(const float* meta, const int32_t* brick_bounds,
+                   const int64_t* wt, const int64_t* wb, int64_t num_items,
+                   const double* eye_p, const double* fwd_p,
+                   const double* right_p, const double* up_p, double tan_half,
+                   double aspect, int tiles_x, int tile_w, int tile_h,
+                   int logical_width, int logical_height,
+                   const uint64_t* occ_bits, int cap, int nq,
+                   const double* su, const double* sv, int per_brick,
+                   int ghost, int64_t min_gap, int32_t* out_band1,
+                   int32_t* out_band2, uint8_t* out_forward) {
+  return avr_item_bands_v2(meta, brick_bounds, wt, wb, num_items, eye_p,
+                           fwd_p, right_p, up_p, tan_half, aspect, tiles_x,
+                           tile_w, tile_h, logical_width, logical_height,
+                           occ_bits, cap, nq, su, sv, per_brick, ghost,
+                           min_gap, 4, ghost + 2.0, out_band1, out_band2,
+                           out_forward);
 }
 
 }  // extern "C"

@@ -473,6 +473,101 @@ class TestItemSliceBounds:
             np.asarray(tight_c), np.asarray(full_c), atol=2e-6
         )
 
+    def test_pixel_parity_trilinear_and_pre(self):
+        """Trilinear and pre-classified sampling use the wider footprint
+        pad (footprint_margin = ghost + 1.51: the bilinear stencil touches
+        floor(cu - 0.5) + {0, 1}); parity vs the untightened kernel locks
+        its conservativeness for both classification modes."""
+        from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+        from amrvolumerenderer_tpu.types import RenderParameters
+
+        geometry = self._shell_renderer().geometry
+        for classification in ("post", "pre"):
+            fsr = FastSceneRenderer(
+                geometry,
+                RenderParameters(width=64, height=64, sampling="trilinear",
+                                 classification=classification),
+                interpret=True,
+            )
+            for cam in self._cams(fsr)[:3]:
+                inputs = fsr.frame_inputs(cam)
+                if inputs is None:
+                    continue
+                kw = dict(
+                    width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
+                    logical_width=fsr.render_width,
+                    logical_height=fsr.render_height, interpret=True,
+                    sampling="trilinear", ghost=fsr.ghost,
+                    classification=classification,
+                )
+                args = (
+                    fsr._packed_vol, inputs["meta"], inputs["dims"],
+                    fsr._lut_device, inputs["cam"], inputs["offsets"],
+                    inputs["bricks"], inputs["owners"],
+                )
+                tight_c, _ = tm.tilemarch_render(
+                    *args, inputs["item_bounds"], **kw
+                )
+                full_c, _ = tm.tilemarch_render(*args, None, **kw)
+                np.testing.assert_allclose(
+                    np.asarray(tight_c), np.asarray(full_c), atol=2e-6
+                )
+
+    def test_tight_config_subsets_legacy(self):
+        """Finer segments + the tight margin can only SHRINK the per-slice
+        occupancy (every seg-2 segment hull is inside the covering seg-4
+        hull because u(z) is linear along each corner ray, and a smaller
+        pad shrinks the rectangle): the tightened masks must be subsets of
+        the legacy (seg4, ghost+2) masks, never supersets."""
+        from amrvolumerenderer_tpu.camera import (
+            camera_basis,
+            compute_box_depth_hints,
+        )
+
+        fsr = self._shell_renderer()
+        cam = self._cams(fsr)[2]  # oblique
+        forward, right, up = camera_basis(cam)
+        axis = sm.choose_march_axis(forward)
+        axes = [axis] + [a for a in range(3) if a != axis]
+        num = fsr.canonical.shape[0]
+        meta = np.zeros((num, 12), np.float32)
+        meta[:, 0:3] = fsr.box_min[:, axes]
+        meta[:, 3:6] = fsr.box_max[:, axes]
+        dw = fsr.dims_world[:, axes].astype(np.float64)
+        meta[:, 6:9] = (fsr.box_max[:, axes] - fsr.box_min[:, axes]) / dw
+        smin, smax = fsr._slice_minmax[axis]
+        brick_bounds = sm.compute_slice_bounds_batch(
+            smin, smax, fsr._lut_alpha, 0.0, 1.0,
+            fsr.dims_world[:, axes][:, 0].astype(np.int32),
+        )
+        hints = compute_box_depth_hints(fsr.box_min, fsr.box_max, cam)
+        offsets, wb, _ = tm.build_tile_worklist(
+            fsr.box_min, fsr.box_max, hints, fsr.owners,
+            np.asarray(cam.eye), forward, right, up, cam.fov_y_degrees,
+            fsr.pad_w, fsr.pad_h,
+            logical_width=fsr.render_width,
+            logical_height=fsr.render_height,
+        )
+        wt = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        qmin, qmax = fsr._slice_quad_minmax[axis]
+        occ_bits = tm.block_occupancy_bits(qmin, qmax, fsr._lut_alpha,
+                                           0.0, 1.0)
+        common = (meta, brick_bounds, wt, wb, np.asarray(cam.eye),
+                  forward, right, up, cam.fov_y_degrees, axes,
+                  fsr.pad_w, fsr.pad_h, fsr.render_width, fsr.render_height,
+                  occ_bits, fsr._quad_blocks, fsr._quad_split)
+        _, sel_legacy, ok_l, _ = tm.compute_item_slice_bounds(
+            *common, ghost=fsr.ghost, return_mask=True,
+            seg_len=4, margin=None,
+        )
+        _, sel_tight, ok_t, _ = tm.compute_item_slice_bounds(
+            *common, ghost=fsr.ghost, return_mask=True,
+            seg_len=2, margin=tm.footprint_margin(fsr.ghost, "nearest"),
+        )
+        np.testing.assert_array_equal(ok_l, ok_t)
+        assert not np.any(sel_tight & ~sel_legacy)
+        assert sel_tight.sum() < sel_legacy.sum()  # and it actually tightens
+
     def test_dma_window_trim_parity(self):
         """The bucketed DMA window (dma_slices < stored slices) renders
         identically to the full-brick copy."""
