@@ -36,7 +36,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VARIANTS = ("base", "tree", "vol1row", "lutrow0")
+VARIANTS = (
+    "base", "tree", "vol1row", "lutrow0",
+    # full-elimination cost probes: the gather returns a constant, so XLA
+    # dead-code-eliminates the feeding index math as well — each measures
+    # gather + its index pipeline together (WRONG PIXELS by design)
+    "volzero", "lutzero", "bothzero",
+)
 
 
 def make_gather(variant):
@@ -90,6 +96,31 @@ def make_gather(variant):
             if num_rows != SUBLANES:
                 return take0(load_row, col)
             return base_gather(load_row, num_rows, row, col)
+        return g
+
+    def const(row, v):
+        return row.astype(jnp.float32) * 0.0 + v
+
+    # the LUT constant doubles as r, g, b AND log(1 - alpha): it must be
+    # NEGATIVE so alpha stays positive (the bench timer asserts a nonzero
+    # frame checksum); rgb accumulate negative and clip to 0 harmlessly
+    if variant == "volzero":
+        def g(load_row, num_rows, row, col):
+            if num_rows == SUBLANES:
+                return const(row, 0.5)
+            return base_gather(load_row, num_rows, row, col)
+        return g
+    if variant == "lutzero":
+        def g(load_row, num_rows, row, col):
+            if num_rows != SUBLANES:
+                return const(row, -0.25)
+            return base_gather(load_row, num_rows, row, col)
+        return g
+    if variant == "bothzero":
+        def g(load_row, num_rows, row, col):
+            if num_rows == SUBLANES:
+                return const(row, 0.5)
+            return const(row, -0.25)
         return g
     raise SystemExit(f"unknown variant {variant}")
 
@@ -160,11 +191,14 @@ def main() -> int:
         )
         line = (proc.stdout.strip().splitlines() or ["{}"])[-1]
         try:
-            results.append(json.loads(line))
+            rec = json.loads(line)
         except json.JSONDecodeError:
-            print(f"[{v}] FAILED:\n{proc.stdout}\n{proc.stderr}",
+            rec = {}
+        if "checksum" not in rec:
+            print(f"[{v}] FAILED:\n{proc.stdout}\n{proc.stderr[-2000:]}",
                   file=sys.stderr)
             continue
+        results.append(rec)
         print(line, flush=True)
     if len(results) >= 2:
         base = results[0]
