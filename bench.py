@@ -188,9 +188,12 @@ def measure_device_frame(fsr, camera, width, height, K=None):
         return min(times) * 1e3
 
     k1, k2 = K
-    t1 = loop_time(k1)
-    t2 = loop_time(k2)
-    return max((t2 - t1) / (k2 - k1), 1e-3)
+    # median of 3 slope samples: relay contention skews single samples
+    # both ways (see measure_device_frame_single_launch)
+    slopes = sorted(
+        (loop_time(k2) - loop_time(k1)) / (k2 - k1) for _ in range(3)
+    )
+    return max(slopes[1], 1e-3)
 
 
 def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
@@ -278,21 +281,25 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
     f1, f2 = F
     timer1 = make_timer(f1)
     timer2 = make_timer(f2)
-    # TPU contention makes wall clocks vary run to run; a glitch can push
-    # t(F2) below t(F1) and the slope to <= 0 (observed once: a "0.0 ms
-    # frame" = 1048 Gray/s in the JSON).  No composited frame can beat
-    # ~50 Grays/s on this chip, so re-time implausible slopes (execution
-    # only — the launches above stay compiled) instead of reporting an
-    # artifact.
+    # TPU contention makes wall clocks vary run to run — measured up to
+    # +-40% between back-to-back reps through the relay on a bad session.
+    # Inflated t(F1) pushes the slope DOWN (observed once as a "0.0 ms
+    # frame" = 1048 Gray/s), inflated t(F2) pushes it UP, so a best-of
+    # pick is biased and a single sample is a lottery: take the MEDIAN
+    # of several slope samples, dropping physically impossible ones (no
+    # composited frame beats ~50 Gray/s on this chip).  Execution only —
+    # the launches above stay compiled.
     min_plausible = (
         fsr.render_width * fsr.render_height / 50e9 * 1e3
     )  # ms
-    slope = 0.0
-    for _attempt in range(3):
-        slope = (timer2() - timer1()) / (f2 - f1)
-        if slope > min_plausible:
-            return slope
-    return max(slope, min_plausible)
+    slopes = []
+    for _attempt in range(5):
+        s = (timer2() - timer1()) / (f2 - f1)
+        if s > min_plausible:
+            slopes.append(s)
+    if slopes:
+        return float(np.median(slopes))
+    return min_plausible
 
 
 def exchange_payload_bytes(fsr, camera, num_devices: int):
