@@ -147,7 +147,10 @@ def measure_device_frame(fsr, camera, width, height, K=None):
         K = (10, 50) if jax.default_backend() == "tpu" else (1, 3)
     inputs = fsr.frame_inputs(camera)
 
-    def loop_time(k):
+    def make_loop_timer(k):
+        """Compile the k-iteration launch chain ONCE and return a
+        re-timeable thunk (the median sampling below must not pay a
+        fresh trace + Mosaic compile per sample)."""
         @jax.jit
         def frames(vol, meta, dims, lut, cam, offsets, bricks, owners,
                    ibounds, tile_ids):
@@ -178,21 +181,26 @@ def measure_device_frame(fsr, camera, width, height, K=None):
             inputs["bricks"], inputs["owners"], inputs["item_bounds"],
             inputs["tile_ids"],
         )
-        checksum = float(frames(*args))
+        checksum = float(frames(*args))  # compile + warm
         assert np.isfinite(checksum) and checksum > 0.0
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(frames(*args))
-            times.append(time.perf_counter() - t0)
-        return min(times) * 1e3
+
+        def timed():
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(frames(*args))
+                times.append(time.perf_counter() - t0)
+            return min(times) * 1e3
+
+        return timed
 
     k1, k2 = K
-    # median of 3 slope samples: relay contention skews single samples
-    # both ways (see measure_device_frame_single_launch)
-    slopes = sorted(
-        (loop_time(k2) - loop_time(k1)) / (k2 - k1) for _ in range(3)
-    )
+    timer1 = make_loop_timer(k1)
+    timer2 = make_loop_timer(k2)
+    # median of 3 slope samples (execution only — the two launch chains
+    # stay compiled): relay contention skews single samples both ways
+    # (see measure_device_frame_single_launch)
+    slopes = sorted((timer2() - timer1()) / (k2 - k1) for _ in range(3))
     return max(slopes[1], 1e-3)
 
 

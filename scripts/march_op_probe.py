@@ -200,8 +200,8 @@ def main() -> int:
             continue
         results.append(rec)
         print(line, flush=True)
-    if len(results) >= 2:
-        base = results[0]
+    base = next((r for r in results if r["variant"] == "base"), None)
+    if len(results) >= 2 and base is not None:
         print("\nvariant    shell_tf_ms  dense_ms   match_base")
         for r in results:
             match = "yes" if r["checksum"] == base["checksum"] else "NO"

@@ -8,14 +8,12 @@ paying the full benchmark's wall clock (no slope loops, tiny frames).
 
 from __future__ import annotations
 
+import os
 import sys
 
-import numpy as np
 import pytest
 
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))
-))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.fixture(scope="module")
