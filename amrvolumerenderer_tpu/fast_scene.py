@@ -518,6 +518,72 @@ class FastSceneRenderer:
         i1 = int(np.clip((vmax - lo) / span * 255, 0, 255))
         return bool(lut_alpha[i0 : i1 + 1].max() > 0.0)
 
+    def _axis_metadata(self, axis: int):
+        """Host-side per-axis brick tables: (meta [L, 12] f32, dims [L, 8]
+        i32) in the kernels' permuted (march-axis-first) layout, with the
+        LUT-dependent occupied-slice range in dims[:, 7] (recomputed per
+        call — it changes with the transfer function)."""
+        axes = [axis] + [a for a in range(3) if a != axis]
+        num = self.canonical.shape[0]
+        meta = np.zeros((num, 12), np.float32)
+        dims = np.zeros((num, 8), np.int32)
+        meta[:, 0:3] = self.box_min[:, axes]
+        meta[:, 3:6] = self.box_max[:, axes]
+        dw = self.dims_world[:, axes].astype(np.float64)
+        meta[:, 6:9] = (self.box_max[:, axes] - self.box_min[:, axes]) / dw
+        dims[:, 0:3] = self.dims_world[:, axes]
+        dims[:, 3:6] = axes
+        dims[:, 6] = self.cube  # canonical row stride
+        range_min = self.scalar_range[0]
+        span = self.scalar_range[1] - range_min
+        smin, smax = self._slice_minmax[axis]
+        dims[:, 7] = sm.compute_slice_bounds_batch(
+            smin, smax, self._lut_alpha, range_min,
+            1.0 / span if span != 0.0 else 1.0, dims[:, 0],
+        )
+        return meta, dims
+
+    def _pack_cam(self, camera: CameraParameters, forward, right, up):
+        """The 20-float camera pack (slicemarch.pack_camera layout)."""
+        range_span = self.scalar_range[1] - self.scalar_range[0]
+        return sm.pack_camera(
+            np.asarray(camera.eye), forward, right, up,
+            camera.fov_y_degrees,
+            self.render_width / max(self.render_height, 1),
+            self.scalar_range[0],
+            1.0 / range_span if range_span != 0.0 else 1.0,
+            self.reference_sample_distance,
+        )
+
+    def _finish_frame(
+        self,
+        pixels: np.ndarray,
+        camera: CameraParameters,
+        output_filename: Optional[str],
+        overlay: bool,
+    ) -> np.ndarray:
+        """Shared render() tail: wireframe overlay + save (the reference
+        always overlays, VolumeRenderer.cpp:1311-1314)."""
+        if overlay or output_filename:
+            from .image import ImageBuffer, ImageKind
+
+            image = ImageBuffer(
+                ImageKind.RGBA_F32_DEPTH_SORT,
+                self.parameters.width,
+                self.parameters.height,
+                pixels.copy(),
+            )
+            if overlay:
+                render_bounding_box_overlay(
+                    self.tight_bounds, camera, 1, image
+                )
+            if output_filename:
+                from . import io as image_io
+
+                image_io.save_image(image, output_filename)
+            return image.pixels
+        return pixels
+
     def frame_inputs(self, camera: CameraParameters, as_numpy: bool = False):
         """Per-frame preparation for one camera: march-axis repack (device,
         cached per axis), piece metadata / occupied-slice bounds, camera
@@ -542,33 +608,22 @@ class FastSceneRenderer:
             self._packed_vol = vol
             self._packed_axis = axis
 
-        num = self.canonical.shape[0]
-        meta = np.zeros((num, 12), np.float32)
-        dims = np.zeros((num, 8), np.int32)
-        meta[:, 0:3] = self.box_min[:, axes]
-        meta[:, 3:6] = self.box_max[:, axes]
-        dw = self.dims_world[:, axes].astype(np.float64)
-        meta[:, 6:9] = (self.box_max[:, axes] - self.box_min[:, axes]) / dw
-        dims[:, 0:3] = self.dims_world[:, axes]
-        dims[:, 3:6] = axes
-        dims[:, 6] = self.cube  # canonical row stride
-        range_min = self.scalar_range[0]
-        span = self.scalar_range[1] - range_min
-        smin, smax = self._slice_minmax[axis]
-        dims[:, 7] = sm.compute_slice_bounds_batch(
-            smin, smax, self._lut_alpha, range_min,
-            1.0 / span if span != 0.0 else 1.0, dims[:, 0],
-        )
+        meta, dims = self._axis_metadata(axis)
+        cam = self._pack_cam(camera, forward, right, up)
+        # piece-level visibility-graph order keys when available (EXACT
+        # view-consistent ordering over the piece partition — scalar depth
+        # hints misorder interleaved pieces, visibility.piece_order_keys);
+        # hints are the fallback
+        from .visibility import piece_order_keys
 
-        range_span = self.scalar_range[1] - self.scalar_range[0]
-        cam = sm.pack_camera(
-            np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
-            self.render_width / max(self.render_height, 1),
-            self.scalar_range[0],
-            1.0 / range_span if range_span != 0.0 else 1.0,
-            self.reference_sample_distance,
+        hints = piece_order_keys(
+            camera, self.render_width / max(self.render_height, 1),
+            self.box_min, self.box_max,
         )
-        hints = compute_box_depth_hints(self.box_min, self.box_max, camera)
+        if hints is None:
+            hints = compute_box_depth_hints(
+                self.box_min, self.box_max, camera
+            )
         offsets, tbricks, towners = tm.build_tile_worklist(
             self.box_min, self.box_max, hints, self.owners,
             np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
@@ -593,6 +648,8 @@ class FastSceneRenderer:
         # only the slices the tile's rays can actually hit)
         occ_bits = self._occ_bits_cache.get(axis)
         if occ_bits is None:
+            range_min = self.scalar_range[0]
+            span = self.scalar_range[1] - range_min
             qmin, qmax = self._slice_quad_minmax[axis]
             occ_bits = tm.block_occupancy_bits(
                 qmin, qmax, self._lut_alpha, range_min,
@@ -735,24 +792,7 @@ class FastSceneRenderer:
                 frame, self.render_width, self.render_height, self.sqrt_aa
             )
         pixels = np.asarray(frame)
-
-        if overlay or output_filename:
-            from .image import ImageBuffer, ImageKind
-
-            image = ImageBuffer(
-                ImageKind.RGBA_F32_DEPTH_SORT,
-                self.parameters.width,
-                self.parameters.height,
-                pixels.copy(),
-            )
-            if overlay:
-                render_bounding_box_overlay(self.tight_bounds, camera, 1, image)
-            if output_filename:
-                from . import io as image_io
-
-                image_io.save_image(image, output_filename)
-            return image.pixels
-        return pixels
+        return self._finish_frame(pixels, camera, output_filename, overlay)
 
     def render_batch(
         self,

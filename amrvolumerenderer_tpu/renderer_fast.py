@@ -341,10 +341,21 @@ def prepare_slicemarch_scene(
         )
 
     parents = gp["parents"]
-    parent_min = np.array([b.min_corner for b in bricks])
-    parent_max = np.array([b.max_corner for b in bricks])
-    parent_hints = compute_box_depth_hints(parent_min, parent_max, camera)
-    depth_hints = parent_hints[parents].astype(np.float32)
+    # piece-level visibility-graph order keys when available (exact
+    # view-consistent ordering over the convexified piece partition,
+    # visibility.piece_order_keys); fallback: the parent box's scalar
+    # depth hint, shared by all its split pieces
+    from .visibility import piece_order_keys
+
+    depth_hints = piece_order_keys(
+        camera, render_width / max(render_height, 1),
+        gp["box_min"], gp["box_max"],
+    )
+    if depth_hints is None:
+        parent_min = np.array([b.min_corner for b in bricks])
+        parent_max = np.array([b.max_corner for b in bricks])
+        parent_hints = compute_box_depth_hints(parent_min, parent_max, camera)
+        depth_hints = parent_hints[parents].astype(np.float32)
     brick_owners = np.fromiter(
         (b.owner for b in bricks), dtype=np.int32, count=len(bricks)
     )

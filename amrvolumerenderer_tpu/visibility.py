@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -300,17 +300,21 @@ def build_visibility_order(
     use_visibility_graph: bool = True,
     write_visibility_graph: bool = False,
     log: bool = False,
-) -> np.ndarray:
+    default_on_failure: bool = True,
+) -> Optional[np.ndarray]:
     """Compute the back-to-front rank permutation for compositing.
 
     Returns an int array of length ``num_ranks``: a permutation where earlier
     ranks blend *on top* (Compositor.hpp:26-29).  Falls back to identity on
-    visibility-graph failure (VisibilityOrdering.cpp:610-627).
+    visibility-graph failure (VisibilityOrdering.cpp:610-627) — or returns
+    None instead when ``default_on_failure`` is False, so callers that have
+    a better fallback (e.g. depth hints) can tell failure from a genuine
+    identity order.
     """
     global _graph_file_counter
     default_order = np.arange(num_ranks, dtype=np.int32)
     if not use_visibility_graph or len(box_min) == 0:
-        return default_order
+        return default_order if default_on_failure else None
 
     modelview = make_view_matrix(camera.eye, camera.look_at, camera.up)
     projection = make_perspective_matrix(
@@ -384,4 +388,56 @@ def build_visibility_order(
         print(
             "Visibility graph ordering failed; falling back to default rank order."
         )
-    return default_order
+    return default_order if default_on_failure else None
+
+
+def piece_order_keys(
+    camera: CameraParameters,
+    aspect: float,
+    box_min: np.ndarray,  # [P, 3] piece lower corners
+    box_max: np.ndarray,  # [P, 3]
+) -> Optional[np.ndarray]:
+    """Per-piece FRONT-TO-BACK compositing sort keys from the piece-level
+    visibility graph; None when the graph is unavailable or fails (callers
+    fall back to scalar depth hints).
+
+    The scalar depth hint (nearest-corner view depth) is only a PROXY for
+    per-ray traversal order, and the sequential entry-depth fold is exact
+    only when the sort order matches every ray's traversal order — a
+    hint-misordered piece pair with an interleaving third layer composites
+    measurably wrong (observed: 0.48 max RGB error on the 3-level bench
+    scene).  Convexified AMR pieces tile the domain, so the reference's own
+    face-adjacency visibility graph (VisibilityOrdering.cpp:261-317, which
+    the reference computes but applies only at RANK granularity) yields an
+    EXACT view-consistent total order here: every occlusion between pieces
+    passes through the chain of shared faces of the partition.  Applying it
+    per piece makes the ordering the renderer already pays for
+    consequential.
+
+    Keys are float32 positions: smaller = nearer the eye = folded in front
+    (the (key, owner, local) layer-sort contract)."""
+    num = len(box_min)
+    if num == 0:
+        return None
+    from . import native
+
+    if native.get_lib() is None and num > 128:
+        # the pure-Python adjacency builder is O(P^2) loops: seconds per
+        # frame on deep scenes — hints are the better trade without the
+        # native library
+        return None
+    order = build_visibility_order(
+        camera, aspect, box_min, box_max,
+        np.arange(num, dtype=np.int32), num,
+        default_on_failure=False,
+    )
+    if order is None or len(order) != num:
+        return None
+    # build_visibility_order returns BACK-to-front (earliest = farthest,
+    # see the two-box polarity canary in tests/test_piece_order.py);
+    # compositing sorts front-first
+    keys = np.empty(num, np.float32)
+    keys[np.asarray(order, np.int64)] = np.arange(
+        num - 1, -1, -1, dtype=np.float32
+    )
+    return keys

@@ -1,0 +1,135 @@
+"""Persistent multi-chip renderer (parallel.persistent.MultiChipSceneRenderer).
+
+Device-resident sharded bricks + one compiled shard_map program reused
+across frames; per-frame uploads are camera + hints + validity only.
+Validated on the virtual 8-device CPU mesh (conftest.py): pixels must
+match the single-chip product path (FastSceneRenderer/tilemarch fold the
+same (key, owner, local) order) and a 1-device mesh bit-for-bit modulo
+the device-boundary fold association.
+"""
+
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu import api
+from amrvolumerenderer_tpu.camera import auto_orbit_camera
+from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+from amrvolumerenderer_tpu.parallel.persistent import MultiChipSceneRenderer
+from amrvolumerenderer_tpu.types import (
+    CameraParameters,
+    RenderParameters,
+    color_map_from_tuples,
+)
+
+
+@pytest.fixture(scope="module")
+def geometry():
+    from tests.conftest import make_r2_scene_data
+
+    levels, geoms = make_r2_scene_data()
+    data = api.AmrData(level_data=levels, level_geometry=geoms)
+    return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+
+CAMS = [
+    None,  # auto orbit (replaced per renderer bounds)
+    CameraParameters(eye=(3.1, 0.5, 0.4), look_at=(0.5, 0.5, 0.5),
+                     up=(0, 1, 0)),  # different march axis
+]
+
+
+def _cams(renderer):
+    return [auto_orbit_camera(renderer.bounds) if c is None else c
+            for c in CAMS]
+
+
+def test_matches_single_device_mesh_and_fast_scene(geometry):
+    params = RenderParameters(width=48, height=48)
+    r8 = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    r1 = MultiChipSceneRenderer(geometry, params, num_devices=1)
+    fsr = FastSceneRenderer(geometry, params)
+    for cam in _cams(r8):
+        f8 = r8.render(cam, overlay=False)
+        f1 = r1.render(cam, overlay=False)
+        ft = fsr.render(cam, overlay=False)
+        assert np.abs(f8[np.isfinite(f8)]).sum() > 0  # non-trivial frame
+        # 8-way vs 1-way mesh: same fold order, association split at
+        # device boundaries only
+        np.testing.assert_allclose(f8[:, :4], f1[:, :4], atol=1e-5)
+        # vs the single-chip product path (tilemarch): same (key, owner,
+        # local) order and integrator
+        np.testing.assert_allclose(f8[:, :4], ft[:, :4], atol=1e-5)
+        fin8, fint = np.isfinite(f8[:, 4]), np.isfinite(ft[:, 4])
+        np.testing.assert_array_equal(fin8, fint)
+        np.testing.assert_allclose(f8[fin8, 4], ft[fint, 4], atol=1e-5)
+
+
+def test_compiled_program_reused_across_frames(geometry):
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cams = _cams(r)
+    a = r.render(cams[0], overlay=False)
+    b = r.render(cams[0], overlay=False)
+    np.testing.assert_array_equal(a, b)  # deterministic
+    assert len(r._step_cache) == 1  # ONE program for every frame/axis
+
+
+def test_transfer_function_swap(geometry):
+    params = RenderParameters(width=32, height=32)
+    cmap = color_map_from_tuples([
+        (0.0, 0, 0, 0, 0.0), (0.5, 1.0, 0.2, 0.1, 0.6),
+        (1.0, 1.0, 1.0, 1.0, 0.9),
+    ])
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cam = _cams(r)[0]
+    r.render(cam, overlay=False)  # default TF first
+    r.set_transfer_function(color_map=cmap)
+    swapped = r.render(cam, overlay=False)
+    fresh = MultiChipSceneRenderer(
+        geometry, params, num_devices=8, color_map=cmap
+    ).render(cam, overlay=False)
+    np.testing.assert_allclose(swapped[:, :4], fresh[:, :4], atol=1e-6)
+
+
+def test_update_data(geometry):
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cam = _cams(r)[0]
+    before = r.render(cam, overlay=False)
+    r.update_data([0.5 * np.asarray(b.data) for b in geometry.bricks])
+    after = r.render(cam, overlay=False)
+    assert not np.allclose(before[:, :4], after[:, :4])
+    # restore (module-scoped geometry is shared)
+    r.update_data([np.asarray(b.data) for b in geometry.bricks])
+    restored = r.render(cam, overlay=False)
+    np.testing.assert_allclose(before[:, :4], restored[:, :4], atol=1e-6)
+
+
+def test_ubyte_transport_parity(geometry):
+    params = RenderParameters(width=32, height=32)
+    cam = None
+    rf = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cam = _cams(rf)[0]
+    f32 = rf.render(cam, overlay=False)
+    ub = MultiChipSceneRenderer(
+        geometry, params, num_devices=8, transport="ubyte"
+    ).render(cam, overlay=False)
+    # colors quantize through the Mesa byte codec once per exchange
+    np.testing.assert_allclose(ub[:, :4], f32[:, :4], atol=2 / 255)
+
+
+def test_antialiasing_output_shape(geometry):
+    params = RenderParameters(width=32, height=32, antialiasing=4)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    out = r.render(_cams(r)[0], overlay=False)
+    assert out.shape == (32 * 32, 5)
+
+
+def test_validation_errors(geometry):
+    params = RenderParameters(width=32, height=32)
+    with pytest.raises(ValueError, match="device"):
+        MultiChipSceneRenderer(geometry, params, num_devices=99)
+    with pytest.raises(NotImplementedError):
+        MultiChipSceneRenderer(
+            geometry, params, num_devices=2
+        ).render_batch([])

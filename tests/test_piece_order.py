@@ -1,0 +1,166 @@
+"""Piece-level visibility ordering (visibility.piece_order_keys).
+
+Scalar depth hints are only a PROXY for per-ray traversal order; the
+sequential entry-depth fold is exact only when the layer sort order
+matches every ray's traversal order.  On the 3-level convexified AMR
+bench scene the hint order misplaced an interleaved piece and the
+composited frame was off by up to 0.48 (64^2) / 0.82 (128^2) max RGB at
+a handful of pixels — found by folding every piece's per-pixel (depth,
+rgba) contribution in exact per-pixel depth order and comparing.
+
+The fix applies the reference's own visibility-graph machinery
+(VisibilityOrdering.cpp:261-317, which the reference computes but uses
+only at RANK granularity) at PIECE granularity: convexified pieces tile
+the domain, so the face-adjacency graph yields an exact view-consistent
+total order.  These tests pin that exactness and the graph's polarity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from amrvolumerenderer_tpu import api
+from amrvolumerenderer_tpu.camera import auto_orbit_camera, camera_basis
+from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+from amrvolumerenderer_tpu.ops import slicemarch as sm
+from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+from amrvolumerenderer_tpu.types import CameraParameters, RenderParameters
+from amrvolumerenderer_tpu.visibility import piece_order_keys
+
+
+def three_level_geometry():
+    """The bench scene: 64^3 base + two 2x refinements, convexified (the
+    configuration that exposed the hint misordering)."""
+    def radial(n, lo, hi):
+        c = lo + (np.arange(n) + 0.5) / n * (hi - lo)
+        r = np.sqrt(
+            (c[:, None, None] - 0.5) ** 2
+            + (c[None, :, None] - 0.5) ** 2
+            + (c[None, None, :] - 0.5) ** 2
+        )
+        return (
+            np.exp(-((r - 0.18) / 0.06) ** 2)
+            + 0.7 * np.exp(-((r - 0.38) / 0.05) ** 2)
+        )
+
+    n = 64
+    data = api.AmrData(
+        level_data=[
+            [LevelBox(radial(n, 0.0, 1.0), np.zeros(3, dtype=int))],
+            [LevelBox(radial(n, 0.25, 0.75), np.full(3, 32, dtype=int))],
+            [LevelBox(radial(n, 0.375, 0.625), np.full(3, 96, dtype=int))],
+        ],
+        level_geometry=[
+            LevelGeometry(np.zeros(3), np.full(3, 1.0 / n)),
+            LevelGeometry(np.zeros(3), np.full(3, 1.0 / (2 * n))),
+            LevelGeometry(np.zeros(3), np.full(3, 1.0 / (4 * n))),
+        ],
+        refinement_ratios=[(2, 2, 2), (2, 2, 2)],
+    )
+    return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+
+def exact_depth_fold(fsr, cam):
+    """Ground truth for layered compositing of the renderer's own pieces:
+    every piece's per-pixel (depth, rgba) layer, folded front-to-back in
+    EXACT per-pixel depth order (a full per-pixel sort — unambiguous, and
+    far too slow for production)."""
+    forward, right, up = camera_basis(cam)
+    axis = sm.choose_march_axis(forward)
+    fsr.frame_inputs(cam)  # packs the march axis
+    meta, dims = fsr._axis_metadata(axis)
+    campk = fsr._pack_cam(cam, forward, right, up)
+    luts = jnp.broadcast_to(
+        fsr._lut_device[None], (meta.shape[0],) + fsr._lut_device.shape
+    )
+    colors, depths = sm.slicemarch_render(
+        fsr._packed_vol, jnp.asarray(meta), jnp.asarray(dims), luts,
+        jnp.asarray(campk), width=fsr.pad_w, height=fsr.pad_h,
+        max_slices=fsr.cube, logical_width=fsr.render_width,
+        logical_height=fsr.render_height, interpret=True,
+        sampling=fsr.parameters.sampling, ghost=fsr.ghost,
+        classification=fsr.parameters.classification,
+    )
+    c = np.asarray(colors)
+    d = np.asarray(depths)
+    num_layers, num_pixels = d.shape
+    order = np.argsort(np.where(np.isfinite(d), d, np.inf), axis=0,
+                       kind="stable")
+    cs = np.take_along_axis(c, order[..., None], axis=0)
+    valid = np.take_along_axis(np.isfinite(d), order, axis=0)
+    out = np.zeros((num_pixels, 4), np.float32)
+    acc = np.zeros(num_pixels, np.float32)
+    for l in range(num_layers):
+        w = (1 - acc) * valid[l]
+        out[:, :3] += w[:, None] * cs[l, :, :3]
+        out[:, 3] += w * cs[l, :, 3]
+        acc = out[:, 3]
+    res = fsr.parameters.width
+    return out.reshape(fsr.pad_h, fsr.pad_w, 4)[:res, :res].reshape(-1, 4)
+
+
+def test_graph_order_polarity():
+    """build_visibility_order returns BACK-to-front; piece_order_keys must
+    flip it so smaller key = nearer the eye = folded in front."""
+    bmin = np.array([[0, 0, 0], [0, 0, 1]], float)
+    bmax = np.array([[1, 1, 1], [1, 1, 2]], float)
+    cam = CameraParameters(
+        eye=(0.5, 0.5, 3.0), look_at=(0.5, 0.5, 0.0), up=(0, 1, 0)
+    )
+    keys = piece_order_keys(cam, 1.0, bmin, bmax)
+    assert keys is not None
+    assert keys[1] < keys[0]  # box 1 is nearer the eye
+
+
+def test_fast_scene_matches_exact_depth_fold():
+    """The product tilemarch fold over visibility-ordered pieces must
+    reproduce the exact per-pixel depth fold (hint ordering was off by
+    0.48 max RGB on this very scene/camera)."""
+    g = three_level_geometry()
+    fsr = FastSceneRenderer(g, RenderParameters(width=64, height=64))
+    cam = auto_orbit_camera(fsr.bounds)
+    frame = fsr.render(cam, overlay=False)
+    truth = exact_depth_fold(fsr, cam)
+    np.testing.assert_allclose(frame[:, :4], truth, atol=2e-5)
+
+
+def test_hint_fallback_still_renders(monkeypatch):
+    """With the graph unavailable the hint fallback must keep rendering
+    (values differ only at misordered pixels)."""
+    import amrvolumerenderer_tpu.visibility as vis
+
+    g = three_level_geometry()
+    fsr = FastSceneRenderer(g, RenderParameters(width=32, height=32))
+    cam = auto_orbit_camera(fsr.bounds)
+    with_graph = fsr.render(cam, overlay=False)
+    monkeypatch.setattr(vis, "piece_order_keys", lambda *a, **k: None)
+    import amrvolumerenderer_tpu.fast_scene  # noqa: F401 (site imports late)
+
+    without = fsr.render(cam, overlay=False)
+    assert np.isfinite(without[:, :4]).all()
+    # both are valid composites; they agree except where hints misorder
+    d = np.abs(with_graph[:, :3] - without[:, :3])
+    assert (d.max(axis=1) > 0.02).mean() < 0.02
+
+
+def test_one_shot_paths_agree_with_fast_scene():
+    """With piece-level ordering both product families (one-shot layered
+    slicemarch and the persistent tilemarch path) fold the same order:
+    they agreed only to 0.48 before the fix."""
+    from amrvolumerenderer_tpu.renderer_fast import (
+        render_composited_slicemarch,
+    )
+
+    g = three_level_geometry()
+    params = RenderParameters(width=64, height=64)
+    fsr = FastSceneRenderer(g, params)
+    cam = auto_orbit_camera(fsr.bounds)
+    ft = fsr.render(cam, overlay=False)
+    one = render_composited_slicemarch(
+        g, params, cam, fsr.scalar_range, fsr.reference_sample_distance,
+        64, 64, None, interpret=True,
+    )
+    np.testing.assert_allclose(ft[:, :3], one[:, :3], atol=2e-5)

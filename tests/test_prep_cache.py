@@ -69,8 +69,12 @@ def test_camera_change_reuses_pack_but_updates_frame_tables(geometry):
     cam1 = CameraParameters(
         eye=(0.5, 0.5, -2.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
     )
+    # opposite side of the scene, same dominant march axis: the pack is
+    # reused but the per-frame ordering keys must flip (piece-level
+    # visibility order — stable under small camera moves, reversed when
+    # the view direction reverses)
     cam2 = CameraParameters(
-        eye=(0.3, 0.8, -2.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+        eye=(0.3, 0.8, 3.0), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
     )
     p1 = _prep(geometry, cam1)
     packs = geometry.__dict__["_slicemarch_packs"]

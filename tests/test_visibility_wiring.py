@@ -82,7 +82,14 @@ def _render(geometry, camera, rank_order):
     )
 
 
-def test_tied_hints_graph_order_changes_image():
+def test_tied_hints_graph_order_changes_image(monkeypatch):
+    # the rank-order tie-break only matters on the scalar-HINT fallback:
+    # piece-level visibility keys (visibility.piece_order_keys) are unique
+    # positions with no ties, so force the fallback path here to keep the
+    # tie-break wiring itself validated
+    import amrvolumerenderer_tpu.visibility as vis
+
+    monkeypatch.setattr(vis, "piece_order_keys", lambda *a, **k: None)
     geometry, camera = _tied_scene()
 
     default = _render(geometry, camera, None)
