@@ -612,18 +612,15 @@ class FastSceneRenderer:
         cam = self._pack_cam(camera, forward, right, up)
         # piece-level visibility-graph order keys when available (EXACT
         # view-consistent ordering over the piece partition — scalar depth
-        # hints misorder interleaved pieces, visibility.piece_order_keys);
-        # hints are the fallback
-        from .visibility import piece_order_keys
+        # hints misorder interleaved pieces); hints are the fallback, and
+        # --no-visibility-graph opts out (visibility.order_keys_or_hints)
+        from .visibility import order_keys_or_hints
 
-        hints = piece_order_keys(
+        hints = order_keys_or_hints(
             camera, self.render_width / max(self.render_height, 1),
             self.box_min, self.box_max,
+            use_graph=self.parameters.use_visibility_graph,
         )
-        if hints is None:
-            hints = compute_box_depth_hints(
-                self.box_min, self.box_max, camera
-            )
         offsets, tbricks, towners = tm.build_tile_worklist(
             self.box_min, self.box_max, hints, self.owners,
             np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,

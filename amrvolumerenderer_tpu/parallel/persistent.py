@@ -21,8 +21,8 @@ once), with only per-frame camera state moving.
     device per shard (cached per axis, like the single-chip renderer);
   * render + exchange + ordered fold run as ONE compiled shard_map
     program (slicemarch per-device render -> all_to_all pixel exchange ->
-    run-grouped fold, directsend._compose_shard), compiled once per
-    march axis and reused across frames — the one-shot path's jit
+    run-grouped fold, directsend._compose_shard), compiled ONCE and reused
+    across every frame and march axis — the one-shot path's jit
     closure captures the camera as a constant and recompiles per frame;
   * ``set_transfer_function`` / ``update_data`` keep working: the LUT
     broadcast and the piece table are re-placed, everything else stays.
@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..camera import camera_basis, compute_box_depth_hints
+from ..camera import camera_basis
 from ..fast_scene import FastSceneRenderer, _device_downsample, _repack_for_axis
 from ..ops import slicemarch as sm
 from ..types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
@@ -116,7 +116,9 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         self._slot_valid = slot_valid
         self._placed_cache: dict = {}  # axis -> sharded [T, S, 8, 128]
         self._placed_lut = None  # sharded [T, 4, LUT_ROWS, LANES]
-        self._step_cache: dict = {}  # () -> compiled shard_map program
+        self._meta_cache: dict = {}  # (axis, lut epoch) -> device tables
+        self._lut_epoch = 0
+        self._step_prog = None  # ONE compiled shard_map program, all frames
         self._place_canonical()
 
     # ---- placement ------------------------------------------------------
@@ -155,21 +157,24 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         super().set_transfer_function(*args, **kwargs)
         if hasattr(self, "_placed_lut"):
             self._placed_lut = None
+            self._lut_epoch += 1  # dims[:, 7] slice bounds depend on the LUT
 
     def update_data(self, brick_arrays) -> None:
         super().update_data(brick_arrays)
         self._place_canonical()
+        self._lut_epoch += 1  # slice extrema changed with the values
+        self._meta_cache = {}
 
     # ---- the compiled per-frame program ---------------------------------
 
     def _sharded_step(self):
-        """ONE compiled program for every frame: per-device slicemarch
-        render of the resident shard, pixel all_to_all exchange, ordered
-        fold.  Camera/hints/valid are ARGUMENTS (the one-shot path's jit
-        captures the camera as a constant, recompiling per frame)."""
-        prog = self._step_cache.get(())
-        if prog is not None:
-            return prog
+        """ONE compiled program, reused for every frame and march axis:
+        per-device slicemarch render of the resident shard, pixel
+        all_to_all exchange, ordered fold.  Camera/hints/valid/tables are
+        ARGUMENTS (the one-shot path's jit captures the camera as a
+        constant, recompiling per frame)."""
+        if self._step_prog is not None:
+            return self._step_prog
         axes = mesh_axes(self.mesh)
         transport = self.transport
         kw = dict(
@@ -200,7 +205,7 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                 check_vma=False,  # pallas_call out_shape carries no vma info
             )
         )
-        self._step_cache[()] = prog
+        self._step_prog = prog
         return prog
 
     # ---- rendering ------------------------------------------------------
@@ -217,18 +222,31 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         forward, right, up = camera_basis(camera)
         axis = sm.choose_march_axis(forward)
 
-        meta, dims = self._axis_metadata(axis)
         idx = self._slot_to_idx
-        from ..visibility import piece_order_keys
+        # slot-ordered brick tables are axis- and LUT-dependent only:
+        # cache them on device so a fixed-axis animation ships nothing
+        # but camera + hints + validity per frame
+        key = (axis, self._lut_epoch)
+        placed_tables = self._meta_cache.get(key)
+        if placed_tables is None:
+            meta, dims = self._axis_metadata(axis)
+            placed_tables = (
+                jnp.asarray(meta[idx]), jnp.asarray(dims[idx]),
+            )
+            # drop stale-LUT entries, keep the other axes of this epoch
+            self._meta_cache = {
+                k: v for k, v in self._meta_cache.items()
+                if k[1] == self._lut_epoch
+            }
+            self._meta_cache[key] = placed_tables
+        meta_dev, dims_dev = placed_tables
+        from ..visibility import order_keys_or_hints
 
-        hints = piece_order_keys(
+        hints = order_keys_or_hints(
             camera, self.render_width / max(self.render_height, 1),
             self.box_min, self.box_max,
+            use_graph=self.parameters.use_visibility_graph,
         )
-        if hints is None:
-            hints = compute_box_depth_hints(
-                self.box_min, self.box_max, camera
-            ).astype(np.float32)
         slot_hints = np.where(
             self._slot_valid, hints[idx], np.float32(np.inf)
         )
@@ -239,7 +257,7 @@ class MultiChipSceneRenderer(FastSceneRenderer):
 
         frame = self._sharded_step()(
             self._placed_vol(axis),
-            jnp.asarray(meta[idx]), jnp.asarray(dims[idx]),
+            meta_dev, dims_dev,
             self._placed_luts(),
             jnp.asarray(slot_valid), jnp.asarray(slot_hints),
             jnp.asarray(cam),

@@ -342,14 +342,18 @@ def prepare_slicemarch_scene(
 
     parents = gp["parents"]
     # piece-level visibility-graph order keys when available (exact
-    # view-consistent ordering over the convexified piece partition,
-    # visibility.piece_order_keys); fallback: the parent box's scalar
-    # depth hint, shared by all its split pieces
+    # view-consistent ordering over the convexified piece partition);
+    # fallback: the parent box's scalar depth hint, shared by all its
+    # split pieces; --no-visibility-graph opts out
     from .visibility import piece_order_keys
 
-    depth_hints = piece_order_keys(
-        camera, render_width / max(render_height, 1),
-        gp["box_min"], gp["box_max"],
+    depth_hints = (
+        piece_order_keys(
+            camera, render_width / max(render_height, 1),
+            gp["box_min"], gp["box_max"],
+        )
+        if parameters.use_visibility_graph
+        else None
     )
     if depth_hints is None:
         parent_min = np.array([b.min_corner for b in bricks])

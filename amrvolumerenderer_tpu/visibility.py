@@ -391,6 +391,12 @@ def build_visibility_order(
     return default_order if default_on_failure else None
 
 
+# beyond this piece count the per-frame O(P^2) graph build outweighs the
+# ordering benefit (~3 ms native at 512 pieces, quadratic growth); hints
+# take over
+PIECE_GRAPH_LIMIT = 2048
+
+
 def piece_order_keys(
     camera: CameraParameters,
     aspect: float,
@@ -421,16 +427,38 @@ def piece_order_keys(
         return None
     from . import native
 
-    if native.get_lib() is None and num > 128:
-        # the pure-Python adjacency builder is O(P^2) loops: seconds per
-        # frame on deep scenes — hints are the better trade without the
-        # native library
+    if num > PIECE_GRAPH_LIMIT:
+        # the adjacency build is O(P^2) pair tests even in C++ (~3 ms at
+        # 512 pieces, quadratic beyond): on very deep scenes hints are
+        # the better per-frame trade
         return None
-    order = build_visibility_order(
-        camera, aspect, box_min, box_max,
-        np.arange(num, dtype=np.int32), num,
-        default_on_failure=False,
-    )
+    if num > 128:
+        # the pure-Python builder is O(P^2) Python loops (seconds per
+        # frame): above this size use the native graph ONLY — a native
+        # graph failure falls back to hints, not to the Python builder
+        if native.get_lib() is None:
+            return None
+        modelview = make_view_matrix(camera.eye, camera.look_at, camera.up)
+        projection = make_perspective_matrix(
+            camera.fov_y_degrees, aspect, camera.near_plane,
+            camera.far_plane,
+        )
+        order = native.visibility_order(
+            np.asarray(box_min, dtype=np.float64),
+            np.asarray(box_max, dtype=np.float64),
+            np.arange(num, dtype=np.int32), num,
+            modelview, projection,
+            safe_normalize(
+                np.asarray(camera.look_at, float)
+                - np.asarray(camera.eye, float)
+            ),
+        )
+    else:
+        order = build_visibility_order(
+            camera, aspect, box_min, box_max,
+            np.arange(num, dtype=np.int32), num,
+            default_on_failure=False,
+        )
     if order is None or len(order) != num:
         return None
     # build_visibility_order returns BACK-to-front (earliest = farthest,
@@ -441,3 +469,26 @@ def piece_order_keys(
         num - 1, -1, -1, dtype=np.float32
     )
     return keys
+
+
+def order_keys_or_hints(
+    camera: CameraParameters,
+    aspect: float,
+    box_min: np.ndarray,
+    box_max: np.ndarray,
+    use_graph: bool = True,
+) -> np.ndarray:
+    """The layer-ordering policy, shared by every compositing path:
+    piece-level visibility-graph keys when enabled and available
+    (``piece_order_keys``), else the nearest-corner depth hints.
+    ``use_graph=False`` honors the product's ``--no-visibility-graph``
+    flag (RenderParameters.use_visibility_graph)."""
+    from .camera import compute_box_depth_hints
+
+    if use_graph:
+        keys = piece_order_keys(camera, aspect, box_min, box_max)
+        if keys is not None:
+            return keys
+    return compute_box_depth_hints(box_min, box_max, camera).astype(
+        np.float32
+    )

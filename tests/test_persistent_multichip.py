@@ -69,9 +69,13 @@ def test_compiled_program_reused_across_frames(geometry):
     r = MultiChipSceneRenderer(geometry, params, num_devices=8)
     cams = _cams(r)
     a = r.render(cams[0], overlay=False)
+    prog = r._step_prog
+    assert prog is not None
     b = r.render(cams[0], overlay=False)
+    c = r.render(cams[1], overlay=False)  # different march axis
     np.testing.assert_array_equal(a, b)  # deterministic
-    assert len(r._step_cache) == 1  # ONE program for every frame/axis
+    assert r._step_prog is prog  # ONE program for every frame/axis
+    assert np.abs(c[np.isfinite(c)]).sum() > 0
 
 
 def test_transfer_function_swap(geometry):

@@ -146,6 +146,31 @@ def test_hint_fallback_still_renders(monkeypatch):
     assert (d.max(axis=1) > 0.02).mean() < 0.02
 
 
+def test_no_visibility_graph_flag_disables_piece_keys(monkeypatch):
+    """--no-visibility-graph (RenderParameters.use_visibility_graph=False)
+    must skip the graph build entirely — the user opted out of its cost
+    and its ordering."""
+    import amrvolumerenderer_tpu.visibility as vis
+
+    calls = []
+    orig = vis.piece_order_keys
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(vis, "piece_order_keys", spy)
+    g = three_level_geometry()
+    fsr = FastSceneRenderer(
+        g, RenderParameters(width=32, height=32, use_visibility_graph=False)
+    )
+    fsr.frame_inputs(auto_orbit_camera(fsr.bounds))
+    assert not calls
+    fsr_on = FastSceneRenderer(g, RenderParameters(width=32, height=32))
+    fsr_on.frame_inputs(auto_orbit_camera(fsr_on.bounds))
+    assert calls
+
+
 def test_one_shot_paths_agree_with_fast_scene():
     """With piece-level ordering both product families (one-shot layered
     slicemarch and the persistent tilemarch path) fold the same order:
