@@ -480,12 +480,18 @@ def render_layers(
             layers[int(idx), :, :4] = colors[slot]
             layers[int(idx), :, 4] = depths[slot]
 
-    depth_hints = np.array(
-        [
-            compute_box_depth_hint(b.min_corner, b.max_corner, camera)
-            for b in bricks
-        ],
-        dtype=np.float32,
+    # layer ordering keys: brick-level visibility-graph positions when
+    # available (exact view-consistent order over the convexified boxes),
+    # nearest-corner depth hints as the fallback / on --no-visibility-graph
+    # (visibility.order_keys_or_hints — the shared policy of every
+    # compositing path)
+    from .visibility import order_keys_or_hints
+
+    depth_hints = order_keys_or_hints(
+        camera, render_width / max(render_height, 1),
+        np.array([b.min_corner for b in bricks]),
+        np.array([b.max_corner for b in bricks]),
+        use_graph=parameters.use_visibility_graph,
     )
     owners = np.array([b.owner for b in bricks], dtype=np.int32)
     # local index = position within the owner's local brick list
