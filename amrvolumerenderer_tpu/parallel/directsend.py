@@ -415,14 +415,19 @@ def composite_partials_sharded(
 
     Exactness note: pre-compositing runs is equivalent to the global fold
     when each pixel's per-layer depths sort consistently with the run
-    grouping — the case for spatially disjoint AMR bricks (a ray crosses
-    bricks in depth-hint order); empty pixels (depth +inf) blend as
-    identity and do not disturb this.  The per-pixel blend() itself picks
-    the nearer layer as "front" from the depth channel, so hint TIES and
-    in-cloud/boundary cameras stay exact as long as bricks are disjoint —
-    stress-tested against the layered exchange and the single-device fold
-    in tests/test_depth_envelope.py (camera inside the cloud, exact hint
-    ties split across devices, eye on a shared brick corner).
+    grouping.  With piece-level visibility-graph keys as the ordering
+    (visibility.piece_order_keys, the default since round 3) the
+    placement order is view-consistent for EVERY ray over the convexified
+    partition, so the run grouping is exact by construction; on the
+    scalar-hint fallback it holds for spatially disjoint AMR bricks
+    (a ray crosses bricks in depth-hint order).  Empty pixels (depth
+    +inf) blend as identity and do not disturb this.  The per-pixel
+    blend() itself picks the nearer layer as "front" from the depth
+    channel, so key TIES and in-cloud/boundary cameras stay exact as
+    long as bricks are disjoint — stress-tested against the layered
+    exchange and the single-device fold in tests/test_depth_envelope.py
+    (camera inside the cloud, exact hint ties split across devices, eye
+    on a shared brick corner).
     """
     num_devices = mesh.devices.size
     assert partials.shape[0] == num_devices
