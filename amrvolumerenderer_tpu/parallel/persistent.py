@@ -48,6 +48,8 @@ from jax.sharding import PartitionSpec as P
 from ..camera import camera_basis
 from ..fast_scene import FastSceneRenderer, _device_downsample, _repack_for_axis
 from ..ops import slicemarch as sm
+from ..renderer_fast import _fetch_global, _grouped_cumcount
+from ..visibility import order_keys_or_hints
 from ..types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 from .directsend import (
     _compose_shard,
@@ -104,8 +106,6 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         # renderer's lifetime.  slot_to_idx maps [D * Bmax] device slots
         # to canonical piece indices (padding slots repeat an arbitrary
         # piece and are masked by ``slot_valid``).
-        from ..renderer_fast import _grouped_cumcount
-
         local = _grouped_cumcount(self.owners)
         order = np.lexsort((local, self.owners))
         (slot_to_idx,), slot_valid, _ = pack_contiguous(
@@ -240,8 +240,6 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             }
             self._meta_cache[key] = placed_tables
         meta_dev, dims_dev = placed_tables
-        from ..visibility import order_keys_or_hints
-
         hints = order_keys_or_hints(
             camera, self.render_width / max(self.render_height, 1),
             self.box_min, self.box_max,
@@ -262,8 +260,6 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             jnp.asarray(slot_valid), jnp.asarray(slot_hints),
             jnp.asarray(cam),
         )
-        from ..renderer_fast import _fetch_global
-
         pixels = _fetch_global(frame)
         pixels = pixels.reshape(self.pad_h, self.pad_w, 5)
         pixels = pixels[: self.render_height, : self.render_width].reshape(

@@ -301,6 +301,7 @@ def build_visibility_order(
     write_visibility_graph: bool = False,
     log: bool = False,
     default_on_failure: bool = True,
+    python_fallback: bool = True,
 ) -> Optional[np.ndarray]:
     """Compute the back-to-front rank permutation for compositing.
 
@@ -309,7 +310,10 @@ def build_visibility_order(
     visibility-graph failure (VisibilityOrdering.cpp:610-627) — or returns
     None instead when ``default_on_failure`` is False, so callers that have
     a better fallback (e.g. depth hints) can tell failure from a genuine
-    identity order.
+    identity order.  ``python_fallback=False`` restricts the build to the
+    native graph (the pure-Python builder is O(N^2) Python loops — per-frame
+    callers on large scenes must not fall into it when the native library
+    is missing or its graph fails).
     """
     global _graph_file_counter
     default_order = np.arange(num_ranks, dtype=np.int32)
@@ -337,6 +341,8 @@ def build_visibility_order(
         )
         if native_order is not None:
             return native_order
+    if not python_fallback:
+        return default_order if default_on_failure else None
 
     def update_depth(info: _BoxInfo):
         info.min_depth, info.max_depth = _compute_depth_range(
@@ -425,40 +431,20 @@ def piece_order_keys(
     num = len(box_min)
     if num == 0:
         return None
-    from . import native
-
     if num > PIECE_GRAPH_LIMIT:
         # the adjacency build is O(P^2) pair tests even in C++ (~3 ms at
         # 512 pieces, quadratic beyond): on very deep scenes hints are
         # the better per-frame trade
         return None
-    if num > 128:
-        # the pure-Python builder is O(P^2) Python loops (seconds per
-        # frame): above this size use the native graph ONLY — a native
-        # graph failure falls back to hints, not to the Python builder
-        if native.get_lib() is None:
-            return None
-        modelview = make_view_matrix(camera.eye, camera.look_at, camera.up)
-        projection = make_perspective_matrix(
-            camera.fov_y_degrees, aspect, camera.near_plane,
-            camera.far_plane,
-        )
-        order = native.visibility_order(
-            np.asarray(box_min, dtype=np.float64),
-            np.asarray(box_max, dtype=np.float64),
-            np.arange(num, dtype=np.int32), num,
-            modelview, projection,
-            safe_normalize(
-                np.asarray(camera.look_at, float)
-                - np.asarray(camera.eye, float)
-            ),
-        )
-    else:
-        order = build_visibility_order(
-            camera, aspect, box_min, box_max,
-            np.arange(num, dtype=np.int32), num,
-            default_on_failure=False,
-        )
+    # above 128 pieces use the native graph ONLY: the pure-Python builder
+    # is O(P^2) Python loops (seconds per frame), so a missing library or
+    # a native graph failure falls back to hints, not to the Python path
+    order = build_visibility_order(
+        camera, aspect, box_min, box_max,
+        np.arange(num, dtype=np.int32), num,
+        default_on_failure=False,
+        python_fallback=num <= 128,
+    )
     if order is None or len(order) != num:
         return None
     # build_visibility_order returns BACK-to-front (earliest = farthest,

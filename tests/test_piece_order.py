@@ -22,11 +22,9 @@ import pytest
 
 import jax.numpy as jnp
 
-from amrvolumerenderer_tpu import api
 from amrvolumerenderer_tpu.camera import auto_orbit_camera, camera_basis
 from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
 from amrvolumerenderer_tpu.ops import slicemarch as sm
-from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
 from amrvolumerenderer_tpu.types import CameraParameters, RenderParameters
 from amrvolumerenderer_tpu.visibility import piece_order_keys
 
@@ -34,33 +32,15 @@ from amrvolumerenderer_tpu.visibility import piece_order_keys
 def three_level_geometry():
     """The bench scene: 64^3 base + two 2x refinements, convexified (the
     configuration that exposed the hint misordering)."""
-    def radial(n, lo, hi):
-        c = lo + (np.arange(n) + 0.5) / n * (hi - lo)
-        r = np.sqrt(
-            (c[:, None, None] - 0.5) ** 2
-            + (c[None, :, None] - 0.5) ** 2
-            + (c[None, None, :] - 0.5) ** 2
-        )
-        return (
-            np.exp(-((r - 0.18) / 0.06) ** 2)
-            + 0.7 * np.exp(-((r - 0.38) / 0.05) ** 2)
-        )
+    import os
+    import sys
 
-    n = 64
-    data = api.AmrData(
-        level_data=[
-            [LevelBox(radial(n, 0.0, 1.0), np.zeros(3, dtype=int))],
-            [LevelBox(radial(n, 0.25, 0.75), np.full(3, 32, dtype=int))],
-            [LevelBox(radial(n, 0.375, 0.625), np.full(3, 96, dtype=int))],
-        ],
-        level_geometry=[
-            LevelGeometry(np.zeros(3), np.full(3, 1.0 / n)),
-            LevelGeometry(np.zeros(3), np.full(3, 1.0 / (2 * n))),
-            LevelGeometry(np.zeros(3), np.full(3, 1.0 / (4 * n))),
-        ],
-        refinement_ratios=[(2, 2, 2), (2, 2, 2)],
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+    from bench import build_three_level_scene
+
+    return build_three_level_scene()
 
 
 def exact_depth_fold(fsr, cam):
