@@ -620,6 +620,13 @@ class FastSceneRenderer:
             camera, self.render_width / max(self.render_height, 1),
             self.box_min, self.box_max,
             use_graph=self.parameters.use_visibility_graph,
+            parents=self.parents,
+            parent_min=np.array(
+                [b.min_corner for b in self.geometry.bricks]
+            ),
+            parent_max=np.array(
+                [b.max_corner for b in self.geometry.bricks]
+            ),
         )
         offsets, tbricks, towners = tm.build_tile_worklist(
             self.box_min, self.box_max, hints, self.owners,

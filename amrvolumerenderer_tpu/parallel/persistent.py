@@ -244,6 +244,13 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             camera, self.render_width / max(self.render_height, 1),
             self.box_min, self.box_max,
             use_graph=self.parameters.use_visibility_graph,
+            parents=self.parents,
+            parent_min=np.array(
+                [b.min_corner for b in self.geometry.bricks]
+            ),
+            parent_max=np.array(
+                [b.max_corner for b in self.geometry.bricks]
+            ),
         )
         slot_hints = np.where(
             self._slot_valid, hints[idx], np.float32(np.inf)

@@ -345,19 +345,24 @@ def prepare_slicemarch_scene(
     # view-consistent ordering over the convexified piece partition);
     # fallback: the parent box's scalar depth hint, shared by all its
     # split pieces; --no-visibility-graph opts out
-    from .visibility import piece_order_keys
+    from .visibility import hierarchical_order_keys, piece_order_keys
 
-    depth_hints = (
-        piece_order_keys(
-            camera, render_width / max(render_height, 1),
-            gp["box_min"], gp["box_max"],
+    parent_min = np.array([b.min_corner for b in bricks])
+    parent_max = np.array([b.max_corner for b in bricks])
+    depth_hints = None
+    if parameters.use_visibility_graph:
+        aspect = render_width / max(render_height, 1)
+        depth_hints = piece_order_keys(
+            camera, aspect, gp["box_min"], gp["box_max"]
         )
-        if parameters.use_visibility_graph
-        else None
-    )
+        if depth_hints is None:
+            # too many pieces for the flat graph: brick-level graph x
+            # within-brick slab shells (exact for the grid splits)
+            depth_hints = hierarchical_order_keys(
+                camera, aspect, gp["box_min"], gp["box_max"],
+                parents, parent_min, parent_max,
+            )
     if depth_hints is None:
-        parent_min = np.array([b.min_corner for b in bricks])
-        parent_max = np.array([b.max_corner for b in bricks])
         parent_hints = compute_box_depth_hints(parent_min, parent_max, camera)
         depth_hints = parent_hints[parents].astype(np.float32)
     brick_owners = np.fromiter(

@@ -457,22 +457,73 @@ def piece_order_keys(
     return keys
 
 
+def hierarchical_order_keys(
+    camera: CameraParameters,
+    aspect: float,
+    box_min: np.ndarray,  # [P, 3] piece boxes
+    box_max: np.ndarray,
+    parents: np.ndarray,  # [P] parent brick of each piece
+    parent_min: np.ndarray,  # [B, 3] parent brick boxes
+    parent_max: np.ndarray,
+) -> Optional[np.ndarray]:
+    """Two-level FRONT-TO-BACK keys for scenes too deep for the flat
+    piece graph: the visibility graph orders the PARENT bricks (O(B^2)),
+    and within each brick pieces order by the eye's per-axis
+    slab-distance sum.
+
+    Validity: cross-brick occlusion between pieces implies occlusion
+    between their parents (pieces tile their parent), which the brick
+    graph captures; within a brick, piece A occluding piece B means A's
+    slab lies between the eye and B's slab on every axis, so A's
+    distance-to-slab sum is strictly smaller (the grid-shell painter
+    argument with continuous distances).  Keys are dense ranks, so f32
+    carries them exactly."""
+    num_parents = len(parent_min)
+    if num_parents > PIECE_GRAPH_LIMIT:
+        return None
+    parent_pos = piece_order_keys(camera, aspect, parent_min, parent_max)
+    if parent_pos is None:
+        return None
+    eye = np.asarray(camera.eye, np.float64)
+    lo = np.asarray(box_min, np.float64)
+    hi = np.asarray(box_max, np.float64)
+    # per-axis distance from the eye coordinate to the piece's slab
+    # interval (0 when the eye coordinate is inside it)
+    slab_dist = np.maximum(np.maximum(lo - eye, eye - hi), 0.0)
+    within = slab_dist.sum(axis=1)
+    order = np.lexsort((within, parent_pos[np.asarray(parents)]))
+    keys = np.empty(len(order), np.float32)
+    keys[order] = np.arange(len(order), dtype=np.float32)
+    return keys
+
+
 def order_keys_or_hints(
     camera: CameraParameters,
     aspect: float,
     box_min: np.ndarray,
     box_max: np.ndarray,
     use_graph: bool = True,
+    parents: Optional[np.ndarray] = None,
+    parent_min: Optional[np.ndarray] = None,
+    parent_max: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """The layer-ordering policy, shared by every compositing path:
     piece-level visibility-graph keys when enabled and available
-    (``piece_order_keys``), else the nearest-corner depth hints.
-    ``use_graph=False`` honors the product's ``--no-visibility-graph``
-    flag (RenderParameters.use_visibility_graph)."""
+    (``piece_order_keys``), then — for scenes beyond PIECE_GRAPH_LIMIT
+    with parent mapping supplied — the two-level brick-graph x
+    slab-shell keys (``hierarchical_order_keys``), else the
+    nearest-corner depth hints.  ``use_graph=False`` honors the
+    product's ``--no-visibility-graph`` flag
+    (RenderParameters.use_visibility_graph)."""
     from .camera import compute_box_depth_hints
 
     if use_graph:
         keys = piece_order_keys(camera, aspect, box_min, box_max)
+        if keys is None and parents is not None and parent_min is not None:
+            keys = hierarchical_order_keys(
+                camera, aspect, box_min, box_max,
+                parents, parent_min, parent_max,
+            )
         if keys is not None:
             return keys
     return compute_box_depth_hints(box_min, box_max, camera).astype(

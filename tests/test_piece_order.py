@@ -126,6 +126,37 @@ def test_hint_fallback_still_renders(monkeypatch):
     assert (d.max(axis=1) > 0.02).mean() < 0.02
 
 
+def test_hierarchical_keys_match_exact_fold(monkeypatch):
+    """Deep-scene tier: when the flat piece graph is over
+    PIECE_GRAPH_LIMIT, the brick-level graph x within-brick slab-shell
+    keys (visibility.hierarchical_order_keys) must still reproduce the
+    exact per-pixel depth fold — forced here by shrinking the limit
+    between the parent and piece counts."""
+    import amrvolumerenderer_tpu.visibility as vis
+
+    g = three_level_geometry()
+    fsr = FastSceneRenderer(g, RenderParameters(width=64, height=64))
+    n_pieces = len(fsr.parents)
+    n_parents = len(g.bricks)
+    assert n_parents < n_pieces  # scene must exercise both levels
+
+    used = []
+    orig = vis.hierarchical_order_keys
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        used.append(r is not None)
+        return r
+
+    monkeypatch.setattr(vis, "PIECE_GRAPH_LIMIT", n_parents)
+    monkeypatch.setattr(vis, "hierarchical_order_keys", spy)
+    cam = auto_orbit_camera(fsr.bounds)
+    frame = fsr.render(cam, overlay=False)
+    assert used and all(used)  # the hierarchical tier actually ran
+    truth = exact_depth_fold(fsr, cam)
+    np.testing.assert_allclose(frame[:, :4], truth, atol=2e-5)
+
+
 def test_no_visibility_graph_flag_disables_piece_keys(monkeypatch):
     """--no-visibility-graph (RenderParameters.use_visibility_graph=False)
     must skip the graph build entirely — the user opted out of its cost
