@@ -398,8 +398,9 @@ def build_visibility_order(
 
 
 # beyond this piece count the per-frame O(P^2) graph build outweighs the
-# ordering benefit (~3 ms native at 512 pieces, quadratic growth); hints
-# take over
+# ordering benefit (~3 ms native at 512 pieces, quadratic growth); the
+# two-level brick-graph x slab-shell keys take over
+# (hierarchical_order_keys), then scalar hints
 PIECE_GRAPH_LIMIT = 2048
 
 

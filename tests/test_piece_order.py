@@ -150,11 +150,16 @@ def test_hierarchical_keys_match_exact_fold(monkeypatch):
 
     monkeypatch.setattr(vis, "PIECE_GRAPH_LIMIT", n_parents)
     monkeypatch.setattr(vis, "hierarchical_order_keys", spy)
-    cam = auto_orbit_camera(fsr.bounds)
-    frame = fsr.render(cam, overlay=False)
-    assert used and all(used)  # the hierarchical tier actually ran
-    truth = exact_depth_fold(fsr, cam)
-    np.testing.assert_allclose(frame[:, :4], truth, atol=2e-5)
+    for cam in (
+        auto_orbit_camera(fsr.bounds),
+        CameraParameters(
+            eye=(-1.1, 1.7, -0.9), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0)
+        ),  # oblique, negative components
+    ):
+        frame = fsr.render(cam, overlay=False)
+        assert used and all(used)  # the hierarchical tier actually ran
+        truth = exact_depth_fold(fsr, cam)
+        np.testing.assert_allclose(frame[:, :4], truth, atol=2e-5)
 
 
 def test_no_visibility_graph_flag_disables_piece_keys(monkeypatch):
