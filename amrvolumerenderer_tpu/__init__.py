@@ -66,13 +66,15 @@ def render(
     devices: Optional[int] = None,
     sampling: str = "nearest",
     classification: str = "post",
+    lut_size: int = 256,
 ) -> int:
     """Render a plotfile; the exact kwarg surface of the reference binding
     (python/amrVolumeRenderer/module.cpp:276-303).  ``devices``,
-    ``sampling`` and ``classification`` are beyond-reference: distribute
-    the render across that many mesh devices (the reference distributes by
-    launching under ``mpirun -n``), select trilinear sampling, and choose
-    the transfer-function classification order (see RenderParameters)."""
+    ``sampling``, ``classification`` and ``lut_size`` are beyond-reference:
+    distribute the render across that many mesh devices (the reference
+    distributes by launching under ``mpirun -n``), select trilinear
+    sampling, choose the transfer-function classification order, and set
+    the LUT resolution (see RenderParameters)."""
     from .driver import RunOptions, run_options
 
     options = RunOptions(
@@ -90,6 +92,7 @@ def render(
     options.parameters.write_visibility_graph = write_visibility_graph
     options.parameters.sampling = sampling
     options.parameters.classification = classification
+    options.parameters.lut_size = int(lut_size)
     if devices is not None:
         if int(devices) <= 0:
             raise ValueError("devices must be a positive device count")

@@ -77,6 +77,9 @@ class RenderOptions:
     # beyond-reference: "post" or "pre" transfer-function classification
     # (trilinear only; see RenderParameters.classification)
     classification: str = "post"
+    # beyond-reference: transfer-function LUT resolution (256 = reference
+    # table; 128 = half-cost fast mode; see RenderParameters.lut_size)
+    lut_size: int = 256
     # beyond-reference: distribute the render across N mesh devices
     # (the reference distributes by running under mpirun -n N)
     devices: Optional[int] = None
@@ -320,6 +323,7 @@ def render(
         write_visibility_graph=options.write_visibility_graph,
         sampling=options.sampling,
         classification=options.classification,
+        lut_size=options.lut_size,
         devices=options.devices,
         render_method=options.render_method,
         multichip_pipeline=options.multichip_pipeline,

@@ -202,13 +202,16 @@ def build_color_table(
     normalization_factor: float,
     scalar_range: Tuple[float, float],
     color_map: Optional[ColorMap] = None,
+    size: int = COLOR_TABLE_SIZE,
 ) -> np.ndarray:
-    """Build the (256, 4) float32 transfer-function LUT.
+    """Build the (size, 4) float32 transfer-function LUT.
 
     Reproduces ``buildColorTable`` (VolumePainter.cpp:442-516): user colormaps
     interpolate in Lab space; otherwise a jet default with a fixed opacity
     ramp rescaled onto the scalar range is used.  Entry i maps scalar value
-    ``range_min + span * i / 255``.
+    ``range_min + span * i / (size - 1)``.  ``size`` defaults to the
+    reference's 256; 128 is the opt-in half-resolution mode that halves the
+    render kernels' LUT-gather cost (RenderParameters.lut_size).
     """
     range_min, range_max = float(scalar_range[0]), float(scalar_range[1])
     span = range_max - range_min
@@ -253,7 +256,9 @@ def build_color_table(
             op_values = range_min + new_span * (op_values - old_min) / old_span
         use_lab = False
 
-    sample_t = np.arange(COLOR_TABLE_SIZE, dtype=np.float64) / (COLOR_TABLE_SIZE - 1)
+    if size < 2:
+        raise ValueError(f"color table size must be >= 2, got {size}")
+    sample_t = np.arange(size, dtype=np.float64) / (size - 1)
     sample_values = range_min + span * sample_t
 
     rgb = _map_colors(sample_values, node_values, node_rgb, use_lab)

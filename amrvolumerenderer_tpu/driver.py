@@ -58,6 +58,9 @@ USAGE = """Usage: volume_renderer [options] plotfile
                    then interpolate the classified colors; beyond reference)
   --sampling MODE  Scalar sampling: nearest (reference semantics, default)
                    or trilinear (seam-free interpolation, beyond reference)
+  --lut-size N     Transfer-function LUT resolution: 256 (reference table,
+                   default) or 128 (halves the kernels' LUT-gather cost at
+                   half the classification resolution; beyond reference)
   -h, --help       Show this help message
 """
 
@@ -172,6 +175,19 @@ def parse_options(argv: List[str]) -> RunOptions:
             if parsed.parameters.classification not in ("post", "pre"):
                 raise RuntimeError(
                     "classification must be one of post, pre"
+                )
+        elif arg == "--lut-size":
+            value = require_value(arg)
+            try:
+                parsed.parameters.lut_size = int(value)
+            except ValueError:
+                raise RuntimeError("lut-size must be an integer")
+            if (
+                parsed.parameters.lut_size <= 0
+                or parsed.parameters.lut_size % 128 != 0
+            ):
+                raise RuntimeError(
+                    "lut-size must be a positive multiple of 128"
                 )
         elif arg == "--trace-dir":
             parsed.trace_dir = require_value(arg)

@@ -313,7 +313,10 @@ class FastSceneRenderer:
         self.pad_h = -(-self.render_height // sm.TILE_H) * sm.TILE_H
 
         alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0, 1))
-        lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
+        lut = build_color_table(
+            alpha_scale, 1.0, self.scalar_range, color_map,
+            size=parameters.lut_size,
+        )
         self._lut = sm.build_log_lut(lut)
         self._lut_alpha = lut[:, 3].copy()
 
@@ -496,7 +499,10 @@ class FastSceneRenderer:
         alpha_scale = float(
             np.clip(1.0 - self.parameters.box_transparency, 0.0, 1.0)
         )
-        lut = build_color_table(alpha_scale, 1.0, self.scalar_range, color_map)
+        lut = build_color_table(
+            alpha_scale, 1.0, self.scalar_range, color_map,
+            size=self.parameters.lut_size,
+        )
         self._lut = sm.build_log_lut(lut)
         self._lut_alpha = lut[:, 3].copy()
         self._lut_device = jnp.asarray(self._lut)
@@ -514,8 +520,9 @@ class FastSceneRenderer:
         """Does any LUT entry within the piece's value range have alpha > 0?"""
         lo, hi = self.scalar_range
         span = hi - lo if hi != lo else 1.0
-        i0 = int(np.clip((vmin - lo) / span * 255, 0, 255))
-        i1 = int(np.clip((vmax - lo) / span * 255, 0, 255))
+        table_max = len(lut_alpha) - 1  # table size follows the LUT
+        i0 = int(np.clip((vmin - lo) / span * table_max, 0, table_max))
+        i1 = int(np.clip((vmax - lo) / span * table_max, 0, table_max))
         return bool(lut_alpha[i0 : i1 + 1].max() > 0.0)
 
     def _axis_metadata(self, axis: int):

@@ -153,11 +153,14 @@ def render_bucket_impl(
             )
             if apply_clip:
                 scalar = saturate_soft_tail(scalar, clip_start, 1.0)
+            # table size follows the LUT argument's static shape (256 =
+            # reference resolution; 128 = the opt-in fast mode)
+            table_max = lut.shape[0] - 1
             normalized = jnp.clip((scalar - range_min) * inverse_range, 0.0, 1.0)
             lut_idx = jnp.clip(
-                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+                (normalized * table_max).astype(jnp.int32),
                 0,
-                COLOR_TABLE_SIZE - 1,
+                table_max,
             )
             sample = jnp.take(lut, lut_idx, axis=0)  # [N, 4]
 

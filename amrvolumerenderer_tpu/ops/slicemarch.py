@@ -48,8 +48,11 @@ SUBLANES = 8
 TILE_P = LANES * SUBLANES  # pixels per program instance
 SLICE_CELLS = LANES * SUBLANES  # max cells per brick slice
 
-COLOR_TABLE_SIZE = 256
-LUT_ROWS = COLOR_TABLE_SIZE // LANES  # 2
+COLOR_TABLE_SIZE = 256  # default (reference) transfer-function resolution
+LUT_ROWS = COLOR_TABLE_SIZE // LANES  # 2 at the default size; kernels
+#   derive the actual row count from the packed LUT's static shape, so a
+#   128-entry table (RenderParameters.lut_size=128) compiles a 1-row
+#   gather without the row select
 
 
 from .vreg import gather_flat as _gather_lut  # noqa: E402
@@ -297,13 +300,18 @@ def _kernel_body(
 
         def classify(scalar):
             """Scalar field value -> (r, g, b, log(1 - alpha_ref))."""
+            # table size is static per compile, derived from the packed
+            # LUT's row count (256 entries = 2 rows, 128 = 1; a 1-row
+            # table gathers without the div/mod + row select — see
+            # vreg.gather_flat)
+            table_max = lut_r.shape[0] * LANES - 1
             normalized = jnp.clip(
                 (scalar - range_min) * inverse_range, 0.0, 1.0
             )
             lut_idx = jnp.clip(
-                (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
+                (normalized * table_max).astype(jnp.int32),
                 0,
-                COLOR_TABLE_SIZE - 1,
+                table_max,
             )
             return (
                 _gather_lut(lut_r, lut_idx),
@@ -548,7 +556,7 @@ def slicemarch_render(
     vol: jnp.ndarray,  # [B, S_max, 8, 128] f32 permuted slice-flattened bricks
     meta: jnp.ndarray,  # [B, 12] f32
     dims: jnp.ndarray,  # [B, 8] i32
-    lut: jnp.ndarray,  # [B, 4, LUT_ROWS, 128] f32
+    lut: jnp.ndarray,  # [B, 4, size // 128, 128] f32
     cam: jnp.ndarray,  # [20] f32
     *,
     width: int,
@@ -599,7 +607,7 @@ def slicemarch_render(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 4, LUT_ROWS, LANES), lambda b, t, *_: (b, 0, 0, 0),
+                (1,) + lut.shape[1:], lambda b, t, *_: (b, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -638,7 +646,7 @@ def slicemarch_render_worklist(
     vol: jnp.ndarray,  # [B, S_max, 8, 128]
     meta: jnp.ndarray,  # [B, 12]
     dims: jnp.ndarray,  # [B, 8]
-    lut: jnp.ndarray,  # [B, 4, LUT_ROWS, 128]
+    lut: jnp.ndarray,  # [B, 4, size // 128, 128]
     cam: jnp.ndarray,  # [20]
     work_bricks: jnp.ndarray,  # [W] i32 — brick per work item (sorted by brick)
     work_tiles: jnp.ndarray,  # [W] i32 — 2D tile index per work item
@@ -691,7 +699,7 @@ def slicemarch_render_worklist(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 4, LUT_ROWS, LANES),
+                (1,) + lut.shape[1:],
                 lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (wb[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -791,7 +799,7 @@ def slicemarch_render_worklist_raw(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 4, LUT_ROWS, LANES),
+                (1,) + lut.shape[1:],
                 lambda w, cam_r, meta_r, dims_r, wb, wt, wbd: (wb[w], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1054,14 +1062,13 @@ def compute_slice_bounds(
     """
     ns = vol.shape[0]
     nz = np.asarray(lut_alpha) > 0.0
+    table_max = len(nz) - 1  # table size follows the LUT argument
     prefix = np.concatenate([[0], np.cumsum(nz)])
     flat = vol.reshape(ns, -1)
     n0 = np.clip((flat.min(axis=1) - range_min) * inverse_range, 0.0, 1.0)
     n1 = np.clip((flat.max(axis=1) - range_min) * inverse_range, 0.0, 1.0)
-    i0 = np.clip((n0 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
-                 COLOR_TABLE_SIZE - 1)
-    i1 = np.clip((n1 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
-                 COLOR_TABLE_SIZE - 1)
+    i0 = np.clip((n0 * table_max).astype(np.int64), 0, table_max)
+    i1 = np.clip((n1 * table_max).astype(np.int64), 0, table_max)
     occupied = (prefix[i1 + 1] - prefix[i0]) > 0
     if not occupied.any():
         return int((ns << 16) | ns)
@@ -1085,13 +1092,12 @@ def compute_slice_bounds_batch(
     """
     num, cap = slice_min.shape
     nz = np.asarray(lut_alpha) > 0.0
+    table_max = len(nz) - 1  # table size follows the LUT argument
     prefix = np.concatenate([[0], np.cumsum(nz)])
     n0 = np.clip((slice_min - range_min) * inverse_range, 0.0, 1.0)
     n1 = np.clip((slice_max - range_min) * inverse_range, 0.0, 1.0)
-    i0 = np.clip((n0 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
-                 COLOR_TABLE_SIZE - 1)
-    i1 = np.clip((n1 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
-                 COLOR_TABLE_SIZE - 1)
+    i0 = np.clip((n0 * table_max).astype(np.int64), 0, table_max)
+    i1 = np.clip((n1 * table_max).astype(np.int64), 0, table_max)
     occupied = (prefix[i1 + 1] - prefix[i0]) > 0
     occupied &= np.arange(cap)[None, :] < np.asarray(n_slices)[:, None]
     any_occ = occupied.any(axis=1)
@@ -1103,9 +1109,16 @@ def compute_slice_bounds_batch(
 
 
 def build_log_lut(color_table: np.ndarray) -> np.ndarray:
-    """Convert a (256, 4) rgba LUT (alpha at the reference step, i.e.
-    normalization factor 1) into the kernel's [4, LUT_ROWS, 128] layout with
-    channel 3 = log(1 - alpha)."""
+    """Convert an (S, 4) rgba LUT (alpha at the reference step, i.e.
+    normalization factor 1) into the kernel's [4, S // 128, 128] layout with
+    channel 3 = log(1 - alpha).  S must be a positive multiple of 128
+    (256 = the reference table; 128 = the half-resolution fast mode whose
+    1-row table gathers without the row select, see vreg.gather_flat)."""
+    size = color_table.shape[0]
+    if size <= 0 or size % LANES != 0:
+        raise ValueError(
+            f"LUT size must be a positive multiple of {LANES}, got {size}"
+        )
     rgb = color_table[:, :3]
     alpha = np.clip(color_table[:, 3], 0.0, 1.0)
     with np.errstate(divide="ignore"):
@@ -1113,7 +1126,7 @@ def build_log_lut(color_table: np.ndarray) -> np.ndarray:
     packed = np.stack(
         [rgb[:, 0], rgb[:, 1], rgb[:, 2], log_term], axis=0
     ).astype(np.float32)
-    return packed.reshape(4, LUT_ROWS, LANES)
+    return packed.reshape(4, size // LANES, LANES)
 
 
 def pack_camera(
@@ -1249,8 +1262,9 @@ def slicemarch_reference(
             qq = w / ref_distance
 
             def classify_idx(value):
+                table_max = len(color_table) - 1
                 n_ = min(max((value - range_min) * inverse_range, 0.0), 1.0)
-                return min(max(int(n_ * 255), 0), 255)
+                return min(max(int(n_ * table_max), 0), table_max)
 
             if sampling != "nearest" and classification == "pre":
                 # PRE-classification: classify each corner, interpolate the

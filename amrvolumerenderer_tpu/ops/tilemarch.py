@@ -33,9 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .slicemarch import (
-    COLOR_TABLE_SIZE,
     LANES,
-    LUT_ROWS,
     SUBLANES,
     TILE_H,
     TILE_P,
@@ -72,7 +70,7 @@ def _kernel(
     #               compute_item_slice_bounds)
     # tensors
     vol_hbm,  # [B, S_max, 8, 128] f32 in HBM/ANY
-    lut_ref,  # [4, LUT_ROWS, LANES] f32 in VMEM (shared table)
+    lut_ref,  # [4, rows, LANES] f32 in VMEM (rows = size/128)
     # outputs
     out_color_ref,  # [1, 4, SUBLANES, LANES]
     out_depth_ref,  # [1, SUBLANES, LANES]
@@ -330,17 +328,26 @@ def _kernel(
                 normalized = jnp.clip(
                     (scalar - range_min) * inverse_range, 0.0, 1.0
                 )
+                # table size is static per compile, from the packed LUT's
+                # row count (256 entries = 2 rows, 128 = 1); a 1-row
+                # table skips the div/mod and the row select entirely
+                # (vreg.gather_rows fast path)
+                lut_rows = lut_r.shape[0]
+                table_max = lut_rows * LANES - 1
                 lut_idx = jnp.clip(
-                    (normalized * (COLOR_TABLE_SIZE - 1)).astype(jnp.int32),
-                    0, COLOR_TABLE_SIZE - 1,
+                    (normalized * table_max).astype(jnp.int32),
+                    0, table_max,
                 )
-                lrow = lut_idx // LANES
-                lcol = lut_idx % LANES
+                if lut_rows == 1:
+                    lrow, lcol = lut_idx, lut_idx  # row statically ignored
+                else:
+                    lrow = lut_idx // LANES
+                    lcol = lut_idx % LANES
                 return (
-                    gather_vreg(lut_r, lrow, lcol, LUT_ROWS),
-                    gather_vreg(lut_g, lrow, lcol, LUT_ROWS),
-                    gather_vreg(lut_b, lrow, lcol, LUT_ROWS),
-                    gather_vreg(lut_l, lrow, lcol, LUT_ROWS),
+                    gather_vreg(lut_r, lrow, lcol, lut_rows),
+                    gather_vreg(lut_g, lrow, lcol, lut_rows),
+                    gather_vreg(lut_b, lrow, lcol, lut_rows),
+                    gather_vreg(lut_l, lrow, lcol, lut_rows),
                 )
 
             # bf16-storable slices: upcast the vreg once, gather in f32
@@ -559,7 +566,7 @@ def tilemarch_render(
     vol: jnp.ndarray,  # [B, S_max, 8, 128] packed slice bricks (HBM)
     meta: jnp.ndarray,  # [B, 12]
     dims: jnp.ndarray,  # [B, 8]
-    lut: jnp.ndarray,  # [4, LUT_ROWS, LANES] shared transfer function
+    lut: jnp.ndarray,  # [4, size // 128, LANES] shared transfer function
     cam: jnp.ndarray,  # [20]
     tile_offsets: jnp.ndarray,  # [G + 1] i32 CSR offsets
     tile_bricks: jnp.ndarray,  # [W] i32 brick per work item (depth sorted)
@@ -625,7 +632,7 @@ def tilemarch_render_batch(
     vol: jnp.ndarray,  # [B, S_max, 8, 128] packed slice bricks (HBM)
     meta: jnp.ndarray,  # [B, 12]
     dims: jnp.ndarray,  # [B, 8]
-    lut: jnp.ndarray,  # [4, LUT_ROWS, LANES]
+    lut: jnp.ndarray,  # [4, size // 128, LANES]
     cams: jnp.ndarray,  # [F, 20] per-frame camera packs
     tile_offsets: jnp.ndarray,  # [F, S + 1]
     tile_bricks: jnp.ndarray,  # [F, W]
@@ -872,13 +879,12 @@ def block_occupancy_bits(
         # bits and non-conservatively skip occupied slices
         raise ValueError("block occupancy masks support at most 8x8 blocks")
     nz = np.asarray(lut_alpha) > 0.0
+    table_max = len(nz) - 1  # table size follows the LUT argument
     prefix = np.concatenate([[0], np.cumsum(nz)])
     n0 = np.clip((quad_min - range_min) * inverse_range, 0.0, 1.0)
     n1 = np.clip((quad_max - range_min) * inverse_range, 0.0, 1.0)
-    i0 = np.clip((n0 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
-                 COLOR_TABLE_SIZE - 1)
-    i1 = np.clip((n1 * (COLOR_TABLE_SIZE - 1)).astype(np.int64), 0,
-                 COLOR_TABLE_SIZE - 1)
+    i0 = np.clip((n0 * table_max).astype(np.int64), 0, table_max)
+    i1 = np.clip((n1 * table_max).astype(np.int64), 0, table_max)
     occ = (prefix[i1 + 1] - prefix[i0]) > 0  # [L, S, Q, Q]
     num, cap, nq, _ = occ.shape
     bit = (np.arange(nq)[:, None] * nq + np.arange(nq)[None, :]).astype(

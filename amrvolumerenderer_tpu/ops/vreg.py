@@ -21,8 +21,13 @@ def gather_rows(load_row, num_rows: int, row: jnp.ndarray, col: jnp.ndarray):
 
     ``load_row(r)`` returns row r as a [LANES] vector (an indexed array or a
     dynamic VMEM ref load); ``row`` in [0, num_rows); ``col`` in [0, LANES).
-    Cost: num_rows x (broadcast + take_along_axis + select).
+    Cost: num_rows x (broadcast + take_along_axis + select).  A single-row
+    tile (e.g. a 128-entry transfer-function LUT) skips the select chain
+    entirely — one broadcast + one take_along_axis; ``row`` is ignored.
     """
+    if num_rows == 1:
+        bcast = jax.lax.broadcast_in_dim(load_row(0), (SUBLANES, LANES), (1,))
+        return jnp.take_along_axis(bcast, col, axis=1)
     out = row.astype(jnp.float32) * 0.0
     for rr in range(num_rows):
         bcast = jax.lax.broadcast_in_dim(load_row(rr), (SUBLANES, LANES), (1,))
@@ -37,5 +42,11 @@ def gather_tile(tile: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray):
 
 
 def gather_flat(tile: jnp.ndarray, idx: jnp.ndarray):
-    """out[i,j] = tile.reshape(-1)[idx[i,j]] for an [R, 128] tile."""
+    """out[i,j] = tile.reshape(-1)[idx[i,j]] for an [R, 128] tile.
+
+    Single-row tiles skip the row/col decomposition (idx IS the lane
+    index), saving the integer div/mod and the row-select chain.
+    """
+    if tile.shape[0] == 1:
+        return gather_rows(lambda rr: tile[0, :], 1, idx, idx)
     return gather_tile(tile, idx // LANES, idx % LANES)

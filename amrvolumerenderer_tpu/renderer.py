@@ -72,6 +72,10 @@ def validate_render_parameters(parameters: RenderParameters) -> None:
         raise ValueError("devices must be a positive device count")
     if parameters.classification not in ("post", "pre"):
         raise ValueError("classification must be \"post\" or \"pre\"")
+    if parameters.lut_size <= 0 or parameters.lut_size % 128 != 0:
+        raise ValueError(
+            "lut_size must be a positive multiple of 128 (e.g. 128, 256)"
+        )
     if (
         parameters.classification == "pre"
         and parameters.sampling == "nearest"
@@ -420,7 +424,7 @@ def render_layers(
     for bucket in buckets:
         n = len(bucket.brick_indices)
         sample_distances = np.zeros(n, dtype=np.float32)
-        luts = np.zeros((n, 256, 4), dtype=np.float32)
+        luts = np.zeros((n, parameters.lut_size, 4), dtype=np.float32)
         for slot, idx in enumerate(bucket.brick_indices):
             brick = bricks[int(idx)]
             ms = brick.min_spacing()
@@ -438,7 +442,8 @@ def render_layers(
             key = round(normalization_factor, 12)
             if key not in lut_cache:
                 lut_cache[key] = build_color_table(
-                    alpha_scale, normalization_factor, scalar_range, color_map
+                    alpha_scale, normalization_factor, scalar_range, color_map,
+                    size=parameters.lut_size,
                 )
             luts[slot] = lut_cache[key]
 

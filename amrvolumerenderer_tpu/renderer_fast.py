@@ -285,7 +285,9 @@ def prepare_slicemarch_scene(
     gp = _geometry_pack(geometry, axis, ghost, clip_start, apply_clip)
     if gp is None:
         return None
-    lut = build_color_table(alpha_scale, 1.0, scalar_range, color_map)
+    lut = build_color_table(
+        alpha_scale, 1.0, scalar_range, color_map, size=parameters.lut_size
+    )
     lp = _lut_pack(gp, lut, scalar_range)
     # empty-space skipping: march only transfer-function-occupied slices
     # (exact — skipped slices have zero alpha everywhere)

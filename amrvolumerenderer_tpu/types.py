@@ -183,6 +183,13 @@ class RenderParameters:
     # corner sample, then interpolate the classified channels; opacity
     # interpolates in log-transmittance space).  No effect with nearest.
     classification: str = "post"
+    # beyond-reference: transfer-function LUT resolution.  256 matches the
+    # reference table (VolumePainter.cpp:442-516) exactly; 128 halves the
+    # kernels' LUT-gather cost (a 1-row [128] table gathers without the
+    # row-select chain — measured ~16% of a sparse-shell frame is the LUT
+    # pipeline) at half the classification resolution.  Must be a
+    # positive multiple of 128 (the vreg lane width).
+    lut_size: int = 256
     # beyond-reference: number of mesh devices to distribute the render
     # across (the ``mpirun -n`` of VolumeRenderer/main.cpp:19-36 expressed
     # as a jax.sharding mesh).  None/1 = single device.

@@ -1,0 +1,203 @@
+"""The 128-entry transfer-function LUT mode (RenderParameters.lut_size).
+
+The reference always classifies through a 256-entry table
+(Common/VolumePainter.cpp:442-516).  This framework keeps 256 as the
+default (exact table parity) and adds an opt-in 128-entry mode: a 1-row
+[128] packed LUT gathers with a single take_along_axis — no row-select
+chain and no index div/mod (ops/vreg.gather_flat) — halving the measured
+LUT-pipeline share (~16%) of a sparse-shell frame.  These tests lock:
+
+  * the size plumbing (colormap -> packed LUT -> kernels -> product
+    surfaces) follows the table argument instead of a hardcoded 256;
+  * the 1-row vreg gather fast path is exact;
+  * the Pallas kernels at lut_size=128 match the scalar port bit-for-bit
+    within the existing f32 parity tolerances;
+  * both march kernels agree with each other at 128, and the 128 image is
+    a faithful half-resolution classification of the 256 image;
+  * validation rejects non-multiple-of-128 sizes on every surface.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from amrvolumerenderer_tpu.camera import camera_basis
+from amrvolumerenderer_tpu.colormap import build_color_table
+from amrvolumerenderer_tpu.ops import slicemarch as sm
+from amrvolumerenderer_tpu.ops import vreg
+from amrvolumerenderer_tpu.renderer import validate_render_parameters
+from amrvolumerenderer_tpu.renderer_fast import (
+    render_composited_slicemarch,
+    render_composited_tilemarch,
+)
+from amrvolumerenderer_tpu.types import (
+    Brick,
+    CameraParameters,
+    RenderParameters,
+    ScalarTransform,
+    SceneGeometry,
+)
+
+from test_slicemarch import run_kernel
+
+
+def make_lut(size):
+    lut = np.zeros((size, 4), dtype=np.float32)
+    lut[:, 0] = np.linspace(0, 1, size)
+    lut[:, 1] = 0.5
+    lut[:, 2] = np.linspace(1, 0, size)
+    lut[:, 3] = np.linspace(0.05, 0.6, size)
+    return lut
+
+
+def test_build_color_table_size_parameter():
+    t256 = build_color_table(1.0, 1.0, (0.0, 1.0))
+    t128 = build_color_table(1.0, 1.0, (0.0, 1.0), size=128)
+    assert t256.shape == (256, 4)
+    assert t128.shape == (128, 4)
+    # both tables sample the same piecewise transfer function: endpoints
+    # coincide exactly, and entry i of the 128 table equals the function
+    # at i/127 — which a (128*127+1)-entry table samples exactly at
+    # index i*127
+    np.testing.assert_allclose(t128[0], t256[0], atol=1e-7)
+    np.testing.assert_allclose(t128[-1], t256[-1], atol=1e-7)
+    dense = build_color_table(1.0, 1.0, (0.0, 1.0), size=127 * 128 + 1)
+    idx = np.arange(128) * 128  # t = i*128/(127*128) = i/127
+    np.testing.assert_allclose(t128, dense[idx], atol=2e-3)
+
+
+def test_build_color_table_rejects_tiny_size():
+    with pytest.raises(ValueError):
+        build_color_table(1.0, 1.0, (0.0, 1.0), size=1)
+
+
+def test_build_log_lut_row_counts():
+    assert sm.build_log_lut(make_lut(256)).shape == (4, 2, 128)
+    packed = sm.build_log_lut(make_lut(128))
+    assert packed.shape == (4, 1, 128)
+    lut = make_lut(128)
+    np.testing.assert_allclose(packed[0, 0], lut[:, 0])
+    np.testing.assert_allclose(packed[3, 0], np.log1p(-lut[:, 3]))
+    with pytest.raises(ValueError):
+        sm.build_log_lut(make_lut(192))
+
+
+def test_gather_flat_single_row_exact():
+    rng = np.random.default_rng(7)
+    tile = rng.uniform(size=(1, 128)).astype(np.float32)
+    idx = rng.integers(0, 128, size=(8, 128)).astype(np.int32)
+    got = np.asarray(vreg.gather_flat(jnp.asarray(tile), jnp.asarray(idx)))
+    np.testing.assert_array_equal(got, tile[0][idx])
+    # and the multi-row path still matches on the same indices
+    tile2 = rng.uniform(size=(2, 128)).astype(np.float32)
+    idx2 = rng.integers(0, 256, size=(8, 128)).astype(np.int32)
+    got2 = np.asarray(vreg.gather_flat(jnp.asarray(tile2), jnp.asarray(idx2)))
+    np.testing.assert_array_equal(got2, tile2.reshape(-1)[idx2])
+
+
+@pytest.mark.parametrize("sampling", ["nearest", "trilinear"])
+def test_kernel_matches_scalar_port_at_128(sampling):
+    """The slice-march kernel with a 1-row LUT matches the scalar port
+    (the same contract as test_slicemarch at 256)."""
+    camera = CameraParameters(
+        eye=(0.5, 0.5, 3.0), look_at=(0.5, 0.5, 0.5), up=(0.0, 1.0, 0.0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=10.0,
+    )
+    rng = np.random.default_rng(3)
+    data = rng.uniform(0, 1, (8, 8, 8)).astype(np.float32)
+    bmin, bmax = np.zeros(3), np.ones(3)
+    lut = make_lut(128)
+    ref_distance = 0.0625
+    width = height = 32
+    forward, right, up = camera_basis(camera)
+
+    got_c, got_d = run_kernel(
+        data, bmin, bmax, 2, lut, ref_distance, camera, width, height,
+    )
+    exp_c, exp_d = sm.slicemarch_reference(
+        data, bmin, bmax, 2, lut, ref_distance,
+        np.asarray(camera.eye), forward, right, up, 45.0, width, height,
+        sampling=sampling,
+    )
+    if sampling == "nearest":
+        np.testing.assert_allclose(got_c, exp_c, atol=5e-5)
+        finite = np.isfinite(exp_d)
+        np.testing.assert_array_equal(np.isfinite(got_d), finite)
+        np.testing.assert_allclose(got_d[finite], exp_d[finite], atol=1e-4)
+    else:
+        # run_kernel is nearest-only; just assert the port produced a
+        # finite, nontrivial trilinear image at 128 entries
+        assert np.isfinite(exp_c).all() and exp_c[..., 3].max() > 0.1
+
+
+def _scene():
+    rng = np.random.default_rng(11)
+    bricks = []
+    for i, lo in enumerate([(0.0, 0.0, 0.0), (1.0, 0.0, 0.0),
+                            (0.0, 1.0, 0.0), (1.0, 1.0, 0.5)]):
+        data = rng.uniform(0, 1, (8, 8, 8)).astype(np.float32)
+        bricks.append(
+            Brick(data, lo, tuple(c + 1.0 for c in lo), owner=i % 2)
+        )
+    geometry = SceneGeometry(
+        bricks=bricks, scalar_range=(0.0, 1.0), has_scalar_range=True,
+        scalar_transform=ScalarTransform(),
+    )
+    camera = CameraParameters(
+        eye=(1.0, 1.0, 5.0), look_at=(1.0, 1.0, 0.5), up=(0, 1, 0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+    )
+    return geometry, camera
+
+
+def _product(render_fn, lut_size):
+    geometry, camera = _scene()
+    return render_fn(
+        geometry,
+        RenderParameters(width=32, height=32, lut_size=lut_size),
+        camera,
+        (0.0, 1.0),
+        0.0625,
+        32,
+        32,
+        None,
+        interpret=True,
+    )
+
+
+def test_product_kernels_agree_at_128():
+    """slicemarch and tilemarch product paths render identically at 128,
+    and the 128 image tracks the 256 image to classification resolution."""
+    s128 = _product(render_composited_slicemarch, 128)
+    t128 = _product(render_composited_tilemarch, 128)
+    np.testing.assert_allclose(s128, t128, atol=1e-6)
+
+    s256 = _product(render_composited_slicemarch, 256)
+    # half-resolution classification: the table entry under any scalar
+    # differs by at most one 256-bin, so per-channel error stays small
+    # but nonzero (proves the knob is actually wired through)
+    diff = np.abs(s128[:, :3] - s256[:, :3])
+    assert 1e-5 < diff.max() < 0.06
+
+
+def test_validation_rejects_bad_lut_size():
+    p = RenderParameters(lut_size=200)
+    with pytest.raises(ValueError):
+        validate_render_parameters(p)
+    p = RenderParameters(lut_size=0)
+    with pytest.raises(ValueError):
+        validate_render_parameters(p)
+    validate_render_parameters(RenderParameters(lut_size=128))
+    validate_render_parameters(RenderParameters(lut_size=384))
+
+
+def test_cli_flag_parses_and_rejects():
+    from amrvolumerenderer_tpu.driver import parse_options
+
+    opts = parse_options(["--plotfile", "x", "--lut-size", "128"])
+    assert opts.parameters.lut_size == 128
+    with pytest.raises(RuntimeError):
+        parse_options(["--plotfile", "x", "--lut-size", "100"])
+    with pytest.raises(RuntimeError):
+        parse_options(["--plotfile", "x", "--lut-size", "abc"])
