@@ -397,11 +397,16 @@ def build_visibility_order(
     return default_order if default_on_failure else None
 
 
-# beyond this piece count the per-frame O(P^2) graph build outweighs the
-# ordering benefit (~3 ms native at 512 pieces, quadratic growth); the
-# two-level brick-graph x slab-shell keys take over
-# (hierarchical_order_keys), then scalar hints
-PIECE_GRAPH_LIMIT = 2048
+# beyond this piece count the per-frame graph build outweighs the
+# ordering benefit; the two-level brick-graph x slab-shell keys take over
+# (hierarchical_order_keys), then scalar hints.  The native adjacency
+# build is a per-axis plane sweep with an in-plane interval band (NOT the
+# reference's O(P^2) pair loop, VisibilityOrdering.cpp:261-317): measured
+# 7 ms at 4096 boxes, 29 ms at 13824, 93 ms at 32768 — near-linear for
+# tiling partitions — so the limit sits at 16384 (~35 ms host/frame,
+# comparable to the render at that depth) instead of the 2048 the old
+# quadratic build forced
+PIECE_GRAPH_LIMIT = 16384
 
 
 def piece_order_keys(
@@ -433,9 +438,9 @@ def piece_order_keys(
     if num == 0:
         return None
     if num > PIECE_GRAPH_LIMIT:
-        # the adjacency build is O(P^2) pair tests even in C++ (~3 ms at
-        # 512 pieces, quadratic beyond): on very deep scenes hints are
-        # the better per-frame trade
+        # even the sweep-based native build has a per-frame host cost
+        # (~35 ms at the limit): on still-deeper scenes the hierarchical
+        # keys / hints are the better per-frame trade
         return None
     # above 128 pieces use the native graph ONLY: the pure-Python builder
     # is O(P^2) Python loops (seconds per frame), so a missing library or

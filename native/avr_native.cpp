@@ -22,6 +22,8 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <numeric>
+#include <queue>
 #include <thread>
 #include <vector>
 
@@ -373,6 +375,20 @@ inline bool overlaps(double a_min, double a_max, double b_min, double b_max) {
 
 constexpr double kDirTol = 1e-6;
 
+// Face-adjacency edges via a per-axis sweep instead of all-pairs tests.
+// For every axis, box indices sort by mn[axis]; a box X's partners Y with
+// X.mx[axis] ~= Y.mn[axis] live in a binary-searched window whose width is
+// a CONSERVATIVE bound on nearly_equal's per-pair tolerance (the pair
+// scale max(1, |a|, |b|) never exceeds the global max |coordinate|), so
+// every pair the quadratic loop accepted is re-found and re-tested with
+// the exact same nearly_equal/overlaps predicates.  A tiling AMR
+// partition has O(1) face neighbors per box, so the build drops from
+// O(n^2) pair tests to O(n log n + faces) — the reason PIECE_GRAPH_LIMIT
+// can sit well above the reference's rank counts.  Edge direction
+// reproduces VisibilityOrdering.cpp:261-317: with X.mx touching Y.mn,
+// view_dir[axis] > 0 means Y occludes X (edge Y -> X composites X
+// first... the edge ordering contract is locked by the polarity canary in
+// tests/test_piece_order.py).
 void rebuild_adjacency(const std::vector<BoxInfo>& boxes,
                        const double view_dir[3],
                        std::vector<std::vector<int>>& adjacency,
@@ -388,25 +404,83 @@ void rebuild_adjacency(const std::vector<BoxInfo>& boxes,
       ++indegree[to];
     }
   };
-  for (int i = 0; i < n; ++i) {
-    const BoxInfo& a = boxes[i];
-    for (int j = i + 1; j < n; ++j) {
-      const BoxInfo& b = boxes[j];
-      for (int axis = 0; axis < 3; ++axis) {
-        int a1 = (axis + 1) % 3, a2 = (axis + 2) % 3;
-        if (!overlaps(a.mn[a1], a.mx[a1], b.mn[a1], b.mx[a1])) continue;
-        if (!overlaps(a.mn[a2], a.mx[a2], b.mn[a2], b.mx[a2])) continue;
-        double d = view_dir[axis];
-        if (nearly_equal(a.mx[axis], b.mn[axis])) {
+
+  double gscale = 1.0;
+  for (const BoxInfo& b : boxes)
+    for (int d = 0; d < 3; ++d)
+      gscale = std::max({gscale, std::fabs(b.mn[d]), std::fabs(b.mx[d])});
+  const double window = 1e-5 * gscale;
+
+  // per-axis plane events: every box contributes its mn (a face that can
+  // RECEIVE an edge partner) and its mx (a face that SEEKS partners)
+  struct FaceEvent {
+    double v;
+    int box;
+    bool is_mx;
+  };
+  std::vector<FaceEvent> events(2 * static_cast<size_t>(n));
+  std::vector<int> starts, ends;
+  for (int axis = 0; axis < 3; ++axis) {
+    const double d = view_dir[axis];
+    if (d <= kDirTol && d >= -kDirTol) continue;  // no edges on this axis
+    const int a1 = (axis + 1) % 3, a2 = (axis + 2) % 3;
+    for (int i = 0; i < n; ++i) {
+      events[2 * i] = {boxes[i].mn[axis], i, false};
+      events[2 * i + 1] = {boxes[i].mx[axis], i, true};
+    }
+    std::sort(events.begin(), events.end(),
+              [](const FaceEvent& l, const FaceEvent& r) { return l.v < r.v; });
+    // cluster events into face planes: a gap > window splits (values
+    // within nearly_equal's tolerance can never straddle a split, so a
+    // chain of close values stays one cluster — possibly wider than the
+    // tolerance, which only adds candidates that the exact nearly_equal
+    // re-test below rejects)
+    size_t c0 = 0;
+    while (c0 < events.size()) {
+      size_t c1 = c0 + 1;
+      while (c1 < events.size() && events[c1].v - events[c1 - 1].v <= window)
+        ++c1;
+      starts.clear();
+      ends.clear();
+      for (size_t k = c0; k < c1; ++k)
+        (events[k].is_mx ? ends : starts).push_back(events[k].box);
+      c0 = c1;
+      if (starts.empty() || ends.empty()) continue;
+      // a1-interval pre-filter: sort the plane's mn faces by their a1
+      // interval start; a seeking box's candidates live in a binary-
+      // searched band whose width is the plane's longest a1 interval
+      std::sort(starts.begin(), starts.end(), [&](int l, int r) {
+        return boxes[l].mn[a1] < boxes[r].mn[a1];
+      });
+      double maxlen1 = 0.0;
+      for (int y : starts)
+        maxlen1 = std::max(maxlen1, boxes[y].mx[a1] - boxes[y].mn[a1]);
+      for (int x : ends) {
+        const BoxInfo& a = boxes[x];
+        // candidates y: overlaps(a1) needs y.mn1 < a.mx1 and
+        // y.mx1 > a.mn1, i.e. y.mn1 > a.mn1 - len(y) >= a.mn1 - maxlen1
+        const double lo_key = a.mn[a1] - maxlen1 - window;
+        const double hi_key = a.mx[a1] + window;
+        auto lo = std::lower_bound(
+            starts.begin(), starts.end(), lo_key,
+            [&](int y, double v) { return boxes[y].mn[a1] < v; });
+        for (auto it = lo; it != starts.end(); ++it) {
+          const int y = *it;
+          const BoxInfo& b = boxes[y];
+          if (b.mn[a1] > hi_key) break;
+          if (y == x) continue;
+          if (!nearly_equal(a.mx[axis], b.mn[axis])) continue;
+          // replicate the quadratic loop's per-pair elif: for pair
+          // (min, max) the a.mx ~= b.mn branch with a = the lower index
+          // wins; the mirrored branch only fires when the first did not
+          // (only distinguishable for degenerate zero-thickness boxes)
+          if (x > y && nearly_equal(b.mx[axis], a.mn[axis])) continue;
+          if (!overlaps(a.mn[a1], a.mx[a1], b.mn[a1], b.mx[a1])) continue;
+          if (!overlaps(a.mn[a2], a.mx[a2], b.mn[a2], b.mx[a2])) continue;
           if (d > kDirTol)
-            add_edge(j, i);
-          else if (d < -kDirTol)
-            add_edge(i, j);
-        } else if (nearly_equal(b.mx[axis], a.mn[axis])) {
-          if (d > kDirTol)
-            add_edge(i, j);
-          else if (d < -kDirTol)
-            add_edge(j, i);
+            add_edge(y, x);
+          else
+            add_edge(x, y);
         }
       }
     }
@@ -460,24 +534,26 @@ int avr_visibility_order(const double* box_min,  // [n][3]
   for (int iteration = 0; iteration < max_iterations; ++iteration) {
     rebuild_adjacency(boxes, ctx.view_dir, adjacency, indegree);
 
-    // Kahn with depth-priority pops
+    // Kahn with depth-priority pops.  compare_boxes is a TOTAL order
+    // (final tie-break is the index), so popping the min of a heap is
+    // exactly the old sort-the-ready-list-then-pop-front behavior at
+    // O((n + e) log n) instead of O(n^2 log n).
     const int n = static_cast<int>(boxes.size());
     std::vector<int> indeg = indegree;
-    std::vector<int> ready;
+    auto heap_cmp = [&](int l, int r) { return compare_boxes(boxes, r, l); };
+    std::priority_queue<int, std::vector<int>, decltype(heap_cmp)> ready(
+        heap_cmp);
     for (int i = 0; i < n; ++i)
-      if (indeg[i] == 0) ready.push_back(i);
-    auto cmp = [&](int l, int r) { return compare_boxes(boxes, l, r); };
-    std::sort(ready.begin(), ready.end(), cmp);
+      if (indeg[i] == 0) ready.push(i);
     std::vector<int> order;
     order.reserve(n);
     while (!ready.empty()) {
-      int cur = ready.front();
-      ready.erase(ready.begin());
+      int cur = ready.top();
+      ready.pop();
       order.push_back(cur);
       for (int nxt : adjacency[cur]) {
-        if (--indeg[nxt] == 0) ready.push_back(nxt);
+        if (--indeg[nxt] == 0) ready.push(nxt);
       }
-      std::sort(ready.begin(), ready.end(), cmp);
     }
 
     if (static_cast<int>(order.size()) == n) {

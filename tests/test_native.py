@@ -163,3 +163,112 @@ def test_native_visibility_cycle_breaking_matches_python():
     finally:
         native_mod._lib = lib
     np.testing.assert_array_equal(got, expected)
+
+
+@requires_native
+def test_native_visibility_sweep_matches_python_mixed_levels():
+    """The sweep-based adjacency build (plane clustering + in-plane
+    interval band) must reproduce the quadratic pair loop's ordering
+    EXACTLY — exercised on two-level tiling partitions whose mixed box
+    sizes stress the per-plane ``maxlen`` candidate band, across many
+    cameras (including eye inside the domain)."""
+    from amrvolumerenderer_tpu.camera import (
+        make_perspective_matrix,
+        make_view_matrix,
+        safe_normalize,
+    )
+    from amrvolumerenderer_tpu.types import CameraParameters
+    from amrvolumerenderer_tpu import visibility as vis
+    import amrvolumerenderer_tpu.native as native_mod
+
+    rng = np.random.default_rng(42)
+    for scene_seed in range(2):
+        r = np.random.default_rng(scene_seed)
+        # base 3x3x3 grid; a random half of the cells split into 2x2x2
+        # children -> a tiling partition with two box sizes
+        mins, maxs = [], []
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    if r.uniform() < 0.5:
+                        for di in range(2):
+                            for dj in range(2):
+                                for dk in range(2):
+                                    mins.append(
+                                        [i + di * 0.5, j + dj * 0.5,
+                                         k + dk * 0.5])
+                                    maxs.append(
+                                        [i + (di + 1) * 0.5,
+                                         j + (dj + 1) * 0.5,
+                                         k + (dk + 1) * 0.5])
+                    else:
+                        mins.append([i, j, k])
+                        maxs.append([i + 1, j + 1, k + 1])
+        box_min = np.array(mins, dtype=np.float64)
+        box_max = np.array(maxs, dtype=np.float64)
+        n = len(mins)
+        owners = rng.integers(0, n, n).astype(np.int32)
+
+        for cam_seed in range(4):
+            rc = np.random.default_rng(100 + cam_seed)
+            eye = rc.uniform(-1.0, 4.0, 3)  # sometimes inside the domain
+            look = rc.uniform(0.5, 2.5, 3)
+            if np.allclose(eye, look):
+                look = look + 0.7
+            cam = CameraParameters(
+                eye=eye, look_at=look, up=(0, 1, 0), fov_y_degrees=45.0,
+                near_plane=0.1, far_plane=100.0,
+            )
+            modelview = make_view_matrix(cam.eye, cam.look_at, cam.up)
+            projection = make_perspective_matrix(45.0, 1.0, 0.1, 100.0)
+            got = native.visibility_order(
+                box_min, box_max, owners, n, modelview, projection,
+                safe_normalize(np.asarray(look) - np.asarray(eye)),
+            )
+            lib = native_mod._lib
+            native_mod._lib = None
+            native_mod._load_attempted = True
+            try:
+                expected = vis.build_visibility_order(
+                    cam, 1.0, box_min, box_max, owners, n
+                )
+            finally:
+                native_mod._lib = lib
+            if got is None:
+                assert expected is None or np.array_equal(
+                    expected, np.arange(n, dtype=np.int32)
+                )
+            else:
+                np.testing.assert_array_equal(got, expected)
+
+
+@requires_native
+def test_native_visibility_exact_on_large_grid():
+    """At piece counts far beyond the old quadratic limit the order must
+    stay EXACT: on a full grid with the eye outside the domain, every
+    face-adjacent pair must compose the cell on the eye's side of the
+    shared plane in front (the property the piece-level fold relies on)."""
+    from amrvolumerenderer_tpu.types import CameraParameters
+    from amrvolumerenderer_tpu import visibility as vis
+
+    g = 12  # 1728 boxes
+    ax = np.arange(g) / g
+    lo = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    hi = lo + 1.0 / g
+    cam = CameraParameters(
+        eye=(2.6, 1.9, 3.4), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=30.0,
+    )
+    keys = vis.piece_order_keys(cam, 1.0, lo, hi)
+    assert keys is not None
+    assert sorted(keys.tolist()) == list(map(float, range(g ** 3)))
+    key3 = keys.reshape(g, g, g)
+    eye = np.asarray(cam.eye)
+    # eye is beyond the domain max on every axis, so along each axis the
+    # higher-index cell is strictly nearer: it must get the smaller
+    # (front-first) key than its face neighbor
+    for axis in range(3):
+        assert eye[axis] > 1.0
+        near = np.moveaxis(key3, axis, 0)[1:]
+        far = np.moveaxis(key3, axis, 0)[:-1]
+        assert (near < far).all(), f"axis {axis} misordered pairs"
