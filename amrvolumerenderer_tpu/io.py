@@ -112,8 +112,11 @@ def load_ppm(filename: str) -> Tuple[np.ndarray, int, int]:
 
 
 def load_png(filename: str) -> Tuple[np.ndarray, int, int]:
-    """Minimal PNG reader for our own writer's output (8-bit RGB, filter 0
-    or simple filters).  For tests."""
+    """Minimal PNG reader: 8-bit RGB with the full filter set (0 none,
+    1 sub, 2 up, 3 average, 4 paeth).  Our own writer emits only 0/2, but
+    the reference-golden drop-in hook (tests/golden/reference/, PARITY.md)
+    must be able to load externally-encoded images, whose encoders pick
+    filters per row.  For tests and golden comparison."""
     with open(filename, "rb") as f:
         sig = f.read(8)
         assert sig == b"\x89PNG\r\n\x1a\n"
@@ -147,8 +150,31 @@ def load_png(filename: str) -> Tuple[np.ndarray, int, int]:
         pos += 1 + stride
         if ftype == 0:
             out = line
+        elif ftype == 1:  # sub: add the pixel 3 bytes left; mod-256
+            # addition is associative, so each byte lane is a cumsum
+            out = line.reshape(-1, 3).cumsum(axis=0).reshape(-1) % 256
         elif ftype == 2:  # up
             out = (line + prev) % 256
+        elif ftype == 3:  # average of left and up (floor)
+            out = line.copy()
+            for i in range(stride):
+                left = out[i - 3] if i >= 3 else 0
+                out[i] = (out[i] + (left + prev[i]) // 2) % 256
+        elif ftype == 4:  # paeth predictor (RFC 2083 section 6.6)
+            out = line.copy()
+            for i in range(stride):
+                a = out[i - 3] if i >= 3 else 0  # left
+                b = prev[i]  # up
+                c = prev[i - 3] if i >= 3 else 0  # upper-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                out[i] = (out[i] + pred) % 256
         else:
             raise NotImplementedError(f"PNG filter {ftype}")
         rows[row] = out.astype(np.uint8)

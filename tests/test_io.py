@@ -82,3 +82,67 @@ def test_load_rejects_malformed_files(tmp_path):
     truncated.write_bytes(b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR")
     with pytest.raises(Exception):
         load_png(str(truncated))
+
+
+def test_png_all_filter_types(tmp_path):
+    """The reader must decode every PNG filter (0 none, 1 sub, 2 up,
+    3 average, 4 paeth) — external encoders (the reference-golden hook's
+    images) pick filters per row, unlike our writer's 0/2."""
+    import struct
+    import zlib
+
+    from amrvolumerenderer_tpu.io import _png_chunk
+
+    rng = np.random.default_rng(9)
+    w, h = 7, 5
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    # forward-filter each row with a DIFFERENT filter type, cycling 0-4
+    raw = bytearray()
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for row in range(h):
+        ftype = row % 5
+        line = flat[row]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, ul)
+            enc[i] = (line[i] - pred) % 256
+        raw.append(ftype)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    path = str(tmp_path / "filters.png")
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+        f.write(_png_chunk(b"IDAT", zlib.compress(bytes(raw))))
+        f.write(_png_chunk(b"IEND", b""))
+
+    data, gw, gh = load_png(path)
+    assert (gw, gh) == (w, h)
+    # load_png returns bottom-up rows in [0, 1]
+    got = (data[::-1] * 255.0 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(got, img)
