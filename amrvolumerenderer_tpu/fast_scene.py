@@ -359,6 +359,16 @@ class FastSceneRenderer:
         )
         self.geometry = geometry
         self._lut_device = jnp.asarray(self._lut)
+        # per-octant ordering-key memo: boxes never move (update_data swaps
+        # field values only), so an animation orbit pays the graph build at
+        # most once per view octant (visibility.OrderKeyCache)
+        self._parent_min = np.array([b.min_corner for b in geometry.bricks])
+        self._parent_max = np.array([b.max_corner for b in geometry.bricks])
+        from .visibility import OrderKeyCache
+
+        self._order_cache = OrderKeyCache(
+            self.box_min, self.box_max, self._parent_min, self._parent_max
+        )
 
     def _set_canonical(self, canonical: jnp.ndarray) -> None:
         """(Re)place the device piece table and refresh value-derived state."""
@@ -628,12 +638,9 @@ class FastSceneRenderer:
             self.box_min, self.box_max,
             use_graph=self.parameters.use_visibility_graph,
             parents=self.parents,
-            parent_min=np.array(
-                [b.min_corner for b in self.geometry.bricks]
-            ),
-            parent_max=np.array(
-                [b.max_corner for b in self.geometry.bricks]
-            ),
+            parent_min=self._parent_min,
+            parent_max=self._parent_max,
+            cache=self._order_cache,
         )
         offsets, tbricks, towners = tm.build_tile_worklist(
             self.box_min, self.box_max, hints, self.owners,

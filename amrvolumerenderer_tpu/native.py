@@ -82,6 +82,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         c_float_p, c_float_p, c_double_p, c_int_p,
     ]
     lib.avr_visibility_order.restype = ctypes.c_int
+    if hasattr(lib, "avr_visibility_order_v2"):
+        lib.avr_visibility_order_v2.argtypes = [
+            c_double_p, c_double_p, c_int_p, ctypes.c_int, ctypes.c_int,
+            c_float_p, c_float_p, c_double_p, c_int_p, c_int_p,
+        ]
+        lib.avr_visibility_order_v2.restype = ctypes.c_int
     for name in ("avr_scalar_stats_f64", "avr_scalar_stats_f32"):
         if hasattr(lib, name):
             getattr(lib, name).argtypes = [
@@ -334,6 +340,27 @@ def visibility_order(
 ) -> Optional[np.ndarray]:
     """Native visibility ordering; None if unavailable or on graph failure
     (caller falls back to the Python implementation / identity order)."""
+    result = visibility_order_flags(
+        box_min, box_max, owners, num_ranks, modelview, projection, view_dir
+    )
+    return None if result is None else result[0]
+
+
+def visibility_order_flags(
+    box_min: np.ndarray,
+    box_max: np.ndarray,
+    owners: np.ndarray,
+    num_ranks: int,
+    modelview: np.ndarray,
+    projection: np.ndarray,
+    view_dir: np.ndarray,
+) -> Optional[tuple]:
+    """Like ``visibility_order`` but returns ``(order, clean)`` where
+    ``clean`` is True when no cycle-breaking split happened (the order
+    then depends on the camera only through sign(view_dir) per axis plus
+    tie-breaks — cacheable per view octant, visibility.OrderKeyCache) and
+    None when the loaded library predates the v2 symbol (cycles unknown,
+    never cache)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -345,10 +372,20 @@ def visibility_order(
     projection = np.ascontiguousarray(projection, dtype=np.float32)
     view_dir = np.ascontiguousarray(view_dir, dtype=np.float64)
     out = np.zeros(num_ranks, dtype=np.int32)
+    if hasattr(lib, "avr_visibility_order_v2"):
+        cycles = ctypes.c_int(0)
+        ok = lib.avr_visibility_order_v2(
+            _ptr(box_min, ctypes.c_double), _ptr(box_max, ctypes.c_double),
+            _ptr(owners, ctypes.c_int), n, num_ranks,
+            _ptr(modelview, ctypes.c_float), _ptr(projection, ctypes.c_float),
+            _ptr(view_dir, ctypes.c_double), _ptr(out, ctypes.c_int),
+            ctypes.byref(cycles),
+        )
+        return (out, cycles.value == 0) if ok else None
     ok = lib.avr_visibility_order(
         _ptr(box_min, ctypes.c_double), _ptr(box_max, ctypes.c_double),
         _ptr(owners, ctypes.c_int), n, num_ranks,
         _ptr(modelview, ctypes.c_float), _ptr(projection, ctypes.c_float),
         _ptr(view_dir, ctypes.c_double), _ptr(out, ctypes.c_int),
     )
-    return out if ok else None
+    return (out, None) if ok else None

@@ -245,12 +245,9 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             self.box_min, self.box_max,
             use_graph=self.parameters.use_visibility_graph,
             parents=self.parents,
-            parent_min=np.array(
-                [b.min_corner for b in self.geometry.bricks]
-            ),
-            parent_max=np.array(
-                [b.max_corner for b in self.geometry.bricks]
-            ),
+            parent_min=self._parent_min,
+            parent_max=self._parent_max,
+            cache=self._order_cache,  # per-octant memo (static boxes)
         )
         slot_hints = np.where(
             self._slot_valid, hints[idx], np.float32(np.inf)

@@ -302,7 +302,8 @@ def build_visibility_order(
     log: bool = False,
     default_on_failure: bool = True,
     python_fallback: bool = True,
-) -> Optional[np.ndarray]:
+    return_clean: bool = False,
+):
     """Compute the back-to-front rank permutation for compositing.
 
     Returns an int array of length ``num_ranks``: a permutation where earlier
@@ -314,11 +315,22 @@ def build_visibility_order(
     native graph (the pure-Python builder is O(N^2) Python loops — per-frame
     callers on large scenes must not fall into it when the native library
     is missing or its graph fails).
+
+    ``return_clean=True`` returns ``(order, clean)`` instead: ``clean`` is
+    True when the graph was acyclic (no cycle-breaking box split), so the
+    order depends on the camera only through sign(view_dir) per axis plus
+    depth tie-breaks — the property OrderKeyCache needs to memoize orders
+    per view octant; None when unknown (pre-v2 native library, disabled
+    graph, or failure).
     """
     global _graph_file_counter
+
+    def ret(order, clean):
+        return (order, clean) if return_clean else order
+
     default_order = np.arange(num_ranks, dtype=np.int32)
     if not use_visibility_graph or len(box_min) == 0:
-        return default_order if default_on_failure else None
+        return ret(default_order if default_on_failure else None, None)
 
     modelview = make_view_matrix(camera.eye, camera.look_at, camera.up)
     projection = make_perspective_matrix(
@@ -330,7 +342,7 @@ def build_visibility_order(
     if not write_visibility_graph:
         from . import native
 
-        native_order = native.visibility_order(
+        native_result = native.visibility_order_flags(
             np.asarray(box_min, dtype=np.float64),
             np.asarray(box_max, dtype=np.float64),
             np.asarray(owners, dtype=np.int32),
@@ -339,10 +351,10 @@ def build_visibility_order(
             projection,
             safe_normalize(camera.look_at - camera.eye),
         )
-        if native_order is not None:
-            return native_order
+        if native_result is not None:
+            return ret(native_result[0], native_result[1])
     if not python_fallback:
-        return default_order if default_on_failure else None
+        return ret(default_order if default_on_failure else None, None)
 
     def update_depth(info: _BoxInfo):
         info.min_depth, info.max_depth = _compute_depth_range(
@@ -362,7 +374,7 @@ def build_visibility_order(
     view_dir = safe_normalize(camera.look_at - camera.eye)
     max_iterations = max(len(boxes), 1) * 8 + 32
 
-    for _ in range(max_iterations):
+    for iteration in range(max_iterations):
         adjacency, indegree = _rebuild_adjacency(boxes, view_dir)
         if write_visibility_graph:
             _export_dot(
@@ -382,7 +394,7 @@ def build_visibility_order(
             for owner in range(num_ranks):
                 if not visited[owner]:
                     rank_order.append(owner)
-            return np.asarray(rank_order, dtype=np.int32)
+            return ret(np.asarray(rank_order, dtype=np.int32), iteration == 0)
 
         cycle = _find_cycle(adjacency, residual)
         if not cycle:
@@ -394,7 +406,7 @@ def build_visibility_order(
         print(
             "Visibility graph ordering failed; falling back to default rank order."
         )
-    return default_order if default_on_failure else None
+    return ret(default_order if default_on_failure else None, None)
 
 
 # beyond this piece count the per-frame graph build outweighs the
@@ -414,7 +426,8 @@ def piece_order_keys(
     aspect: float,
     box_min: np.ndarray,  # [P, 3] piece lower corners
     box_max: np.ndarray,  # [P, 3]
-) -> Optional[np.ndarray]:
+    return_clean: bool = False,
+):
     """Per-piece FRONT-TO-BACK compositing sort keys from the piece-level
     visibility graph; None when the graph is unavailable or fails (callers
     fall back to scalar depth hints).
@@ -433,26 +446,31 @@ def piece_order_keys(
     consequential.
 
     Keys are float32 positions: smaller = nearer the eye = folded in front
-    (the (key, owner, local) layer-sort contract)."""
+    (the (key, owner, local) layer-sort contract).
+
+    ``return_clean=True`` returns ``(keys, clean)`` — see
+    ``build_visibility_order``; OrderKeyCache memoizes clean builds per
+    view octant."""
     num = len(box_min)
     if num == 0:
-        return None
+        return (None, None) if return_clean else None
     if num > PIECE_GRAPH_LIMIT:
         # even the sweep-based native build has a per-frame host cost
         # (~35 ms at the limit): on still-deeper scenes the hierarchical
         # keys / hints are the better per-frame trade
-        return None
+        return (None, None) if return_clean else None
     # above 128 pieces use the native graph ONLY: the pure-Python builder
     # is O(P^2) Python loops (seconds per frame), so a missing library or
     # a native graph failure falls back to hints, not to the Python path
-    order = build_visibility_order(
+    order, clean = build_visibility_order(
         camera, aspect, box_min, box_max,
         np.arange(num, dtype=np.int32), num,
         default_on_failure=False,
         python_fallback=num <= 128,
+        return_clean=True,
     )
     if order is None or len(order) != num:
-        return None
+        return (None, None) if return_clean else None
     # build_visibility_order returns BACK-to-front (earliest = farthest,
     # see the two-box polarity canary in tests/test_piece_order.py);
     # compositing sorts front-first
@@ -460,7 +478,7 @@ def piece_order_keys(
     keys[np.asarray(order, np.int64)] = np.arange(
         num - 1, -1, -1, dtype=np.float32
     )
-    return keys
+    return (keys, clean) if return_clean else keys
 
 
 def hierarchical_order_keys(
@@ -471,9 +489,10 @@ def hierarchical_order_keys(
     parents: np.ndarray,  # [P] parent brick of each piece
     parent_min: np.ndarray,  # [B, 3] parent brick boxes
     parent_max: np.ndarray,
+    parent_pos: Optional[np.ndarray] = None,  # precomputed parent keys
 ) -> Optional[np.ndarray]:
     """Two-level FRONT-TO-BACK keys for scenes too deep for the flat
-    piece graph: the visibility graph orders the PARENT bricks (O(B^2)),
+    piece graph: the visibility graph orders the PARENT bricks,
     and within each brick pieces order by the eye's per-axis
     slab-distance sum.
 
@@ -483,11 +502,17 @@ def hierarchical_order_keys(
     slab lies between the eye and B's slab on every axis, so A's
     distance-to-slab sum is strictly smaller (the grid-shell painter
     argument with continuous distances).  Keys are dense ranks, so f32
-    carries them exactly."""
+    carries them exactly.
+
+    ``parent_pos`` short-circuits the parent graph build with precomputed
+    positions (OrderKeyCache memoizes them per view octant; the
+    within-brick slab distances stay per-frame — they depend on the eye
+    point, not just the octant)."""
     num_parents = len(parent_min)
     if num_parents > PIECE_GRAPH_LIMIT:
         return None
-    parent_pos = piece_order_keys(camera, aspect, parent_min, parent_max)
+    if parent_pos is None:
+        parent_pos = piece_order_keys(camera, aspect, parent_min, parent_max)
     if parent_pos is None:
         return None
     eye = np.asarray(camera.eye, np.float64)
@@ -503,6 +528,72 @@ def hierarchical_order_keys(
     return keys
 
 
+def _is_cuboid_tiling(box_min: np.ndarray, box_max: np.ndarray) -> bool:
+    """True when the (disjoint-by-construction) boxes exactly tile their
+    bounding cuboid: total box volume equals the bbox volume within f64
+    rounding.  The gate OrderKeyCache needs: in a tiled cuboid, every
+    occlusion the face-adjacency model resolves travels a gap-free chain
+    of shared faces, i.e. a directed path in the DAG — so depth
+    tie-breaks (the only camera dependence of a clean build beyond the
+    octant) are never load-bearing.  L-shaped / holed unions fail the
+    check and keep per-frame ordering."""
+    lo = np.asarray(box_min, np.float64)
+    hi = np.asarray(box_max, np.float64)
+    if len(lo) == 0:
+        return False
+    bbox = float(np.prod(np.maximum(hi.max(axis=0) - lo.min(axis=0), 0.0)))
+    if not bbox > 0.0:
+        return False
+    vol = float(np.prod(np.maximum(hi - lo, 0.0), axis=1).sum())
+    return abs(vol - bbox) <= 1e-9 * bbox
+
+
+_DIR_TOL = 1e-6  # the builders' kDirTol (avr_native.cpp / _rebuild_adjacency)
+
+
+class OrderKeyCache:
+    """Per-view-OCTANT memo for ordering keys on static geometry.
+
+    The adjacency DAG depends on the camera only through the sign of
+    ``view_dir`` per axis (trits with the builders' 1e-6 tolerance) —
+    identical for every camera in an octant.  A CLEAN build (no
+    cycle-breaking splits, ``return_clean``) of a cuboid-tiling partition
+    (``_is_cuboid_tiling``) therefore yields keys valid for the whole
+    octant: camera-dependent depth tie-breaks only order DAG-unconstrained
+    pairs, which in a tiled cuboid never occlude each other within the
+    model.  Persistent renderers (fast_scene, parallel/persistent) hold
+    one cache per scene: an animation orbit pays the graph build at most
+    once per octant (<= 27 sign patterns) instead of per frame — at the
+    PIECE_GRAPH_LIMIT depth that is ~35 ms/frame of host time removed.
+    Unsound scenes (holes, non-tiling in-situ bricks) and cycle-broken or
+    flag-less (pre-v2 native) builds are never cached; field-value
+    updates (update_data) don't move boxes, so the cache survives them.
+    """
+
+    def __init__(
+        self,
+        box_min: np.ndarray,
+        box_max: np.ndarray,
+        parent_min: Optional[np.ndarray] = None,
+        parent_max: Optional[np.ndarray] = None,
+    ):
+        self.flat_sound = _is_cuboid_tiling(box_min, box_max)
+        self.parent_sound = parent_min is not None and _is_cuboid_tiling(
+            parent_min, parent_max
+        )
+        self._flat: dict = {}
+        self._parent: dict = {}
+        self.hits = 0
+        self.misses = 0
+
+    def octant(self, camera: CameraParameters):
+        d = safe_normalize(
+            np.asarray(camera.look_at, np.float64)
+            - np.asarray(camera.eye, np.float64)
+        )
+        return tuple(int(v > _DIR_TOL) - int(v < -_DIR_TOL) for v in d)
+
+
 def order_keys_or_hints(
     camera: CameraParameters,
     aspect: float,
@@ -512,6 +603,7 @@ def order_keys_or_hints(
     parents: Optional[np.ndarray] = None,
     parent_min: Optional[np.ndarray] = None,
     parent_max: Optional[np.ndarray] = None,
+    cache: Optional[OrderKeyCache] = None,
 ) -> np.ndarray:
     """The layer-ordering policy, shared by every compositing path:
     piece-level visibility-graph keys when enabled and available
@@ -520,18 +612,48 @@ def order_keys_or_hints(
     slab-shell keys (``hierarchical_order_keys``), else the
     nearest-corner depth hints.  ``use_graph=False`` honors the
     product's ``--no-visibility-graph`` flag
-    (RenderParameters.use_visibility_graph)."""
+    (RenderParameters.use_visibility_graph).  ``cache`` (persistent
+    renderers) memoizes sound clean builds per view octant — see
+    OrderKeyCache."""
     from .camera import compute_box_depth_hints
 
     if use_graph:
-        keys = piece_order_keys(camera, aspect, box_min, box_max)
-        if keys is None and parents is not None and parent_min is not None:
+        okey = cache.octant(camera) if cache is not None else None
+        if cache is not None and cache.flat_sound and okey in cache._flat:
+            cache.hits += 1
+            return cache._flat[okey]
+        keys, clean = piece_order_keys(
+            camera, aspect, box_min, box_max, return_clean=True
+        )
+        if keys is not None:
+            if cache is not None and cache.flat_sound and clean:
+                cache.misses += 1
+                cache._flat[okey] = keys
+            return keys
+        if parents is not None and parent_min is not None:
+            parent_pos = None
+            if cache is not None and cache.parent_sound:
+                parent_pos = cache._parent.get(okey)
+            if parent_pos is not None:
+                cache.hits += 1
+            elif len(parent_min) <= PIECE_GRAPH_LIMIT:
+                parent_pos, pclean = piece_order_keys(
+                    camera, aspect, parent_min, parent_max, return_clean=True
+                )
+                if (
+                    parent_pos is not None
+                    and cache is not None
+                    and cache.parent_sound
+                    and pclean
+                ):
+                    cache.misses += 1
+                    cache._parent[okey] = parent_pos
             keys = hierarchical_order_keys(
                 camera, aspect, box_min, box_max,
-                parents, parent_min, parent_max,
+                parents, parent_min, parent_max, parent_pos=parent_pos,
             )
-        if keys is not None:
-            return keys
+            if keys is not None:
+                return keys
     return compute_box_depth_hints(box_min, box_max, camera).astype(
         np.float32
     )

@@ -505,15 +505,20 @@ bool compare_boxes(const std::vector<BoxInfo>& boxes, int lhs, int rhs) {
 }  // namespace
 
 // Returns 1 on success (order_out filled, length num_ranks), 0 on failure
-// (caller should fall back to identity order).
-int avr_visibility_order(const double* box_min,  // [n][3]
-                         const double* box_max,  // [n][3]
-                         const int* owners,      // [n]
-                         int num_boxes, int num_ranks,
-                         const float* modelview,   // row-major 4x4
-                         const float* projection,  // row-major 4x4
-                         const double* view_dir,   // [3]
-                         int* order_out) {
+// (caller should fall back to identity order).  ``cycles_out`` (nullable)
+// reports whether any cycle-breaking box split happened: a clean build's
+// order depends on the camera only through sign(view_dir) per axis (the
+// adjacency DAG) plus tie-breaks, which callers exploit to cache orders
+// per view octant (visibility.OrderKeyCache).
+static int visibility_order_impl(const double* box_min,  // [n][3]
+                                 const double* box_max,  // [n][3]
+                                 const int* owners,      // [n]
+                                 int num_boxes, int num_ranks,
+                                 const float* modelview,   // row-major 4x4
+                                 const float* projection,  // row-major 4x4
+                                 const double* view_dir,   // [3]
+                                 int* order_out, int* cycles_out) {
+  if (cycles_out) *cycles_out = 0;
   VisContext ctx{modelview, projection,
                  {view_dir[0], view_dir[1], view_dir[2]}};
 
@@ -568,6 +573,7 @@ int avr_visibility_order(const double* box_min,  // [n][3]
       }
       for (int o = 0; o < num_ranks; ++o)
         if (!visited[o]) order_out[pos++] = o;
+      if (cycles_out) *cycles_out = iteration > 0 ? 1 : 0;
       return 1;
     }
 
@@ -667,6 +673,28 @@ int avr_visibility_order(const double* box_min,  // [n][3]
     boxes.push_back(far_box);
   }
   return 0;
+}
+
+int avr_visibility_order(const double* box_min, const double* box_max,
+                         const int* owners, int num_boxes, int num_ranks,
+                         const float* modelview, const float* projection,
+                         const double* view_dir, int* order_out) {
+  return visibility_order_impl(box_min, box_max, owners, num_boxes,
+                               num_ranks, modelview, projection, view_dir,
+                               order_out, nullptr);
+}
+
+// v2: adds the cycles-broken flag (see visibility_order_impl).  New
+// symbol so a prebuilt v1 .so keeps loading; the Python wrapper treats a
+// missing symbol as "cycles unknown" (never cached).
+int avr_visibility_order_v2(const double* box_min, const double* box_max,
+                            const int* owners, int num_boxes, int num_ranks,
+                            const float* modelview, const float* projection,
+                            const double* view_dir, int* order_out,
+                            int* cycles_out) {
+  return visibility_order_impl(box_min, box_max, owners, num_boxes,
+                               num_ranks, modelview, projection, view_dir,
+                               order_out, cycles_out);
 }
 
 // ---------------------------------------------------------------------------
