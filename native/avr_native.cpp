@@ -849,7 +849,14 @@ int avr_item_bands_v2(const float* meta, const int32_t* brick_bounds,
                       int32_t* out_band1, int32_t* out_band2,
                       uint8_t* out_forward) {
   if (cap <= 0 || nq <= 0 || nq > 8 || tiles_x <= 0 || seg_len < 1) return 0;
-  const int64_t kChunk = 8192;
+  // threading threshold: ~1 us/item single-threaded vs ~15 us to spawn a
+  // thread, so parallelize from a few hundred items — the 1024^2 bench
+  // scenes carry 1.5-2k items and this call dominates warm per-frame
+  // host prep (~1.5 of 2.3 ms).  UNMEASURED here (the build container
+  // exposes one CPU, hardware_concurrency()==1 keeps this single-
+  // threaded); on multi-core production hosts the spawn math says the
+  // lower threshold wins and it cannot regress the 1-CPU case.
+  const int64_t kChunk = 512;
   unsigned hw = std::thread::hardware_concurrency();
   int64_t n_threads = std::min<int64_t>(
       hw ? hw : 1, (num_items + kChunk - 1) / kChunk);
