@@ -70,7 +70,11 @@ class PlotFileData:
                 cache[fpath] = _FabFile(fpath)
             data = cache[fpath].read_component(offset, comp)
             shape = tuple(hi[d] - lo[d] + 1 for d in range(3))
-            assert data.shape == shape, (data.shape, shape)
+            if data.shape != shape:
+                raise ValueError(
+                    f"Corrupt plotfile '{self.path}': FAB at {fname}:{offset}"
+                    f" holds a {data.shape} box but Cell_H declares {shape}"
+                )
             out.append(LevelBox(data=data, lo=np.asarray(lo, dtype=np.int64)))
         return out
 
@@ -82,7 +86,17 @@ def read_plotfile_header(path: str) -> PlotFileData:
     it = iter(lines)
 
     def nxt() -> str:
-        return next(it)
+        # clean failure on truncated/garbage headers (the reference
+        # validates its inputs exhaustively and fail-fasts,
+        # VolumeRenderer.cpp:1341-1462; a bare StopIteration here would
+        # surface as an unrelated error in the caller)
+        try:
+            return next(it)
+        except StopIteration:
+            raise ValueError(
+                f"Malformed plotfile header '{header_path}': "
+                "file ends mid-record (truncated or not an AMReX plotfile)"
+            ) from None
 
     _version = nxt()
     ncomp = int(nxt())
@@ -148,18 +162,35 @@ def _read_cell_header(path: str):
         m = re.match(r"^\((\d+)\s+0\s*$", line)
         if m:
             ngrids = int(m.group(1))
+            if i + ngrids >= len(lines):
+                raise ValueError(
+                    f"Malformed Cell_H '{path}': declares {ngrids} grids "
+                    "but the box list is truncated"
+                )
             for j in range(ngrids):
                 bm = _BOX_RE.search(lines[i + 1 + j])
-                assert bm, lines[i + 1 + j]
+                if not bm:
+                    raise ValueError(
+                        f"Malformed Cell_H '{path}': expected a box triple, "
+                        f"got {lines[i + 1 + j]!r}"
+                    )
                 g = [int(v) for v in bm.groups()]
                 boxes.append(((g[0], g[1], g[2]), (g[3], g[4], g[5])))
             i += ngrids + 1
             continue
         if line.startswith("FabOnDisk:"):
             parts = line.split()
+            if len(parts) < 3:
+                raise ValueError(
+                    f"Malformed Cell_H '{path}': bad FabOnDisk line {line!r}"
+                )
             fabs.append((parts[1], int(parts[2])))
         i += 1
-    assert len(boxes) == len(fabs), (len(boxes), len(fabs))
+    if len(boxes) != len(fabs):
+        raise ValueError(
+            f"Malformed Cell_H '{path}': {len(boxes)} boxes but "
+            f"{len(fabs)} FabOnDisk entries"
+        )
     return boxes, fabs
 
 
@@ -191,11 +222,27 @@ class _FabFile:
         ncomp = int(m.group(14))
         if component >= ncomp:
             raise ValueError("component index is out of bounds")
+        if nbytes not in (4, 8):
+            raise ValueError(
+                f"Corrupt FAB in {self.path}: unsupported real size "
+                f"{nbytes} (expected 4 or 8)"
+            )
         shape = tuple(hi[d] - lo[d] + 1 for d in range(3))
+        if any(s <= 0 for s in shape):
+            raise ValueError(
+                f"Corrupt FAB in {self.path}: non-positive box shape {shape}"
+            )
         count = shape[0] * shape[1] * shape[2]
         little = order[0] > order[-1]  # (8 7 ... 1) => little endian
         f.seek(component * count * nbytes, os.SEEK_CUR)
         payload = f.read(count * nbytes)
+        if len(payload) != count * nbytes:
+            raise ValueError(
+                f"Corrupt FAB in {self.path}: component {component} of box "
+                f"{shape} needs {count * nbytes} bytes, file holds "
+                f"{len(payload)} past the offset (truncated, or the header "
+                "declares a larger box than was written)"
+            )
 
         # native decode path (Fortran->C transpose + byteswap in C++)
         from . import native

@@ -1,5 +1,7 @@
 """Plotfile reader/writer and convexify tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -200,3 +202,96 @@ def test_convexify_property_random(rng):
             h0 = (f.lo + np.asarray(f.data.shape) - 1) // 2
             fine_mask[l0[0]:h0[0]+1, l0[1]:h0[1]+1, l0[2]:h0[2]+1] = True
         np.testing.assert_array_equal(covered, (~fine_mask).astype(int))
+
+
+class TestMalformedInputs:
+    """Untrusted-input hardening: every corruption mode must raise a
+    clean, descriptive ValueError/RuntimeError/OSError — never a bare
+    StopIteration/AssertionError, and never an attempted huge
+    allocation.  (The reference validates its inputs exhaustively and
+    fail-fasts, VolumeRenderer.cpp:1341-1462.)"""
+
+    @pytest.fixture
+    def valid(self, tmp_path):
+        from amrvolumerenderer_tpu.plotfile import write_plotfile
+        from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+        base = str(tmp_path / "plt_ok")
+        n = 8
+        f = np.arange(n ** 3, dtype=np.float64).reshape(n, n, n)
+        write_plotfile(
+            base, [[LevelBox(f, np.zeros(3, dtype=int))]],
+            [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))],
+            var_names=["density"],
+        )
+        return base
+
+    def _clone(self, valid, tmp_path, tag):
+        import shutil
+
+        dst = str(tmp_path / tag)
+        shutil.copytree(valid, dst)
+        return dst
+
+    def _expect_clean(self, path):
+        from amrvolumerenderer_tpu.plotfile import read_plotfile_header
+
+        with pytest.raises((ValueError, RuntimeError, OSError)):
+            pf = read_plotfile_header(path)
+            pf.get_level_boxes(0, "density")
+
+    def test_truncated_header(self, valid, tmp_path):
+        d = self._clone(valid, tmp_path, "trunc_hdr")
+        p = os.path.join(d, "Header")
+        data = open(p, "rb").read()
+        open(p, "wb").write(data[: len(data) // 3])
+        self._expect_clean(d)
+
+    def test_garbage_header(self, valid, tmp_path):
+        d = self._clone(valid, tmp_path, "garbage_hdr")
+        open(os.path.join(d, "Header"), "w").write("not a plotfile\n42\n")
+        self._expect_clean(d)
+
+    def test_truncated_fab(self, valid, tmp_path):
+        import glob
+
+        d = self._clone(valid, tmp_path, "trunc_fab")
+        for fab in glob.glob(d + "/Level_0/*_D_*"):
+            data = open(fab, "rb").read()
+            open(fab, "wb").write(data[: len(data) // 2])
+        self._expect_clean(d)
+
+    def test_huge_declared_dims(self, valid, tmp_path):
+        """A header declaring absurd box dims must fail on the payload
+        size check, not attempt an exabyte allocation."""
+        d = self._clone(valid, tmp_path, "huge_dims")
+        p = os.path.join(d, "Level_0", "Cell_H")
+        text = open(p).read()
+        open(p, "w").write(text.replace("7", "999999"))
+        self._expect_clean(d)
+
+    def test_missing_fab_file(self, valid, tmp_path):
+        import glob
+
+        d = self._clone(valid, tmp_path, "missing_fab")
+        for fab in glob.glob(d + "/Level_0/*_D_*"):
+            os.remove(fab)
+        self._expect_clean(d)
+
+    def test_garbage_fab_header(self, valid, tmp_path):
+        import glob
+
+        d = self._clone(valid, tmp_path, "garbage_fab")
+        for fab in glob.glob(d + "/Level_0/*_D_*"):
+            data = open(fab, "rb").read()
+            open(fab, "wb").write(b"garbage" + data[7:])
+        self._expect_clean(d)
+
+    def test_box_fab_count_mismatch(self, valid, tmp_path):
+        d = self._clone(valid, tmp_path, "count_mismatch")
+        p = os.path.join(d, "Level_0", "Cell_H")
+        text = open(p).read()
+        open(p, "w").write(
+            text + "FabOnDisk: Cell_D_00001 0\n"
+        )
+        self._expect_clean(d)
