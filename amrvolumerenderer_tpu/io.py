@@ -131,8 +131,23 @@ def load_png(filename: str) -> Tuple[np.ndarray, int, int]:
             payload = f.read(length)
             f.read(4)  # crc
             if tag == b"IHDR":
-                w, h, bit_depth, color_type = struct.unpack(">IIBB", payload[:10])
-                assert bit_depth == 8 and color_type == 2
+                (w, h, bit_depth, color_type, compression, filter_method,
+                 interlace) = struct.unpack(">IIBBBBB", payload[:13])
+                # this reader walks full-width scanlines: an Adam7-
+                # interlaced file has sub-image scanlines of different
+                # widths and would silently decode to garbage, so refuse
+                # anything but the baseline 8-bit RGB layout
+                if bit_depth != 8 or color_type != 2:
+                    raise ValueError(
+                        f"unsupported PNG: bit depth {bit_depth}, color "
+                        f"type {color_type} (need 8-bit RGB)"
+                    )
+                if compression != 0 or filter_method != 0 or interlace != 0:
+                    raise ValueError(
+                        "unsupported PNG: compression/filter/interlace = "
+                        f"{compression}/{filter_method}/{interlace} "
+                        "(need 0/0/0 — non-interlaced baseline)"
+                    )
             elif tag == b"IDAT":
                 idat += payload
             elif tag == b"IEND":

@@ -80,7 +80,7 @@ def render_bucket_impl(
     min_corner: jnp.ndarray,  # [B, 3] float32 world lower corners
     max_corner: jnp.ndarray,  # [B, 3] float32 world upper corners
     cell_dims: jnp.ndarray,  # [B, 3] int32 actual cell counts
-    color_table: jnp.ndarray,  # [B, 256, 4] float32 per-brick LUT
+    color_table: jnp.ndarray,  # [B, size, 4] float32 per-brick LUT
     sample_distance: jnp.ndarray,  # [B] float32 per-brick step
     eye: jnp.ndarray,  # [3] float32
     basis_forward: jnp.ndarray,  # [3] float32

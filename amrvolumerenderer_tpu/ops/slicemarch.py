@@ -1045,7 +1045,7 @@ def pack_slice_volume(
 
 def compute_slice_bounds(
     vol: np.ndarray,  # [ns, 8, 128] packed slices (padding zeros ok)
-    lut_alpha: np.ndarray,  # [256] transfer-function alpha
+    lut_alpha: np.ndarray,  # [size] transfer-function alpha
     range_min: float = 0.0,
     inverse_range: float = 1.0,
 ) -> int:
@@ -1080,7 +1080,7 @@ def compute_slice_bounds(
 def compute_slice_bounds_batch(
     slice_min: np.ndarray,  # [L, S] per-slice minima along the march axis
     slice_max: np.ndarray,  # [L, S] per-slice maxima
-    lut_alpha: np.ndarray,  # [256]
+    lut_alpha: np.ndarray,  # [size]
     range_min: float,
     inverse_range: float,
     n_slices: np.ndarray,  # [L] actual slice counts (<= S; rest is padding)

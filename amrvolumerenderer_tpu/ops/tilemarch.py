@@ -866,7 +866,7 @@ def scatter_tiles(
 def block_occupancy_bits(
     quad_min: np.ndarray,  # [L, S, Q, Q] per-slice block minima
     quad_max: np.ndarray,  # [L, S, Q, Q] per-slice block maxima
-    lut_alpha: np.ndarray,  # [256]
+    lut_alpha: np.ndarray,  # [size]
     range_min: float,
     inverse_range: float,
 ) -> np.ndarray:

@@ -159,7 +159,7 @@ def render_and_composite_sharded(
     min_corner: jnp.ndarray,  # [D * Bmax, 3]
     max_corner: jnp.ndarray,  # [D * Bmax, 3]
     cell_dims: jnp.ndarray,  # [D * Bmax, 3] int32
-    color_table: jnp.ndarray,  # [D * Bmax, 256, 4]
+    color_table: jnp.ndarray,  # [D * Bmax, size, 4] (size = lut_size)
     sample_distance: jnp.ndarray,  # [D * Bmax]
     valid: jnp.ndarray,  # [D * Bmax] bool — padding slots are False
     depth_hints: jnp.ndarray,  # [D * Bmax] float32 (+inf for padding)
@@ -257,7 +257,7 @@ def render_and_composite_sharded_slicemarch(
     vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] packed slice bricks
     meta: jnp.ndarray,  # [D * Bmax, 12]
     dims: jnp.ndarray,  # [D * Bmax, 8]
-    lut: jnp.ndarray,  # [D * Bmax, 4, 2, 128]
+    lut: jnp.ndarray,  # [D * Bmax, 4, size // 128, 128]
     cam: jnp.ndarray,  # [20]
     valid: jnp.ndarray,  # [D * Bmax] bool
     depth_hints: jnp.ndarray,  # [D * Bmax] float32 (+inf for padding)
@@ -710,7 +710,7 @@ def render_depth_contiguous_tilemarch(
     vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] depth-contiguous packing
     meta: jnp.ndarray,  # [D * Bmax, 12]
     dims: jnp.ndarray,  # [D * Bmax, 8]
-    lut: jnp.ndarray,  # [4, LUT_ROWS, LANES] shared transfer function
+    lut: jnp.ndarray,  # [4, size // 128, LANES] shared transfer function
     cam: jnp.ndarray,  # [20]
     tile_offsets: jnp.ndarray,  # [D, T + 1] per-device CSR offsets
     tile_bricks: jnp.ndarray,  # [D, Wmax] per-device LOCAL slot ids
@@ -812,7 +812,7 @@ def render_depth_contiguous_slicemarch(
     vol: jnp.ndarray,  # [D * Bmax, S_max, 8, 128] depth-contiguous packing
     meta: jnp.ndarray,  # [D * Bmax, 12]
     dims: jnp.ndarray,  # [D * Bmax, 8]
-    lut: jnp.ndarray,  # [D * Bmax, 4, 2, 128]
+    lut: jnp.ndarray,  # [D * Bmax, 4, size // 128, 128]
     cam: jnp.ndarray,  # [20]
     valid: jnp.ndarray,  # [D * Bmax] bool
     depth_hints: jnp.ndarray,  # [D * Bmax] float32 (+inf for padding)

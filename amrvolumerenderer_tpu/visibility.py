@@ -459,6 +459,16 @@ def piece_order_keys(
         # (~35 ms at the limit): on still-deeper scenes the hierarchical
         # keys / hints are the better per-frame trade
         return (None, None) if return_clean else None
+    # the raised limit (2048 -> 16384) assumes the sweep-based adjacency
+    # build, which shipped together with the v2 symbol: a stale pre-sweep
+    # .so (loadable when `make` fails but an old library exists) is still
+    # O(P^2) pair tests — ~3 s/frame at 16384 — so deep scenes require v2
+    if num > 2048:
+        from . import native
+
+        lib = native.get_lib()
+        if lib is None or not hasattr(lib, "avr_visibility_order_v2"):
+            return (None, None) if return_clean else None
     # above 128 pieces use the native graph ONLY: the pure-Python builder
     # is O(P^2) Python loops (seconds per frame), so a missing library or
     # a native graph failure falls back to hints, not to the Python path
@@ -551,23 +561,96 @@ def _is_cuboid_tiling(box_min: np.ndarray, box_max: np.ndarray) -> bool:
 _DIR_TOL = 1e-6  # the builders' kDirTol (avr_native.cpp / _rebuild_adjacency)
 
 
+def frustum_safe_axes(
+    camera: CameraParameters,
+    aspect: float,
+    domain_lo: np.ndarray,
+    domain_hi: np.ndarray,
+):
+    """The per-axis view-dir sign tuple when EVERY ray that can reach the
+    domain crosses axis faces in that sign's direction on every axis;
+    None otherwise.
+
+    Axis k is safe in either of two ways:
+
+      * **eye outside the domain on the entry side** (``trit=+1`` with
+        ``eye_k <= domain_lo_k``, or ``trit=-1`` with ``eye_k >=
+        domain_hi_k``): a ray whose k-component opposes the trit can
+        never reach the domain at all, so every face crossing inside it
+        has the trit's sign; or
+      * **frustum sign-strict on k**: a ray direction is ``fwd +
+        px*right + py*up`` with (px, py) over the image rectangle — each
+        component is bilinear in (px, py), so its extrema sit at the 4
+        corner rays; when all 4 agree in strict sign, every ray does.
+
+    When all three axes are safe, every occlusion in a gap-free tiling
+    travels a chain of DAG-directed face crossings, so camera-dependent
+    depth tie-breaks are never load-bearing and OrderKeyCache may reuse
+    keys across cameras sharing the tuple.  A camera that fails (eye
+    BETWEEN the scene's face planes on an axis the frustum also
+    straddles) can have rays opposing sign(view_dir) that connect
+    DAG-unconstrained pieces — there the graph model itself (the
+    reference's, VisibilityOrdering.cpp:261-317) is already approximate
+    and the cache must not freeze one tie-break choice across cameras.
+    """
+    from .camera import camera_basis
+
+    eye = np.asarray(camera.eye, np.float64)
+    d = safe_normalize(
+        np.asarray(camera.look_at, np.float64) - eye
+    )
+    trits = tuple(int(v > _DIR_TOL) - int(v < -_DIR_TOL) for v in d)
+    if any(t == 0 for t in trits):
+        # the DAG has no edges on a zero axis, yet rays still cross its
+        # faces: those occlusions are tie-break-ordered, never cache
+        return None
+    forward, right, up = camera_basis(camera)
+    tan_half = math.tan(math.radians(camera.fov_y_degrees) * 0.5)
+    for k in range(3):
+        if trits[k] > 0 and eye[k] <= domain_lo[k]:
+            continue
+        if trits[k] < 0 and eye[k] >= domain_hi[k]:
+            continue
+        vals = [
+            forward[k] + sx * tan_half * aspect * right[k]
+            + sy * tan_half * up[k]
+            for sx in (-1.0, 1.0)
+            for sy in (-1.0, 1.0)
+        ]
+        if trits[k] > 0 and all(v > _DIR_TOL for v in vals):
+            continue
+        if trits[k] < 0 and all(v < -_DIR_TOL for v in vals):
+            continue
+        return None
+    return trits
+
+
 class OrderKeyCache:
-    """Per-view-OCTANT memo for ordering keys on static geometry.
+    """Frustum-sign-keyed memo for ordering keys on static geometry.
 
     The adjacency DAG depends on the camera only through the sign of
-    ``view_dir`` per axis (trits with the builders' 1e-6 tolerance) —
-    identical for every camera in an octant.  A CLEAN build (no
-    cycle-breaking splits, ``return_clean``) of a cuboid-tiling partition
-    (``_is_cuboid_tiling``) therefore yields keys valid for the whole
-    octant: camera-dependent depth tie-breaks only order DAG-unconstrained
-    pairs, which in a tiled cuboid never occlude each other within the
-    model.  Persistent renderers (fast_scene, parallel/persistent) hold
-    one cache per scene: an animation orbit pays the graph build at most
-    once per octant (<= 27 sign patterns) instead of per frame — at the
-    PIECE_GRAPH_LIMIT depth that is ~35 ms/frame of host time removed.
-    Unsound scenes (holes, non-tiling in-situ bricks) and cycle-broken or
-    flag-less (pre-v2 native) builds are never cached; field-value
-    updates (update_data) don't move boxes, so the cache survives them.
+    ``view_dir`` per axis, so cameras sharing a sign pattern share the
+    DAG; what differs per camera are depth tie-breaks (and cycle splits).
+    A cached order is valid for another camera only when tie-breaks are
+    provably not load-bearing, which requires BOTH:
+
+      * the pieces tile a cuboid (``_is_cuboid_tiling``, checked once) —
+        occlusion chains have no gaps; and
+      * every domain-reaching ray of the CURRENT frustum has per-axis
+        direction signs matching the DAG's (``frustum_safe_axes``,
+        checked per frame: eye outside the domain on the entry side per
+        axis, or frustum sign-strict) — chains are DAG-directed, so
+        occluding pairs are always DAG-ordered.  An eye between the
+        scene's face planes on a frustum-straddled axis fails this and
+        bypasses the cache (the per-frame build is used, exactly as
+        without a cache).
+
+    Cycle-broken and flag-less (pre-v2 native) builds are never cached.
+    Persistent renderers (fast_scene, parallel/persistent) hold one cache
+    per scene: an animation orbit pays the graph build at most once per
+    sign pattern instead of per frame — at the PIECE_GRAPH_LIMIT depth
+    that is ~35 ms/frame of host time removed.  Field-value updates
+    (update_data) don't move boxes, so the cache survives them.
     """
 
     def __init__(
@@ -581,17 +664,21 @@ class OrderKeyCache:
         self.parent_sound = parent_min is not None and _is_cuboid_tiling(
             parent_min, parent_max
         )
+        lo = np.asarray(box_min, np.float64)
+        hi = np.asarray(box_max, np.float64)
+        self.domain_lo = lo.min(axis=0) if len(lo) else np.zeros(3)
+        self.domain_hi = hi.max(axis=0) if len(hi) else np.zeros(3)
         self._flat: dict = {}
         self._parent: dict = {}
         self.hits = 0
         self.misses = 0
 
-    def octant(self, camera: CameraParameters):
-        d = safe_normalize(
-            np.asarray(camera.look_at, np.float64)
-            - np.asarray(camera.eye, np.float64)
+    def gate(self, camera: CameraParameters, aspect: float):
+        """The memo key for this camera, or None when caching is unsound
+        for this frame: see frustum_safe_axes."""
+        return frustum_safe_axes(
+            camera, aspect, self.domain_lo, self.domain_hi
         )
-        return tuple(int(v > _DIR_TOL) - int(v < -_DIR_TOL) for v in d)
 
 
 def order_keys_or_hints(
@@ -618,21 +705,30 @@ def order_keys_or_hints(
     from .camera import compute_box_depth_hints
 
     if use_graph:
-        okey = cache.octant(camera) if cache is not None else None
-        if cache is not None and cache.flat_sound and okey in cache._flat:
+        # memo key: per-frame frustum-sign gate (None = caching unsound
+        # for this camera — read and write are both skipped)
+        okey = cache.gate(camera, aspect) if cache is not None else None
+        if cache is not None and cache.flat_sound and okey is not None \
+                and okey in cache._flat:
             cache.hits += 1
             return cache._flat[okey]
         keys, clean = piece_order_keys(
             camera, aspect, box_min, box_max, return_clean=True
         )
         if keys is not None:
-            if cache is not None and cache.flat_sound and clean:
+            if (
+                cache is not None and cache.flat_sound
+                and okey is not None and clean
+            ):
                 cache.misses += 1
                 cache._flat[okey] = keys
             return keys
         if parents is not None and parent_min is not None:
             parent_pos = None
-            if cache is not None and cache.parent_sound:
+            if (
+                cache is not None and cache.parent_sound
+                and okey is not None
+            ):
                 parent_pos = cache._parent.get(okey)
             if parent_pos is not None:
                 cache.hits += 1
@@ -644,16 +740,22 @@ def order_keys_or_hints(
                     parent_pos is not None
                     and cache is not None
                     and cache.parent_sound
+                    and okey is not None
                     and pclean
                 ):
                     cache.misses += 1
                     cache._parent[okey] = parent_pos
-            keys = hierarchical_order_keys(
-                camera, aspect, box_min, box_max,
-                parents, parent_min, parent_max, parent_pos=parent_pos,
-            )
-            if keys is not None:
-                return keys
+            # the parent build was just attempted (or is beyond the
+            # limit): only assemble the two-level keys when it SUCCEEDED
+            # — passing parent_pos=None would re-run the identical
+            # failing build inside hierarchical_order_keys
+            if parent_pos is not None:
+                keys = hierarchical_order_keys(
+                    camera, aspect, box_min, box_max,
+                    parents, parent_min, parent_max, parent_pos=parent_pos,
+                )
+                if keys is not None:
+                    return keys
     return compute_box_depth_hints(box_min, box_max, camera).astype(
         np.float32
     )

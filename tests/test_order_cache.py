@@ -1,14 +1,18 @@
-"""Per-octant ordering-key cache (visibility.OrderKeyCache).
+"""Ordering-key cache (visibility.OrderKeyCache).
 
 The adjacency DAG depends on the camera only through sign(view_dir) per
 axis; a clean (cycle-free) build over a cuboid-tiling partition is a
-valid compositing order for every camera in the octant, because each
-occlusion travels a gap-free face chain = a directed DAG path (depth
-tie-breaks only order pairs the DAG leaves free, which then never
-occlude).  These tests lock the gates (tiling check, clean flag from
+valid compositing order for every camera whose domain-reaching rays are
+per-axis sign-consistent with the DAG (frustum_safe_axes: eye outside
+the domain on the entry side per axis, or frustum sign-strict) — each
+occlusion then travels a gap-free face chain = a directed DAG path, so
+depth tie-breaks only order pairs no ray sees together.  Cameras that
+fail the gate (the code-review counterexample: eye between face planes
+with the frustum straddling that axis) bypass the cache entirely.
+These tests lock the gates (tiling check, frustum gate, clean flag from
 both the native v2 symbol and the Python builder), the memo behavior,
 and — the part that matters — pixel-exact renders from cache-warmed
-keys at a DIFFERENT camera in the same octant.
+keys at a DIFFERENT camera sharing the gate key.
 """
 
 import numpy as np
@@ -54,20 +58,44 @@ def test_cuboid_tiling_gate():
     assert not _is_cuboid_tiling(np.zeros((0, 3)), np.zeros((0, 3)))
 
 
-def test_octant_key_trits():
-    lo, hi = _grid(2)
+def test_frustum_gate():
+    """Axis k of the memo gate passes when the eye is outside the domain
+    on the entry side (rays opposing the sign can't reach the domain) or
+    when all 4 corner rays share the strict sign; a camera failing an
+    axis gates to None — caching would freeze tie-breaks that ARE
+    load-bearing for it."""
+    lo, hi = _grid(2)  # domain [0, 1]^3
     cache = OrderKeyCache(lo, hi)
     assert cache.flat_sound
 
-    def cam(eye):
+    def cam(eye, look=(0.5, 0.5, 0.5), fov=45.0):
         return CameraParameters(
-            eye=eye, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
-            fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+            eye=eye, look_at=look, up=(0, 1, 0),
+            fov_y_degrees=fov, near_plane=0.1, far_plane=20.0,
         )
 
-    assert cache.octant(cam((3.0, 0.5, 0.5))) == (-1, 0, 0)
-    assert cache.octant(cam((-2.0, -2.0, 0.5))) == (1, 1, 0)
-    assert cache.octant(cam((3.0, 2.0, -1.0))) == (-1, -1, 1)
+    # eye outside the domain on every axis: safe regardless of FOV width
+    assert cache.gate(cam((3.0, 2.0, -1.0)), 1.0) == (-1, -1, 1)
+    assert cache.gate(cam((2.0, 1.5, 3.0)), 1.0) == (-1, -1, -1)
+    assert cache.gate(cam((3.0, 2.0, -1.5), fov=150.0), 1.0) is not None
+    # axis-aligned view: view_dir is zero on two axes -> no DAG edges
+    # there, tie-breaks order those faces -> never cache
+    assert cache.gate(cam((3.0, 0.5, 0.5)), 1.0) is None
+    # the code-review counterexample (2x2x1 domain): eye BETWEEN the
+    # x face planes with the frustum straddling x — rays oppose
+    # sign(view_dir) and connect DAG-unconstrained pieces
+    big_lo = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], float)
+    big_hi = big_lo + np.array([1.0, 1.0, 1.0])
+    wide = OrderKeyCache(big_lo, big_hi)
+    assert wide.flat_sound
+    assert wide.gate(
+        cam((1.6, -2.0, -0.3), look=(0.5, 0.5, 0.5)), 1.0
+    ) is None
+    # same eye x inside, but looking steeply enough that the frustum is
+    # x-sign-strict: safe again
+    assert wide.gate(
+        cam((1.6, -2.0, -0.3), look=(0.2, 2.0, 0.8), fov=20.0), 1.0
+    ) is not None
 
 
 def _cyclic_scene():
@@ -172,13 +200,14 @@ def test_cached_keys_render_pixel_exact(geometry):
         fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
     )
     cam_b = CameraParameters(
-        eye=(3.1, 0.9, 2.2), look_at=(0.4, 0.6, 0.5), up=(0, 1, 0),
+        eye=(3.1, 1.4, 2.2), look_at=(0.4, 0.6, 0.5), up=(0, 1, 0),
         fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
     )
 
     warmed = FastSceneRenderer(geometry, params)
-    octant_a = warmed._order_cache.octant(cam_a)
-    assert octant_a == warmed._order_cache.octant(cam_b)
+    gate_a = warmed._order_cache.gate(cam_a, 1.0)
+    assert gate_a is not None
+    assert gate_a == warmed._order_cache.gate(cam_b, 1.0)
     warmed.render(cam_a)
     before_hits = warmed._order_cache.hits
     frame_b_cached = warmed.render(cam_b)
@@ -187,3 +216,32 @@ def test_cached_keys_render_pixel_exact(geometry):
     cold = FastSceneRenderer(geometry, params)
     frame_b_cold = cold.render(cam_b)
     np.testing.assert_array_equal(frame_b_cached, frame_b_cold)
+
+
+def test_mixed_sign_frustum_bypasses_cache(geometry):
+    """The code-review counterexample, end-to-end: a camera whose eye
+    sits between the scene's face planes (mixed-sign frustum) must NOT
+    read or write the cache — its render is bit-exact with a cold
+    renderer even after warming the same view-dir octant from outside."""
+    params = RenderParameters(width=48, height=48)
+    # outside camera (gates to a key) shares sign(view_dir) with the
+    # inside camera (gates to None)
+    cam_out = CameraParameters(
+        eye=(-4.0, -3.0, -2.5), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=30.0,
+    )
+    cam_in = CameraParameters(
+        eye=(0.2, -0.6, -0.4), look_at=(1.2, 0.7, 0.6), up=(0, 1, 0),
+        fov_y_degrees=60.0, near_plane=0.05, far_plane=30.0,
+    )
+    warmed = FastSceneRenderer(geometry, params)
+    assert warmed._order_cache.gate(cam_out, 1.0) is not None
+    assert warmed._order_cache.gate(cam_in, 1.0) is None
+    warmed.render(cam_out)
+    stored = dict(warmed._order_cache._flat)
+    frame_in_warm = warmed.render(cam_in)
+    # no read and no write happened for the inside camera
+    assert dict(warmed._order_cache._flat) == stored
+    cold = FastSceneRenderer(geometry, params)
+    frame_in_cold = cold.render(cam_in)
+    np.testing.assert_array_equal(frame_in_warm, frame_in_cold)
