@@ -201,3 +201,25 @@ def test_cli_flag_parses_and_rejects():
         parse_options(["--plotfile", "x", "--lut-size", "100"])
     with pytest.raises(RuntimeError):
         parse_options(["--plotfile", "x", "--lut-size", "abc"])
+
+
+def test_persistent_renderer_at_128(tmp_path):
+    """The persistent path (FastSceneRenderer) must honor lut_size: its
+    128-entry frame matches the one-shot slicemarch product frame at 128
+    exactly (pieces == bricks for this scene)."""
+    from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+
+    geometry, camera = _scene()
+    p128 = RenderParameters(width=32, height=32, lut_size=128)
+    fast = FastSceneRenderer(geometry, p128)
+    frame = fast.render(camera, overlay=False)
+    oneshot = _product(render_composited_slicemarch, 128)
+    np.testing.assert_allclose(frame[:, :4], oneshot[:, :4], atol=1e-5)
+    # and it genuinely differs from its own 256-entry rendering
+    fast256 = FastSceneRenderer(
+        geometry, RenderParameters(width=32, height=32)
+    )
+    d = np.abs(
+        fast256.render(camera, overlay=False)[:, :3] - frame[:, :3]
+    ).max()
+    assert 1e-5 < d < 0.06

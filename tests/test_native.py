@@ -272,3 +272,28 @@ def test_native_visibility_exact_on_large_grid():
         near = np.moveaxis(key3, axis, 0)[1:]
         far = np.moveaxis(key3, axis, 0)[:-1]
         assert (near < far).all(), f"axis {axis} misordered pairs"
+
+
+@requires_native
+def test_ordering_engages_beyond_old_limit():
+    """PIECE_GRAPH_LIMIT was raised 2048 -> 16384 with the sweep build:
+    a 13^3 = 2197-piece grid (over the old limit) must still get exact
+    graph keys, with the same face-neighbor exactness property."""
+    from amrvolumerenderer_tpu.types import CameraParameters
+    from amrvolumerenderer_tpu import visibility as vis
+
+    g = 13
+    ax = np.arange(g) / g
+    lo = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+    hi = lo + 1.0 / g
+    cam = CameraParameters(
+        eye=(2.6, 1.9, 3.4), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+        fov_y_degrees=45.0, near_plane=0.1, far_plane=30.0,
+    )
+    keys = vis.piece_order_keys(cam, 1.0, lo, hi)
+    assert keys is not None and len(keys) == g ** 3
+    key3 = keys.reshape(g, g, g)
+    for axis in range(3):
+        near = np.moveaxis(key3, axis, 0)[1:]
+        far = np.moveaxis(key3, axis, 0)[:-1]
+        assert (near < far).all()
