@@ -48,12 +48,6 @@ SUBLANES = 8
 TILE_P = LANES * SUBLANES  # pixels per program instance
 SLICE_CELLS = LANES * SUBLANES  # max cells per brick slice
 
-# Trace-time probe hook (scripts/coord_div_ab.py): False restores the
-# per-sample in-plane cell DIVISIONS in the march loops; the product
-# always hoists the reciprocals to kernel setup.  Read when a kernel is
-# traced, so set it before the first render of a process.
-RECIPROCAL_COORDS = True
-
 COLOR_TABLE_SIZE = 256  # default (reference) transfer-function resolution
 LUT_ROWS = COLOR_TABLE_SIZE // LANES  # 2 at the default size; kernels
 #   derive the actual row count from the packed LUT's static shape, so a
@@ -203,15 +197,6 @@ def _kernel_body(
     inv_da = 1.0 / safe_da
     backward = d_a < 0.0
     dt = cell[0] * jnp.abs(inv_da)  # distance along ray between slices
-    # hoist the in-plane cell divisions out of the march loop, exactly
-    # like inv_da above: f32 lane division lowers to a multi-op
-    # reciprocal+refine sequence on the VPU, and cell is loop-invariant —
-    # the loop then multiplies (RECIPROCAL_COORDS is a trace-time probe
-    # hook, scripts/coord_div_ab.py; the product always hoists)
-    if RECIPROCAL_COORDS:
-        inv_cell1 = 1.0 / cell[1]
-        inv_cell2 = 1.0 / cell[2]
-        inv_ref = 1.0 / ref_distance  # q_k = w * inv_ref in the loop
 
     lut_r = lut_ref[0, 0]
     lut_g = lut_ref[0, 1]
@@ -243,12 +228,8 @@ def _kernel_body(
 
         pos_u = eye[1] + d[1] * t_k
         pos_v = eye[2] + d[2] * t_k
-        if RECIPROCAL_COORDS:
-            fu = jnp.floor((pos_u - pmin[1]) * inv_cell1)
-            fv = jnp.floor((pos_v - pmin[2]) * inv_cell2)
-        else:
-            fu = jnp.floor((pos_u - pmin[1]) / cell[1])
-            fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+        fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+        fv = jnp.floor((pos_v - pmin[2]) / cell[2])
         # exact quadrature: weight = overlap of this slice's half-cell
         # window [t_k - dt/2, t_k + dt/2] with the ray's clipped
         # intersection interval.  Windows of consecutive slices tile the
@@ -295,12 +276,8 @@ def _kernel_body(
             # constant edge value while split-piece boundaries interpolate
             # one cell into the neighbor's data via the ring
             g = jnp.float32(ghost)
-            if RECIPROCAL_COORDS:
-                pu = (pos_u - pmin[1]) * inv_cell1 - 0.5
-                pv = (pos_v - pmin[2]) * inv_cell2 - 0.5
-            else:
-                pu = (pos_u - pmin[1]) / cell[1] - 0.5
-                pv = (pos_v - pmin[2]) / cell[2] - 0.5
+            pu = (pos_u - pmin[1]) / cell[1] - 0.5
+            pv = (pos_v - pmin[2]) / cell[2] - 0.5
             pu = jnp.clip(pu, -g, (nu - 1).astype(jnp.float32) + g)
             pv = jnp.clip(pv, -g, (nv - 1).astype(jnp.float32) + g)
             fu0 = jnp.floor(pu)
@@ -400,7 +377,7 @@ def _kernel_body(
         # w == 0 with an opaque LUT entry (L = -inf) stays 0, not NaN.
         # (No acc-saturation term: alpha = a * (1 - acc_a) is already 0 at
         # acc_a == 1, and acc_a cannot exceed 1 by induction.)
-        q_k = w * inv_ref if RECIPROCAL_COORDS else w / ref_distance
+        q_k = w / ref_distance
         sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
         return s_r, s_g, s_b, sample_a
 

@@ -32,7 +32,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import slicemarch as _slicemarch
 from .slicemarch import (
     LANES,
     SUBLANES,
@@ -247,12 +246,6 @@ def _kernel(
         inv_da = 1.0 / jnp.where(marchable, d_a, 1.0)
         backward = d_a < 0.0
         dt = cell[0] * jnp.abs(inv_da)
-        # hoisted in-plane reciprocals (see slicemarch._kernel_body; the
-        # flag is the shared trace-time probe hook)
-        if _slicemarch.RECIPROCAL_COORDS:
-            inv_cell1 = 1.0 / cell[1]
-            inv_cell2 = 1.0 / cell[2]
-            inv_ref = 1.0 / ref_distance  # q_k = w * inv_ref in the loop
         t_lo = jnp.maximum(tmin, 0.0)
         t_hi = tmax
 
@@ -286,12 +279,8 @@ def _kernel(
             )
 
             if sampling == "nearest":
-                if _slicemarch.RECIPROCAL_COORDS:
-                    fu = jnp.floor((pos_u - pmin[1]) * inv_cell1)
-                    fv = jnp.floor((pos_v - pmin[2]) * inv_cell2)
-                else:
-                    fu = jnp.floor((pos_u - pmin[1]) / cell[1])
-                    fv = jnp.floor((pos_v - pmin[2]) / cell[2])
+                fu = jnp.floor((pos_u - pmin[1]) / cell[1])
+                fv = jnp.floor((pos_v - pmin[2]) / cell[2])
                 iu = jnp.clip(fu.astype(jnp.int32), 0, nu - 1)
                 iv = jnp.clip(fv.astype(jnp.int32), 0, nv - 1)
                 flat = (iu + ghost) * nv_stride + (iv + ghost)
@@ -304,12 +293,8 @@ def _kernel(
                 # trilinear == in-slice bilinear with clamp-to-edge over
                 # core + ghost ring (see slicemarch._kernel_body)
                 g = jnp.float32(ghost)
-                if _slicemarch.RECIPROCAL_COORDS:
-                    pu = (pos_u - pmin[1]) * inv_cell1 - 0.5
-                    pv = (pos_v - pmin[2]) * inv_cell2 - 0.5
-                else:
-                    pu = (pos_u - pmin[1]) / cell[1] - 0.5
-                    pv = (pos_v - pmin[2]) / cell[2] - 0.5
+                pu = (pos_u - pmin[1]) / cell[1] - 0.5
+                pv = (pos_v - pmin[2]) / cell[2] - 0.5
                 pu = jnp.clip(pu, -g, (nu - 1).astype(jnp.float32) + g)
                 pv = jnp.clip(pv, -g, (nv - 1).astype(jnp.float32) + g)
                 fu0 = jnp.floor(pu)
@@ -420,10 +405,7 @@ def _kernel(
                     scalar = jnp.where(backward, s_b, s_f)
                 s_r, s_g, s_bl, s_l = classify(scalar)
 
-            q_k = (
-                w * inv_ref if _slicemarch.RECIPROCAL_COORDS
-                else w / ref_distance
-            )
+            q_k = w / ref_distance
             sample_a = jnp.where(valid, 1.0 - jnp.exp(q_k * s_l), 0.0)
             return s_r, s_g, s_bl, sample_a
 
