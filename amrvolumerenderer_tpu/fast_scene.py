@@ -995,6 +995,10 @@ class FastSceneRenderer:
         flush(group)
         drain()
         stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
+        # ordering-key memo effectiveness over the whole renderer life
+        # (visibility.OrderKeyCache; a hit skips the per-frame graph build)
+        stats["order_cache_hits"] = self._order_cache.hits
+        stats["order_cache_misses"] = self._order_cache.misses
         self.last_batch_stats = stats
 
         out = np.stack(results)
