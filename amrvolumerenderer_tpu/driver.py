@@ -398,10 +398,12 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
     pod, ``--devices N`` may address all of it, and the compositing mesh
     places the DCN axis outermost (directsend.make_mesh ``dcn_size``).
 
-    Validated virtually only: this environment has one host, so the path
-    is exercised by unit tests up to the initialize call, and the mesh
-    shaping is validated on the virtual multi-device mesh.  Returns True
-    when distributed mode was initialized.
+    Executed for real in tests/test_multihost.py: two OS processes (4
+    virtual CPU devices each) join through a localhost coordinator with
+    gloo collectives, run this exact CLI end-to-end, and rank 0's saved
+    frame is byte-identical to a single-process 8-device render.  A TPU
+    pod substitutes real hosts/ICI for the virtual devices with no code
+    change.  Returns True when distributed mode was initialized.
     """
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if os.environ.get("AVR_DISTRIBUTED", "0") in ("", "0") and not addr:
