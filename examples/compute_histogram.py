@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import math
+from typing import Optional, Sequence
 
 import amrvolumerenderer_tpu as avr
 
@@ -45,7 +46,7 @@ def percentiles(counts, edges, targets):
     return out
 
 
-def main() -> None:
+def main(argv: Optional[Sequence[str]] = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("plotfile")
     parser.add_argument("--variable", default=None)
@@ -53,7 +54,7 @@ def main() -> None:
     parser.add_argument("--max-level", type=int, default=-1)
     parser.add_argument("--log-scale", action="store_true")
     parser.add_argument("--bins", type=int, default=64)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     result = avr.compute_histogram(
         args.plotfile,

@@ -10,6 +10,7 @@ x^2 + y^2 + z^2, and render a 512^2 PNG through the in-situ API.
 from __future__ import annotations
 
 import argparse
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -17,12 +18,12 @@ from amrvolumerenderer_tpu import api
 from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
 
 
-def main() -> None:
+def main(argv: Optional[Sequence[str]] = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--width", type=int, default=512)
     parser.add_argument("--height", type=int, default=512)
     parser.add_argument("--output", default="multifab-render.png")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     n_cells, box_size = 32, 16
     coords = np.arange(n_cells) / (n_cells - 1)

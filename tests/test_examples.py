@@ -92,22 +92,19 @@ def test_render_volume_time_example(plotfile, tmp_path):
     assert len(os.listdir(tmp_path / "time")) == 1
 
 
-def test_compute_histogram_example(plotfile, tmp_path):
-    r = run_example(
-        "compute_histogram.py", [plotfile, "--bins", "16"], str(tmp_path)
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert "samples: 512" in r.stdout
-    assert "percentiles" in r.stdout
+def test_compute_histogram_example(plotfile, capsys):
+    mod = load_example("compute_histogram.py")
+    mod.main([plotfile, "--bins", "16"])
+    out = capsys.readouterr().out
+    assert "samples: 512" in out
+    assert "percentiles" in out
 
 
 def test_render_from_arrays_example(tmp_path):
-    r = run_example(
-        "render_from_arrays.py", ["--width", "48", "--height", "48"],
-        str(tmp_path),
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
-    assert os.path.exists(tmp_path / "multifab-render.png")
+    mod = load_example("render_from_arrays.py")
+    out = str(tmp_path / "multifab-render.png")
+    mod.main(["--width", "48", "--height", "48", "--output", out])
+    assert os.path.exists(out)
 
 
 def test_render_animation_example(tmp_path):
