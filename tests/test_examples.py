@@ -107,6 +107,14 @@ def test_render_from_arrays_example(tmp_path):
     assert os.path.exists(out)
 
 
+def test_fit_transfer_function_example(capsys):
+    mod = load_example("fit_transfer_function.py")
+    rc = mod.main(["--steps", "25", "--volume-size", "6", "--image-size", "16"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "reduction" in out
+
+
 def test_render_animation_example(tmp_path):
     mod = load_example("render_animation.py")
     assert mod.main([str(tmp_path / "anim"), "--frames", "3", "--size", "32"]) == 0
