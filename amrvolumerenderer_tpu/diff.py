@@ -125,6 +125,7 @@ def render_layers_diff(
     normalize: bool = False,
     clip_start: float = 1.0,
     apply_clip: bool = False,
+    remat: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable twin of ``ops.raymarch.render_bucket_impl``.
 
@@ -133,6 +134,12 @@ def render_layers_diff(
     lookup per the module docstring.  Returns ``(colors [B, H*W, 4],
     depths [B, H*W])``; depths carry NO gradient (they are the discrete
     box-entry hints used for ordering, not radiometric quantities).
+
+    ``remat=True`` (default) checkpoints each march step: the backward
+    pass recomputes step activations instead of storing all
+    ``num_steps`` of them, so gradient memory is O(pixels), independent
+    of march depth — the ``jax.checkpoint`` trade XLA is built for.
+    Forward-only calls are unaffected.
     """
     aspect = jnp.float32(width) / jnp.float32(max(height, 1))
     directions = _ray_directions(
@@ -185,7 +192,8 @@ def render_layers_diff(
             return accum + contrib, None
 
         init = jnp.zeros((n, 4), dtype=jnp.float32)
-        accum, _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+        step_fn = jax.checkpoint(body) if remat else body
+        accum, _ = jax.lax.scan(step_fn, init, jnp.arange(num_steps))
         accum = jnp.clip(accum, 0.0, 1.0)
 
         entry = eye[None, :] + directions * tmin[:, None]
@@ -238,6 +246,89 @@ render_image_diff_jit = functools.partial(
     jax.jit,
     static_argnames=(
         "width", "height", "num_steps", "log_scale", "normalize",
-        "clip_start", "apply_clip",
+        "clip_start", "apply_clip", "remat",
     ),
 )(render_image_diff)
+
+
+def prepare_scene(
+    bricks,
+    camera,
+    *,
+    width: int,
+    height: int,
+    color_map=None,
+    scalar_range: Tuple[float, float] = (0.0, 1.0),
+    box_transparency: float = 0.0,
+    lut_size: int = 256,
+):
+    """Assemble ``render_*_diff`` arguments from user-level scene inputs.
+
+    ``bricks`` is a sequence of ``(data [nx, ny, nz], min_corner,
+    max_corner)`` triples (raw scalar values, world corners); ``camera``
+    a ``types.CameraParameters``.  Bricks are padded to a shared shape,
+    and per-brick transfer-function LUTs are built with the forward
+    pipeline's step-ratio opacity normalization (``1-(1-a)^(step/ref)``,
+    VolumePainter.cpp:107-125) so opacity is march-step invariant —
+    exactly the product renderer's LUT build (renderer.py render_layers).
+
+    Returns ``(args, static)`` such that
+    ``render_image_diff(*args, **static)`` renders the scene; replace
+    ``args[0]`` (data) or ``args[4]`` (LUT stack) with optimization
+    variables to differentiate through them.
+    """
+    import numpy as np
+
+    from .camera import camera_basis
+    from .colormap import build_color_table
+
+    n = len(bricks)
+    if n == 0:
+        raise ValueError("prepare_scene needs at least one brick")
+    datas = [np.asarray(b[0], dtype=np.float32) for b in bricks]
+    mins = np.asarray([b[1] for b in bricks], dtype=np.float32)
+    maxs = np.asarray([b[2] for b in bricks], dtype=np.float32)
+    dims = np.asarray([d.shape for d in datas], dtype=np.int32)
+    pad = dims.max(axis=0)
+    packed = np.zeros((n, *pad), dtype=np.float32)
+    for i, d in enumerate(datas):
+        packed[i, : d.shape[0], : d.shape[1], : d.shape[2]] = d
+
+    spacing = (maxs - mins) / np.maximum(dims, 1)
+    sample_distances = np.maximum(spacing.min(axis=1) * 0.5, 1e-5).astype(
+        np.float32
+    )
+    ref = float(sample_distances.min())
+    alpha_scale = float(np.clip(1.0 - box_transparency, 0.0, 1.0))
+    luts = np.stack(
+        [
+            build_color_table(
+                alpha_scale, float(s) / ref, scalar_range, color_map,
+                size=lut_size,
+            )
+            for s in sample_distances
+        ]
+    ).astype(np.float32)
+
+    from .ops.raymarch import max_steps_for_bucket
+
+    num_steps = max_steps_for_bucket(mins, maxs, sample_distances)
+    forward, right, up = camera_basis(camera)
+    span = scalar_range[1] - scalar_range[0]
+    args = (
+        jnp.asarray(packed),
+        jnp.asarray(mins),
+        jnp.asarray(maxs),
+        jnp.asarray(dims),
+        jnp.asarray(luts),
+        jnp.asarray(sample_distances),
+        jnp.asarray(camera.eye, jnp.float32),
+        jnp.asarray(forward, jnp.float32),
+        jnp.asarray(right, jnp.float32),
+        jnp.asarray(up, jnp.float32),
+        jnp.float32(camera.fov_y_degrees),
+        jnp.float32(scalar_range[0]),
+        jnp.float32(1.0 / span if span != 0.0 else 1.0),
+    )
+    static = dict(width=width, height=height, num_steps=num_steps)
+    return args, static

@@ -221,6 +221,51 @@ def test_two_brick_default_order_is_depth_sorted():
     )
 
 
+def test_remat_grad_matches_no_remat():
+    rng = np.random.default_rng(6)
+    data = rng.uniform(0.2, 0.8, size=(6, 6, 6)).astype(np.float32)
+    args = make_args(data, smooth_lut())
+
+    def loss(d, remat):
+        return jnp.mean(
+            diff.render_image_diff(d, *args[1:], remat=remat, **STATIC)
+        )
+
+    g_remat = jax.grad(lambda d: loss(d, True))(args[0])
+    g_plain = jax.grad(lambda d: loss(d, False))(args[0])
+    np.testing.assert_allclose(
+        np.asarray(g_remat), np.asarray(g_plain), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_prepare_scene_end_to_end():
+    rng = np.random.default_rng(8)
+    bricks = [
+        (rng.uniform(0.1, 0.9, size=(6, 6, 6)).astype(np.float32),
+         (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+        (rng.uniform(0.1, 0.9, size=(4, 8, 6)).astype(np.float32),
+         (0.0, 0.0, 1.0), (1.0, 1.0, 2.0)),
+    ]
+    args, static = diff.prepare_scene(
+        bricks, make_camera(), width=WIDTH, height=HEIGHT
+    )
+    image = diff.render_image_diff(*args, **static)
+    assert image.shape == (WIDTH * HEIGHT, 4)
+    assert float(image[:, 3].max()) > 0.0
+
+    def loss(d):
+        return jnp.mean(diff.render_image_diff(d, *args[1:], **static))
+
+    g = np.asarray(jax.grad(loss)(args[0]))
+    assert np.any(g[0] != 0.0) and np.any(g[1] != 0.0), (
+        "gradients must flow into both bricks"
+    )
+    # padding cells (outside brick 1's [4, 8, 6] valid region) can only
+    # receive gradient through clamp-to-edge ties; the valid region must
+    # dominate
+    assert np.abs(g[1][:4, :8, :6]).sum() > 0.0
+
+
 def test_transfer_function_optimization_descends():
     # the motivating use case: recover a transfer function by gradient
     # descent against a target image rendered with a known TF.
