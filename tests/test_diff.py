@@ -266,6 +266,41 @@ def test_prepare_scene_end_to_end():
     assert np.abs(g[1][:4, :8, :6]).sum() > 0.0
 
 
+def test_sharded_brick_axis_gradient_matches_single_device():
+    # the diff path is plain XLA, so data-parallel gradients come from
+    # GSPMD alone: shard the brick axis over the virtual 8-device mesh
+    # and the jitted gradient must match the unsharded one exactly.
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    rng = np.random.default_rng(13)
+    bricks = []
+    for b in range(8):
+        lo = (0.0, 0.0, float(b))
+        hi = (1.0, 1.0, float(b) + 1.0)
+        bricks.append(
+            (rng.uniform(0.1, 0.9, size=(4, 4, 4)).astype(np.float32), lo, hi)
+        )
+    camera = CameraParameters(
+        eye=(0.5, 0.5, 20.0), look_at=(0.5, 0.5, 4.0), up=(0.0, 1.0, 0.0)
+    )
+    args, static = diff.prepare_scene(bricks, camera, width=8, height=8)
+
+    def loss(d):
+        return jnp.mean(diff.render_image_diff(d, *args[1:], **static))
+
+    g_single = np.asarray(jax.jit(jax.grad(loss))(args[0]))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("bricks",))
+    sharding = NamedSharding(mesh, PartitionSpec("bricks"))
+    data_sharded = jax.device_put(args[0], sharding)
+    g_sharded = np.asarray(jax.jit(jax.grad(loss))(data_sharded))
+    np.testing.assert_allclose(g_sharded, g_single, rtol=1e-6, atol=1e-9)
+
+
 def test_transfer_function_optimization_descends():
     # the motivating use case: recover a transfer function by gradient
     # descent against a target image rendered with a known TF.

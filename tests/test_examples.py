@@ -115,6 +115,15 @@ def test_fit_transfer_function_example(capsys):
     assert "reduction" in out
 
 
+def test_fit_volume_example(capsys):
+    mod = load_example("fit_volume.py")
+    rc = mod.main(["--steps", "80", "--volume-size", "6",
+                   "--image-size", "14", "--views", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "correlation" in out
+
+
 def test_render_animation_example(tmp_path):
     mod = load_example("render_animation.py")
     assert mod.main([str(tmp_path / "anim"), "--frames", "3", "--size", "32"]) == 0
