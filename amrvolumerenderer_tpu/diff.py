@@ -38,8 +38,11 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .ops.raymarch import _ray_directions, _slab_intersect
+from .camera import camera_basis
+from .colormap import build_color_table
+from .ops.raymarch import _ray_directions, _slab_intersect, max_steps_for_bucket
 from .transforms import apply_scalar_transform, saturate_soft_tail
 
 
@@ -155,7 +158,13 @@ def render_layers_diff(
         extent = bmax - bmin
         extent_mag = jnp.sqrt(jnp.sum(extent * extent))
         mesh_eps = extent_mag * 1e-4
-        d0 = tmin + mesh_eps
+        # sanitize miss rays: the slab guard leaves tmin = +inf on rays
+        # with a zero direction component outside the box, and inf * 0
+        # in the position math makes NaNs that AD propagates into the
+        # cotangents even though the forward image is mask-clean — so
+        # pin misses to a finite dummy distance before any arithmetic
+        tmin_safe = jnp.where(hit, tmin, 0.0)
+        d0 = tmin_safe + mesh_eps
         d0 = jnp.where(d0 < 0.0, mesh_eps, d0)
 
         dims_f = dims.astype(jnp.float32)
@@ -196,7 +205,7 @@ def render_layers_diff(
         accum, _ = jax.lax.scan(step_fn, init, jnp.arange(num_steps))
         accum = jnp.clip(accum, 0.0, 1.0)
 
-        entry = eye[None, :] + directions * tmin[:, None]
+        entry = eye[None, :] + directions * tmin_safe[:, None]
         depth = jnp.sum((entry - eye[None, :]) * basis_forward[None, :], axis=-1)
         depth = jax.lax.stop_gradient(
             jnp.where(hit & (accum[:, 3] > 0.0) & jnp.isfinite(depth), depth, jnp.inf)
@@ -230,15 +239,35 @@ def composite_layers_diff(
     return jnp.clip(out, 0.0, 1.0)
 
 
-def render_image_diff(*args, order=None, **kwargs) -> jnp.ndarray:
+def render_image_diff(
+    data,
+    min_corner,
+    max_corner,
+    *args,
+    order=None,
+    **kwargs,
+) -> jnp.ndarray:
     """Render all bricks and composite them: the one-call differentiable
-    pipeline.  ``order`` defaults to sorting layers by their (stop-gradient)
-    depth hints — correct for disjoint bricks viewed from outside, the same
-    contract as the forward depth-hint fallback.  Returns [H*W, 4]."""
-    colors, depths = render_layers_diff(*args, **kwargs)
+    pipeline.  ``order`` defaults to the forward pipeline's depth-hint
+    fallback — the minimum view depth over each box's 8 corners
+    (camera.compute_box_depth_hints, VolumeRenderer.cpp:541-553) — so
+    the default composite matches the product renderer's hint ordering;
+    pass an explicit visibility permutation for graph-exact order.
+    Returns [H*W, 4]."""
+    colors, _ = render_layers_diff(data, min_corner, max_corner, *args, **kwargs)
     if order is None:
-        key = jnp.where(jnp.isfinite(depths), depths, jnp.inf).min(axis=1)
-        order = jnp.argsort(key)
+        eye, basis_forward = args[3], args[4]
+        sel = jnp.asarray(
+            [[c & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], bool
+        )  # [8, 3]
+        corners = jnp.where(
+            sel[None], max_corner[:, None, :], min_corner[:, None, :]
+        )  # [B, 8, 3]
+        key = jnp.min(
+            jnp.einsum("bcx,x->bc", corners - eye[None, None, :], basis_forward),
+            axis=1,
+        )
+        order = jnp.argsort(jax.lax.stop_gradient(key))
     return composite_layers_diff(colors, order)
 
 
@@ -277,11 +306,6 @@ def prepare_scene(
     ``args[0]`` (data) or ``args[4]`` (LUT stack) with optimization
     variables to differentiate through them.
     """
-    import numpy as np
-
-    from .camera import camera_basis
-    from .colormap import build_color_table
-
     n = len(bricks)
     if n == 0:
         raise ValueError("prepare_scene needs at least one brick")
@@ -298,7 +322,11 @@ def prepare_scene(
     sample_distances = np.maximum(spacing.min(axis=1) * 0.5, 1e-5).astype(
         np.float32
     )
-    ref = float(sample_distances.min())
+    # reference distance = the COARSEST brick's sample distance, matching
+    # renderer.compute_reference_sample_distance (half the coarsest
+    # min-spacing, VolumeRenderer.cpp:1138-1190) so per-brick opacity
+    # normalization is identical to the product pipeline's LUT build
+    ref = float(sample_distances.max())
     alpha_scale = float(np.clip(1.0 - box_transparency, 0.0, 1.0))
     luts = np.stack(
         [
@@ -309,8 +337,6 @@ def prepare_scene(
             for s in sample_distances
         ]
     ).astype(np.float32)
-
-    from .ops.raymarch import max_steps_for_bucket
 
     num_steps = max_steps_for_bucket(mins, maxs, sample_distances)
     forward, right, up = camera_basis(camera)

@@ -75,7 +75,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     def loss_fn(lut):
         image = diff.render_image_diff(
-            *scene_args[:4], jnp.clip(lut, 0.0, 1.0), *scene_args[4:], **static
+            *scene_args[:4], lut, *scene_args[4:], **static
         )
         return jnp.mean((image - target) ** 2)
 
@@ -90,7 +90,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if initial is None:
             initial = float(val)
         updates, opt_state = optimizer.update(grad, opt_state)
-        lut = optax.apply_updates(lut, updates)
+        # project back into [0, 1] AFTER the update: clipping inside the
+        # loss would zero the gradient of any out-of-range entry and
+        # freeze it there permanently
+        lut = jnp.clip(optax.apply_updates(lut, updates), 0.0, 1.0)
         if step % 10 == 0 or step == args_ns.steps - 1:
             print(f"step {step:4d}  loss {float(val):.6g}")
 

@@ -70,7 +70,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         total = 0.0
         for scene_args, static, target in views:
             image = diff.render_image_diff(
-                jnp.clip(volume, 0.0, 1.0)[None], *scene_args[1:], **static
+                volume[None], *scene_args[1:], **static
             )
             total = total + jnp.mean((image - target) ** 2)
         return total / len(views)
@@ -86,7 +86,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if initial is None:
             initial = float(val)
         updates, opt_state = optimizer.update(grad, opt_state)
-        volume = optax.apply_updates(volume, updates)
+        # project back into [0, 1] AFTER the update: clipping inside the
+        # loss would zero the gradient of any out-of-range cell and
+        # freeze it there permanently
+        volume = jnp.clip(optax.apply_updates(volume, updates), 0.0, 1.0)
         if step % 25 == 0 or step == args_ns.steps - 1:
             print(f"step {step:4d}  loss {float(val):.6g}")
 

@@ -301,6 +301,96 @@ def test_sharded_brick_axis_gradient_matches_single_device():
     np.testing.assert_allclose(g_sharded, g_single, rtol=1e-6, atol=1e-9)
 
 
+def test_no_nan_gradient_on_parallel_miss_rays():
+    # regression: an axis-aligned camera with an odd image dimension puts
+    # exactly-zero direction components on the center row/column; for a
+    # brick whose perpendicular extent excludes the eye the slab guard
+    # returns tmin = +inf, and inf * 0 in the position math used to
+    # poison jax.grad with NaNs while the forward image stayed clean.
+    rng = np.random.default_rng(15)
+    data = rng.uniform(0.2, 0.8, size=(4, 4, 4)).astype(np.float32)
+    lut = smooth_lut()
+    # brick displaced in x so the eye (x=0.5) is outside its x slab
+    args = make_args(data, lut, bmin=(2.0, 0.0, 0.0), bmax=(3.0, 1.0, 1.0))
+    static = dict(STATIC, width=11, height=11)
+
+    def loss(d):
+        return jnp.sum(diff.render_image_diff(d, *args[1:], **static))
+
+    image = np.asarray(diff.render_image_diff(*args, **static))
+    assert np.all(np.isfinite(image))
+    g = np.asarray(jax.grad(loss)(args[0]))
+    assert np.all(np.isfinite(g)), f"{np.isnan(g).sum()} NaN gradient cells"
+
+
+def test_prepare_scene_opacity_reference_is_coarsest_brick():
+    # the product pipeline normalizes per-brick LUT opacity against the
+    # COARSEST brick (renderer.compute_reference_sample_distance); the
+    # coarse brick's normalization factor is then exactly 1, so its LUT
+    # must equal a plain build, and the fine brick's opacity must come
+    # out LOWER per sample (factor < 1 under 1-(1-a)^f).
+    from amrvolumerenderer_tpu.colormap import build_color_table
+
+    rng = np.random.default_rng(19)
+    coarse = rng.uniform(0.2, 0.8, size=(4, 4, 4)).astype(np.float32)
+    fine = rng.uniform(0.2, 0.8, size=(8, 8, 8)).astype(np.float32)
+    bricks = [
+        (coarse, (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+        (fine, (0.0, 0.0, 1.0), (1.0, 1.0, 2.0)),
+    ]
+    args, _ = diff.prepare_scene(bricks, make_camera(), width=8, height=8)
+    luts = np.asarray(args[4])
+    expected_coarse = build_color_table(1.0, 1.0, (0.0, 1.0), None, size=256)
+    np.testing.assert_allclose(luts[0], expected_coarse, rtol=1e-6, atol=1e-7)
+    # fine brick steps half as far -> factor 0.5 -> strictly less alpha
+    assert np.all(luts[1][1:, 3] < luts[0][1:, 3])
+
+
+def test_default_order_matches_corner_depth_hints():
+    # the default ordering key must be the forward pipeline's fallback:
+    # min view depth over the 8 box corners (compute_box_depth_hints),
+    # not a per-pixel alpha-gated entry depth — a brick that accumulates
+    # zero alpha must still order by its geometry.
+    from amrvolumerenderer_tpu.camera import compute_box_depth_hints
+
+    camera = make_camera()
+    forward, right, up = camera_basis(camera)
+    mins = np.array([[0.0, 0.0, 1.0], [0.0, 0.0, 0.0]], np.float32)
+    maxs = np.array([[1.0, 1.0, 2.0], [1.0, 1.0, 1.0]], np.float32)
+    hints = compute_box_depth_hints(mins, maxs, camera)
+    expected = np.argsort(hints)
+    # transparent LUT: the per-pixel entry-depth key would be inf for
+    # both bricks (no alpha), but the corner-hint key still orders them
+    lut = np.zeros((256, 4), dtype=np.float32)
+    data = np.full((4, 4, 4), 0.5, dtype=np.float32)
+    orders = []
+
+    real_composite = diff.composite_layers_diff
+
+    def spy_composite(colors, order):
+        orders.append(np.asarray(order))
+        return real_composite(colors, order)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(diff, "composite_layers_diff", spy_composite):
+        diff.render_image_diff(
+            jnp.asarray(np.stack([data, data])),
+            jnp.asarray(mins), jnp.asarray(maxs),
+            jnp.asarray([[4, 4, 4], [4, 4, 4]], jnp.int32),
+            jnp.asarray(np.stack([lut, lut])),
+            jnp.asarray([0.125, 0.125], jnp.float32),
+            jnp.asarray(camera.eye, jnp.float32),
+            jnp.asarray(forward, jnp.float32),
+            jnp.asarray(right, jnp.float32),
+            jnp.asarray(up, jnp.float32),
+            jnp.float32(camera.fov_y_degrees),
+            jnp.float32(0.0), jnp.float32(1.0),
+            **STATIC,
+        )
+    np.testing.assert_array_equal(orders[0], expected)
+
+
 def test_transfer_function_optimization_descends():
     # the motivating use case: recover a transfer function by gradient
     # descent against a target image rendered with a known TF.
