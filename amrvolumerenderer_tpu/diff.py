@@ -290,6 +290,7 @@ def prepare_scene(
     scalar_range: Tuple[float, float] = (0.0, 1.0),
     box_transparency: float = 0.0,
     lut_size: int = 256,
+    transform=None,
 ):
     """Assemble ``render_*_diff`` arguments from user-level scene inputs.
 
@@ -301,11 +302,19 @@ def prepare_scene(
     VolumePainter.cpp:107-125) so opacity is march-step invariant —
     exactly the product renderer's LUT build (renderer.py render_layers).
 
+    ``transform`` (a ``types.ScalarTransform``, default identity) threads
+    the scene's log/normalize scalar pipeline and soft tail clip exactly
+    as the product renderer does (renderer.py render_layers).
+
     Returns ``(args, static)`` such that
     ``render_image_diff(*args, **static)`` renders the scene; replace
     ``args[0]`` (data) or ``args[4]`` (LUT stack) with optimization
     variables to differentiate through them.
     """
+    from .colormap import SOFT_CLIP_TOLERANCE
+    from .types import ScalarTransform
+
+    t = transform if transform is not None else ScalarTransform()
     n = len(bricks)
     if n == 0:
         raise ValueError("prepare_scene needs at least one brick")
@@ -355,6 +364,51 @@ def prepare_scene(
         jnp.float32(camera.fov_y_degrees),
         jnp.float32(scalar_range[0]),
         jnp.float32(1.0 / span if span != 0.0 else 1.0),
+        jnp.float32(t.positive_floor),
+        jnp.float32(t.normalization_min),
+        jnp.float32(t.inverse_normalization_span),
     )
-    static = dict(width=width, height=height, num_steps=num_steps)
+    clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
+    static = dict(
+        width=width,
+        height=height,
+        num_steps=num_steps,
+        log_scale=bool(t.log_scale_input),
+        normalize=bool(t.normalize_to_unit_range),
+        clip_start=clip_start,
+        apply_clip=bool(1.0 > clip_start + SOFT_CLIP_TOLERANCE),
+    )
     return args, static
+
+
+def prepare_geometry(
+    geometry,
+    camera,
+    *,
+    width: int,
+    height: int,
+    color_map=None,
+    box_transparency: float = 0.0,
+    lut_size: int = 256,
+):
+    """``prepare_scene`` from a built ``SceneGeometry`` — the bridge from
+    the product ingestion paths (plotfile load, in-situ arrays) to the
+    differentiable renderer.  Threads the geometry's scalar transform and
+    its global transformed range (renderer.compute_global_scalar_range,
+    the same range the forward pipeline classifies with)."""
+    # local import: renderer pulls in the full orchestration stack, which
+    # the diff module otherwise does not need
+    from .renderer import compute_global_scalar_range
+
+    scalar_range = compute_global_scalar_range(geometry)
+    return prepare_scene(
+        [(b.data, b.min_corner, b.max_corner) for b in geometry.bricks],
+        camera,
+        width=width,
+        height=height,
+        color_map=color_map,
+        scalar_range=scalar_range,
+        box_transparency=box_transparency,
+        lut_size=lut_size,
+        transform=geometry.scalar_transform,
+    )

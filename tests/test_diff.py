@@ -391,6 +391,40 @@ def test_default_order_matches_corner_depth_hints():
     np.testing.assert_array_equal(orders[0], expected)
 
 
+def test_prepare_geometry_from_plotfile(tmp_path):
+    # the bridge from the product ingestion path to the diff renderer:
+    # write a plotfile, load it through the driver's scene build, and
+    # differentiate through the resulting scene.
+    from amrvolumerenderer_tpu.driver import load_plotfile_geometry
+    from amrvolumerenderer_tpu.plotfile import write_plotfile
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+    n = 8
+    c = np.arange(n) / (n - 1)
+    field = (c[:, None, None] ** 2 + c[None, :, None] ** 2
+             + c[None, None, :] ** 2).astype(np.float64)
+    path = str(tmp_path / "plt00000")
+    write_plotfile(
+        path, [[LevelBox(field, np.zeros(3, dtype=int))]],
+        [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))],
+        var_names=["density"],
+    )
+    geometry = load_plotfile_geometry(
+        path, "density", 0, -1, log_scale_input=False, verbose=False
+    )
+    args, static = diff.prepare_geometry(
+        geometry, make_camera(), width=WIDTH, height=HEIGHT
+    )
+    image = diff.render_image_diff(*args, **static)
+    assert float(image[:, 3].max()) > 0.0
+
+    def loss(d):
+        return jnp.mean(diff.render_image_diff(d, *args[1:], **static))
+
+    g = np.asarray(jax.grad(loss)(args[0]))
+    assert np.any(g != 0.0)
+
+
 def test_transfer_function_optimization_descends():
     # the motivating use case: recover a transfer function by gradient
     # descent against a target image rendered with a known TF.
