@@ -60,11 +60,25 @@ def random_camera(rng):
     )
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_single_vs_multichip_fuzz(seed):
+@pytest.mark.parametrize(
+    "seed,knobs",
+    [
+        (11, {}),
+        (23, {}),
+        (47, {}),
+        # quality-knob matrix: the cross-path invariant must hold for
+        # every kernel variant, not just the defaults — each knob selects
+        # different gather/classify code in BOTH kernels
+        (59, {"sampling": "trilinear"}),
+        (61, {"sampling": "trilinear", "classification": "pre"}),
+        (67, {"lut_size": 128}),
+        (71, {"sampling": "trilinear", "lut_size": 128}),
+    ],
+)
+def test_single_vs_multichip_fuzz(seed, knobs):
     rng = np.random.default_rng(seed)
     geometry = random_geometry(rng)
-    params = RenderParameters(width=32, height=32)
+    params = RenderParameters(width=32, height=32, **knobs)
     single = FastSceneRenderer(geometry, params)
     multi = MultiChipSceneRenderer(geometry, params, num_devices=8)
     for _ in range(2):
