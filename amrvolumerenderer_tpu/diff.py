@@ -25,6 +25,13 @@ chosen so gradients flow while the forward stays visually faithful:
     pixels stop depending on deeper samples, exactly as in the forward
     path; the gradient is correct almost everywhere.
 
+  Gradient surfaces: **volume data and transfer function** are the
+  first-class, finite-difference-validated surfaces (the quadrature grid
+  does not move with them).  Camera-pose gradients exist and are finite,
+  but are subgradients of the fixed-step quadrature's staircase (the
+  per-pixel step count jumps as the eye moves); treat them as descent
+  directions, not exact sensitivities.
+
 Everything is jit-compatible with static shapes; wrap any function here in
 ``jax.grad``/``jax.vjp``/``jax.jvp`` freely.  The module is self-contained
 on purpose (no Pallas): hardware speed paths stay forward-only, and this
