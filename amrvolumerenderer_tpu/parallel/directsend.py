@@ -22,6 +22,7 @@ ordered fold, with XLA scheduling the collectives on ICI.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -36,19 +37,51 @@ AXIS = "ranks"
 
 
 def make_mesh(
-    num_devices: int | None = None, dcn_size: int | None = None
+    num_devices: int | None = None, dcn_size=None
 ) -> Mesh:
     """A device mesh over the compositing axis.
 
     ``dcn_size`` splits the devices into a 2D (dcn, ranks) mesh for
     multi-host topologies: place the slow inter-host links on the outer
     axis so XLA routes the bulk pixel exchange within hosts where possible.
+    ``dcn_size="auto"`` applies the product policy: one dcn row per host
+    when multiple processes are present (the single place that policy
+    lives — driver.maybe_initialize_distributed launches land here).
     All compositing collectives run over the flattened axis tuple, so the
     pipelines below work unchanged on either shape.
     """
     devices = jax.devices()
-    if num_devices is not None:
-        devices = devices[:num_devices]
+    n_hosts = jax.process_count()
+    if num_devices is not None and num_devices < len(devices):
+        if n_hosts > 1:
+            # jax.devices() is process-major: a plain prefix would take
+            # only the first host's chips, leaving the other processes
+            # with no addressable shard and misaligning any dcn row with
+            # its host — take an equal per-host prefix instead
+            if num_devices % n_hosts:
+                raise ValueError(
+                    f"num_devices={num_devices} must be a multiple of the "
+                    f"host count {n_hosts} on multi-host launches"
+                )
+            per_host = num_devices // n_hosts
+            by_host: dict = {}
+            for d in devices:
+                by_host.setdefault(d.process_index, []).append(d)
+            picked = []
+            for p in sorted(by_host):
+                if len(by_host[p]) < per_host:
+                    raise ValueError(
+                        f"host {p} has only {len(by_host[p])} devices; "
+                        f"{per_host} per host requested"
+                    )
+                picked.extend(by_host[p][:per_host])
+            devices = picked
+        else:
+            devices = devices[:num_devices]
+    if dcn_size == "auto":
+        dcn_size = (
+            n_hosts if n_hosts > 1 and len(devices) % n_hosts == 0 else None
+        )
     if dcn_size is not None:
         if len(devices) % dcn_size:
             raise ValueError("device count not divisible by dcn_size")
@@ -127,6 +160,23 @@ def _compose_shard(
     return _composite_sorted_runs(sorted_layers, sorted_owners)
 
 
+@functools.lru_cache(maxsize=None)
+def _layers_prog(mesh: Mesh, transport: str):
+    """Cached jitted program for composite_layers_sharded: the compose
+    utilities are called per frame by layer-compositing users, so the
+    program must be built once per (mesh, transport), not per call (a
+    fresh lambda identity defeats the jit cache and recompiles)."""
+    axes = mesh_axes(mesh)
+    return jax.jit(
+        jax.shard_map(
+            lambda l, h: _compose_shard(l, h, transport, axes),
+            mesh=mesh,
+            in_specs=(P(axes), P(axes)),
+            out_specs=P(axes),
+        )
+    )
+
+
 def composite_layers_sharded(
     mesh: Mesh,
     layers: jnp.ndarray,  # [D * Lmax, P, 5] global, shardable on axis 0
@@ -140,17 +190,7 @@ def composite_layers_sharded(
     across devices)."""
     num_devices = mesh.devices.size
     assert layers.shape[1] % num_devices == 0
-    axes = mesh_axes(mesh)
-
-    compose = jax.jit(
-        jax.shard_map(
-            lambda l, h: _compose_shard(l, h, transport, axes),
-            mesh=mesh,
-            in_specs=(P(axes), P(axes)),
-            out_specs=P(axes),
-        )
-    )
-    return compose(layers, hints)
+    return _layers_prog(mesh, transport)(layers, hints)
 
 
 def render_and_composite_sharded(
@@ -339,9 +379,18 @@ def compose_flat_sharded(
     assert images.shape[0] == num_devices
     assert images.shape[1] % num_devices == 0
     order = jnp.asarray(np.asarray(group_order, dtype=np.int32))
+    return _flat_prog(mesh)(images, order)
 
-    def shard_body(img):
-        # img: [1, P, C] this device's image
+
+@functools.lru_cache(maxsize=None)
+def _flat_prog(mesh: Mesh):
+    """Cached jitted program for compose_flat_sharded (the group order is
+    a traced argument, so one program serves every frame/permutation)."""
+    axes = mesh_axes(mesh)
+    num_devices = mesh.devices.size
+
+    def shard_body(img, order):
+        # img: [1, P, C] this device's image; order: [D] replicated
         _, num_pixels, channels = img.shape
         shard = num_pixels // num_devices
         chunks = img.reshape(num_devices, shard, channels)
@@ -357,13 +406,41 @@ def compose_flat_sharded(
         first = received[order[0]]
         return jax.lax.fori_loop(1, num_devices, body, first)
 
-    axes = mesh_axes(mesh)
-    compose = jax.jit(
+    return jax.jit(
         jax.shard_map(
-            shard_body, mesh=mesh, in_specs=P(axes), out_specs=P(axes),
+            shard_body, mesh=mesh, in_specs=(P(axes), P()), out_specs=P(axes),
         )
     )
-    return compose(images)
+
+
+def _contiguous_chunk_counts(n: int, num_devices: int):
+    """Nearly-equal contiguous chunk sizes (remainder spread over the
+    first chunks) — the ONE place the depth-contiguous split policy
+    lives, shared by depth_contiguous_assignment / pack_depth_contiguous
+    / pack_contiguous so the pipelines can never disagree on placement."""
+    base, extra = n // num_devices, n % num_devices
+    return [base + (1 if d < extra else 0) for d in range(num_devices)]
+
+
+def _exchange_fold_partials(partial, num_devices, shard, transport, axes):
+    """Exchange D depth-contiguous partial frames (one per device) and
+    fold them in device order — device order IS depth order (see
+    composite_partials_sharded for the exactness argument).
+
+    ``transport="ubyte"`` ships the partials' colors as bytes (the
+    reference's color-ubyte compositing axis, ImageRGBAUByteColor*) for
+    2.5x less ICI traffic per partial."""
+    if transport == "ubyte":
+        cb = _encode_ubyte(partial[:, :4]).reshape(num_devices, shard, 4)
+        db = partial[:, 4].reshape(num_devices, shard)
+        rc = jax.lax.all_to_all(cb, axes, split_axis=0, concat_axis=0)
+        rd = jax.lax.all_to_all(db, axes, split_axis=0, concat_axis=0)
+        received = jnp.concatenate([_decode_ubyte(rc), rd[..., None]], axis=-1)
+    else:
+        chunks = partial.reshape(num_devices, shard, partial.shape[-1])
+        received = jax.lax.all_to_all(chunks, axes, split_axis=0, concat_axis=0)
+    run_keys = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
+    return _composite_sorted_runs(received, run_keys)
 
 
 def depth_contiguous_assignment(
@@ -392,11 +469,8 @@ def depth_contiguous_assignment(
         np.arange(n, dtype=np.int32),
     )
     device_of_brick = np.zeros(n, dtype=np.int32)
-    base = n // num_devices
-    extra = n % num_devices
     pos = 0
-    for d in range(num_devices):
-        count = base + (1 if d < extra else 0)
+    for d, count in enumerate(_contiguous_chunk_counts(n, num_devices)):
         device_of_brick[order[pos : pos + count]] = d
         pos += count
     return device_of_brick
@@ -406,6 +480,7 @@ def composite_partials_sharded(
     mesh: Mesh,
     partials: jnp.ndarray,  # [D, P, 5] per-device pre-composited frames,
     #                          device d's partial covers depth run d
+    transport: str = "float32",
 ) -> jnp.ndarray:
     """Fold depth-contiguous per-device partial frames front-to-back.
 
@@ -432,21 +507,26 @@ def composite_partials_sharded(
     num_devices = mesh.devices.size
     assert partials.shape[0] == num_devices
     assert partials.shape[1] % num_devices == 0
+    return _partials_prog(mesh, transport)(partials)
+
+
+@functools.lru_cache(maxsize=None)
+def _partials_prog(mesh: Mesh, transport: str):
+    """Cached jitted program for composite_partials_sharded."""
+    axes = mesh_axes(mesh)
+    num_devices = mesh.devices.size
 
     def body(img):
         # img [1, P, 5]; exchange pixel shards, fold D partials in order
-        _, num_pixels, channels = img.shape
+        _, num_pixels, _ = img.shape
         shard = num_pixels // num_devices
-        chunks = img.reshape(num_devices, shard, channels)
-        received = jax.lax.all_to_all(chunks, axes, split_axis=0, concat_axis=0)
-        owners = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
-        return _composite_sorted_runs(received, owners)
+        return _exchange_fold_partials(
+            img[0], num_devices, shard, transport, axes
+        )
 
-    axes = mesh_axes(mesh)
-    compose = jax.jit(
+    return jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=P(axes), out_specs=P(axes))
     )
-    return compose(partials)
 
 
 def pack_depth_contiguous(
@@ -471,8 +551,15 @@ def pack_depth_contiguous(
         np.asarray(depth_hints), np.asarray(owners_hint_ties),
         np.arange(n, dtype=np.int32),
     )
-    base, extra = n // num_devices, n % num_devices
-    counts = [base + (1 if d < extra else 0) for d in range(num_devices)]
+    return _pack_slots(order, np.asarray(depth_hints), num_devices, arrays)
+
+
+def _pack_slots(order, depth_hints, num_devices, arrays):
+    """Scatter bricks (taken in ``order``) into contiguous per-device slot
+    chunks padded to a common Bmax — the shared body of pack_contiguous
+    and pack_depth_contiguous."""
+    n = len(order)
+    counts = _contiguous_chunk_counts(n, num_devices)
     bmax = max(max(counts), 1)
     total = num_devices * bmax
 
@@ -607,16 +694,21 @@ def select_compaction(
     rect = coverage_rect(
         coverage, width, height, tile_w, tile_h, num_devices
     )
-    tiles = coverage_tiles(
-        coverage, width, height, tile_w, tile_h, num_devices
+    # decide on the COUNT alone (padded exactly as coverage_tiles pads);
+    # the per-pixel gather-index table is built only if tiles win — on a
+    # mostly-covered HD frame it is megabytes of immediately-dropped int32
+    n_active = max(
+        int(np.asarray(coverage).any(axis=0).sum()), 1
     )
+    tile_payload = n_active * tile_w * tile_h
+    tile_payload += (-tile_payload) % num_devices
     frame_pixels = width * height
     rect_payload = rect[2] * rect[3] if rect else frame_pixels
-    tile_payload = len(tiles[0]) if tiles else frame_pixels
     # prefer the contiguous rect unless tiles cut the payload by >= 30%
-    if tiles and tile_payload < 0.7 * rect_payload and \
-            tile_payload < 0.9 * frame_pixels:
-        return None, tiles
+    if tile_payload < 0.7 * rect_payload and tile_payload < 0.9 * frame_pixels:
+        return None, coverage_tiles(
+            coverage, width, height, tile_w, tile_h, num_devices
+        )
     return rect, None
 
 
@@ -685,24 +777,10 @@ def pack_contiguous(
     Returns ``(packed_arrays, valid, packed_hints)``.
     """
     n = len(depth_hints)
-    base, extra = n // num_devices, n % num_devices
-    counts = [base + (1 if d < extra else 0) for d in range(num_devices)]
-    bmax = max(max(counts), 1)
-    total = num_devices * bmax
-
-    valid = np.zeros(total, dtype=bool)
-    packed_hints = np.full(total, np.inf, dtype=np.float32)
-    packed = [np.zeros((total,) + a.shape[1:], dtype=a.dtype) for a in arrays]
-    pos = 0
-    for d in range(num_devices):
-        for slot in range(counts[d]):
-            dst = d * bmax + slot
-            valid[dst] = True
-            packed_hints[dst] = depth_hints[pos]
-            for p, a in zip(packed, arrays):
-                p[dst] = a[pos]
-            pos += 1
-    return tuple(packed), valid, packed_hints
+    return _pack_slots(
+        np.arange(n, dtype=np.int32), np.asarray(depth_hints),
+        num_devices, arrays,
+    )
 
 
 def render_depth_contiguous_tilemarch(
@@ -775,22 +853,9 @@ def render_depth_contiguous_tilemarch(
         )
 
         # device order IS depth order: exchange + fold the D partials
-        shard = num_pixels // num_devices
-        if transport == "ubyte":
-            cb = _encode_ubyte(partial[:, :4]).reshape(num_devices, shard, 4)
-            db = partial[:, 4].reshape(num_devices, shard)
-            rc = jax.lax.all_to_all(cb, axes, split_axis=0, concat_axis=0)
-            rd = jax.lax.all_to_all(db, axes, split_axis=0, concat_axis=0)
-            received = jnp.concatenate(
-                [_decode_ubyte(rc), rd[..., None]], axis=-1
-            )
-        else:
-            chunks = partial.reshape(num_devices, shard, 5)
-            received = jax.lax.all_to_all(
-                chunks, axes, split_axis=0, concat_axis=0
-            )
-        run_keys = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
-        return _composite_sorted_runs(received, run_keys)
+        return _exchange_fold_partials(
+            partial, num_devices, num_pixels // num_devices, transport, axes
+        )
 
     axes = mesh_axes(mesh)
     sharded = jax.jit(
@@ -874,25 +939,10 @@ def render_depth_contiguous_slicemarch(
             sorted_layers, jnp.arange(lmax, dtype=jnp.int32)
         )
 
-        # device order IS depth order: exchange + fold the D partials.
-        # transport="ubyte" ships the partials' colors as bytes (the
-        # reference's color-ubyte compositing axis) for 2.5x less traffic.
-        shard = num_pixels // num_devices
-        if transport == "ubyte":
-            cb = _encode_ubyte(partial[:, :4]).reshape(num_devices, shard, 4)
-            db = partial[:, 4].reshape(num_devices, shard)
-            rc = jax.lax.all_to_all(cb, axes, split_axis=0, concat_axis=0)
-            rd = jax.lax.all_to_all(db, axes, split_axis=0, concat_axis=0)
-            received = jnp.concatenate(
-                [_decode_ubyte(rc), rd[..., None]], axis=-1
-            )
-        else:
-            chunks = partial.reshape(num_devices, shard, 5)
-            received = jax.lax.all_to_all(
-                chunks, axes, split_axis=0, concat_axis=0
-            )
-        owners = jax.lax.broadcasted_iota(jnp.int32, (num_devices, 1), 0)[:, 0]
-        return _composite_sorted_runs(received, owners)
+        # device order IS depth order: exchange + fold the D partials
+        return _exchange_fold_partials(
+            partial, num_devices, num_pixels // num_devices, transport, axes
+        )
 
     axes = mesh_axes(mesh)
     sharded = jax.jit(

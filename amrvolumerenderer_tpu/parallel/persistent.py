@@ -95,11 +95,9 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                 f"by the device count {num_devices}"
             )
         self.num_devices = num_devices
-        n_hosts = jax.process_count()
-        dcn = (
-            n_hosts if n_hosts > 1 and num_devices % n_hosts == 0 else None
-        )
-        self.mesh = make_mesh(num_devices, dcn_size=dcn)
+        # multi-host mesh shaping policy lives in make_mesh ("auto" = one
+        # dcn row per host)
+        self.mesh = make_mesh(num_devices, dcn_size="auto")
 
         # static placement: global (owner, local index) order split into
         # contiguous per-device runs (pack_contiguous), fixed for the
@@ -118,7 +116,11 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         self._placed_lut = None  # sharded [T, 4, LUT_ROWS, LANES]
         self._meta_cache: dict = {}  # (axis, lut epoch) -> device tables
         self._lut_epoch = 0
-        self._step_prog = None  # ONE compiled shard_map program, all frames
+        # ONE compiled shard_map program per (sampling, classification) —
+        # keyed so post-construction parameter mutation takes effect like
+        # it does on the single-chip FastSceneRenderer (which re-reads the
+        # knobs every frame) instead of silently reusing the first compile
+        self._step_progs = {}
         self._place_canonical()
 
     # ---- placement ------------------------------------------------------
@@ -173,8 +175,10 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         all_to_all exchange, ordered fold.  Camera/hints/valid/tables are
         ARGUMENTS (the one-shot path's jit captures the camera as a
         constant, recompiling per frame)."""
-        if self._step_prog is not None:
-            return self._step_prog
+        prog_key = (self.parameters.sampling, self.parameters.classification)
+        cached = self._step_progs.get(prog_key)
+        if cached is not None:
+            return cached
         axes = mesh_axes(self.mesh)
         transport = self.transport
         kw = dict(
@@ -205,7 +209,7 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                 check_vma=False,  # pallas_call out_shape carries no vma info
             )
         )
-        self._step_prog = prog
+        self._step_progs[prog_key] = prog
         return prog
 
     # ---- rendering ------------------------------------------------------
@@ -230,9 +234,11 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         placed_tables = self._meta_cache.get(key)
         if placed_tables is None:
             meta, dims = self._axis_metadata(axis)
-            placed_tables = (
-                jnp.asarray(meta[idx]), jnp.asarray(dims[idx]),
-            )
+            # shard the cached tables like _placed_vol/_placed_lut: an
+            # unsharded device-0 array would be re-transferred/resharded
+            # through jit on EVERY frame, breaking the ships-only-camera
+            # contract of the persistent path
+            placed_tables = shard_leading(self.mesh, meta[idx], dims[idx])
             # drop stale-LUT entries, keep the other axes of this epoch
             self._meta_cache = {
                 k: v for k, v in self._meta_cache.items()

@@ -566,10 +566,9 @@ def render_composited_sharded(
 
     # multi-host launches (driver.maybe_initialize_distributed) shape the
     # mesh 2D so the slow DCN links sit on the OUTER axis and the bulk
-    # pixel exchange rides intra-host ICI where possible
-    n_hosts = jax.process_count()
-    dcn = n_hosts if n_hosts > 1 and num_devices % n_hosts == 0 else None
-    mesh = make_mesh(num_devices, dcn_size=dcn)
+    # pixel exchange rides intra-host ICI where possible; the policy
+    # lives in make_mesh
+    mesh = make_mesh(num_devices, dcn_size="auto")
     pad_pixels = prep["pad_w"] * prep["pad_h"]
     if pad_pixels % num_devices:
         raise ValueError(

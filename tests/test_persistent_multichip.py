@@ -69,12 +69,14 @@ def test_compiled_program_reused_across_frames(geometry):
     r = MultiChipSceneRenderer(geometry, params, num_devices=8)
     cams = _cams(r)
     a = r.render(cams[0], overlay=False)
-    prog = r._step_prog
-    assert prog is not None
+    assert len(r._step_progs) == 1
+    (prog,) = r._step_progs.values()
     b = r.render(cams[0], overlay=False)
     c = r.render(cams[1], overlay=False)  # different march axis
     np.testing.assert_array_equal(a, b)  # deterministic
-    assert r._step_prog is prog  # ONE program for every frame/axis
+    # ONE program per (sampling, classification) for every frame/axis
+    assert len(r._step_progs) == 1
+    assert next(iter(r._step_progs.values())) is prog
     assert np.abs(c[np.isfinite(c)]).sum() > 0
 
 
@@ -137,3 +139,39 @@ def test_validation_errors(geometry):
         MultiChipSceneRenderer(
             geometry, params, num_devices=2
         ).render_batch([])
+
+
+def test_parameter_mutation_recompiles_like_single_chip(geometry):
+    # post-construction sampling/classification mutation must take effect
+    # (the compiled step program is keyed on the knobs) — matching the
+    # single-chip FastSceneRenderer, which re-reads them every frame.
+    # NOTE the comparison target is a single-chip renderer mutated the
+    # same way: ghost rings are baked at CONSTRUCTION from the sampling
+    # mode (fast_scene.py ghost = 1 iff trilinear), so a mutated renderer
+    # marches trilinear over a ghost=0 table on both paths — a freshly
+    # constructed trilinear renderer legitimately differs at piece seams
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cam = _cams(r)[0]
+    nearest = r.render(cam, overlay=False)
+    r.parameters.sampling = "trilinear"
+    trilinear = r.render(cam, overlay=False)
+    fsr = FastSceneRenderer(geometry, RenderParameters(width=32, height=32))
+    fsr.parameters.sampling = "trilinear"
+    expected = fsr.render(cam, overlay=False)
+    assert np.abs(trilinear[:, :4] - nearest[:, :4]).max() > 1e-4, (
+        "sampling mutation must change the image"
+    )
+    np.testing.assert_allclose(trilinear[:, :4], expected[:, :4], atol=1e-5)
+
+
+def test_meta_cache_is_mesh_sharded(geometry):
+    # the cached axis tables must be placed sharded like the volume/LUT
+    # (an unsharded cache is silently re-transferred every frame)
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    r.render(_cams(r)[0], overlay=False)
+    assert r._meta_cache, "render must populate the axis-table cache"
+    for meta_dev, dims_dev in r._meta_cache.values():
+        assert len(meta_dev.sharding.device_set) == 8
+        assert len(dims_dev.sharding.device_set) == 8
