@@ -1001,7 +1001,25 @@ class FastSceneRenderer:
         stats["order_cache_misses"] = self._order_cache.misses
         self.last_batch_stats = stats
 
-        out = np.stack(results)
+        out = self._stack_batch(results, num_out, chans, bytes_out)
+        return self._batch_outputs(
+            out, cameras, overlay, output_pattern, bytes_out
+        )
+
+    @staticmethod
+    def _stack_batch(results, num_out, chans, bytes_out) -> np.ndarray:
+        """Stack per-frame results; an empty camera list yields a
+        well-formed [0, pixels, C] array instead of np.stack raising."""
+        if results:
+            return np.stack(results)
+        dtype = np.uint8 if bytes_out else np.float32
+        return np.zeros((0, num_out, chans), dtype)
+
+    def _batch_outputs(
+        self, out, cameras, overlay, output_pattern, bytes_out
+    ) -> np.ndarray:
+        """Shared render_batch tail: wireframe overlays + per-frame saves
+        (also used by the mesh renderer's batched path)."""
         if overlay or output_pattern:
             from .image import ImageBuffer, ImageKind
 

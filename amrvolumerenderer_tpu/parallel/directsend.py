@@ -50,35 +50,9 @@ def make_mesh(
     All compositing collectives run over the flattened axis tuple, so the
     pipelines below work unchanged on either shape.
     """
-    devices = jax.devices()
-    n_hosts = jax.process_count()
-    if num_devices is not None and num_devices < len(devices):
-        if n_hosts > 1:
-            # jax.devices() is process-major: a plain prefix would take
-            # only the first host's chips, leaving the other processes
-            # with no addressable shard and misaligning any dcn row with
-            # its host — take an equal per-host prefix instead
-            if num_devices % n_hosts:
-                raise ValueError(
-                    f"num_devices={num_devices} must be a multiple of the "
-                    f"host count {n_hosts} on multi-host launches"
-                )
-            per_host = num_devices // n_hosts
-            by_host: dict = {}
-            for d in devices:
-                by_host.setdefault(d.process_index, []).append(d)
-            picked = []
-            for p in sorted(by_host):
-                if len(by_host[p]) < per_host:
-                    raise ValueError(
-                        f"host {p} has only {len(by_host[p])} devices; "
-                        f"{per_host} per host requested"
-                    )
-                picked.extend(by_host[p][:per_host])
-            devices = picked
-        else:
-            devices = devices[:num_devices]
+    devices = _subset_devices(jax.devices(), num_devices, jax.process_count())
     if dcn_size == "auto":
+        n_hosts = jax.process_count()
         dcn_size = (
             n_hosts if n_hosts > 1 and len(devices) % n_hosts == 0 else None
         )
@@ -88,6 +62,38 @@ def make_mesh(
         grid = np.asarray(devices).reshape(dcn_size, -1)
         return Mesh(grid, ("dcn", AXIS))
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _subset_devices(devices, num_devices, n_hosts):
+    """Pick ``num_devices`` mesh devices from the global device list.
+
+    ``jax.devices()`` is process-major: on multi-host launches a plain
+    prefix would take only the first host's chips, leaving the other
+    processes with no addressable shard and misaligning any dcn row with
+    its host — take an equal per-host prefix instead (pure so the policy
+    is unit-testable without a real multi-process runtime)."""
+    if num_devices is None or num_devices >= len(devices):
+        return list(devices)
+    if n_hosts <= 1:
+        return list(devices[:num_devices])
+    if num_devices % n_hosts:
+        raise ValueError(
+            f"num_devices={num_devices} must be a multiple of the "
+            f"host count {n_hosts} on multi-host launches"
+        )
+    per_host = num_devices // n_hosts
+    by_host: dict = {}
+    for d in devices:
+        by_host.setdefault(d.process_index, []).append(d)
+    picked = []
+    for p in sorted(by_host):
+        if len(by_host[p]) < per_host:
+            raise ValueError(
+                f"host {p} has only {len(by_host[p])} devices; "
+                f"{per_host} per host requested"
+            )
+        picked.extend(by_host[p][:per_host])
+    return picked
 
 
 def mesh_axes(mesh: Mesh):

@@ -38,6 +38,7 @@ Beyond reference: the reference has no persistent-scene API at all.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -53,6 +54,7 @@ from ..visibility import order_keys_or_hints
 from ..types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 from .directsend import (
     _compose_shard,
+    _encode_ubyte,
     make_mesh,
     mesh_axes,
     pack_contiguous,
@@ -214,30 +216,19 @@ class MultiChipSceneRenderer(FastSceneRenderer):
 
     # ---- rendering ------------------------------------------------------
 
-    def render(
-        self,
-        camera: CameraParameters,
-        output_filename: Optional[str] = None,
-        overlay: bool = True,
-    ) -> np.ndarray:
-        """Render one frame across the mesh; returns the output-resolution
-        [W*H, 5] image (full frame on every host — the Gatherv of
-        ImageColorOnly.hpp:220-270 as an allgather)."""
-        forward, right, up = camera_basis(camera)
-        axis = sm.choose_march_axis(forward)
+    def _placed_tables(self, axis: int):
+        """Sharded (meta, dims) brick tables for one march axis.
 
-        idx = self._slot_to_idx
-        # slot-ordered brick tables are axis- and LUT-dependent only:
-        # cache them on device so a fixed-axis animation ships nothing
-        # but camera + hints + validity per frame
+        Slot-ordered brick tables are axis- and LUT-dependent only: cache
+        them on device (sharded like _placed_vol/_placed_lut — an
+        unsharded device-0 array would be re-transferred/resharded through
+        jit on EVERY frame) so a fixed-axis animation ships nothing but
+        camera + hints + validity per frame."""
         key = (axis, self._lut_epoch)
         placed_tables = self._meta_cache.get(key)
         if placed_tables is None:
+            idx = self._slot_to_idx
             meta, dims = self._axis_metadata(axis)
-            # shard the cached tables like _placed_vol/_placed_lut: an
-            # unsharded device-0 array would be re-transferred/resharded
-            # through jit on EVERY frame, breaking the ships-only-camera
-            # contract of the persistent path
             placed_tables = shard_leading(self.mesh, meta[idx], dims[idx])
             # drop stale-LUT entries, keep the other axes of this epoch
             self._meta_cache = {
@@ -245,7 +236,14 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                 if k[1] == self._lut_epoch
             }
             self._meta_cache[key] = placed_tables
-        meta_dev, dims_dev = placed_tables
+        return placed_tables
+
+    def _frame_state(self, camera: CameraParameters):
+        """Per-frame host prep: march axis, 20-float camera pack, per-slot
+        depth/order keys, and the slot validity mask."""
+        forward, right, up = camera_basis(camera)
+        axis = sm.choose_march_axis(forward)
+        idx = self._slot_to_idx
         hints = order_keys_or_hints(
             camera, self.render_width / max(self.render_height, 1),
             self.box_min, self.box_max,
@@ -262,6 +260,19 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         # pieces render as cleared layers (zero exchange contribution)
         slot_valid = self._slot_valid & self.visible[idx]
         cam = self._pack_cam(camera, forward, right, up)
+        return axis, cam, slot_hints, slot_valid
+
+    def render(
+        self,
+        camera: CameraParameters,
+        output_filename: Optional[str] = None,
+        overlay: bool = True,
+    ) -> np.ndarray:
+        """Render one frame across the mesh; returns the output-resolution
+        [W*H, 5] image (full frame on every host — the Gatherv of
+        ImageColorOnly.hpp:220-270 as an allgather)."""
+        axis, cam, slot_hints, slot_valid = self._frame_state(camera)
+        meta_dev, dims_dev = self._placed_tables(axis)
 
         frame = self._sharded_step()(
             self._placed_vol(axis),
@@ -282,8 +293,194 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             ))
         return self._finish_frame(pixels, camera, output_filename, overlay)
 
-    def render_batch(self, *args, **kwargs):
-        raise NotImplementedError(
-            "render_batch is single-chip only; call render per camera (the "
-            "mesh program is compiled once and reused across frames)"
+    # ---- batched rendering ----------------------------------------------
+
+    def _sharded_batch_step(self, bytes_out):
+        """The batched twin of ``_sharded_step``: ONE shard_map program
+        whose body ``lax.scan``s the render+exchange+fold over the chunk's
+        frame axis — a camera orbit pays one dispatch and one readback per
+        chunk instead of per frame.  jit re-specializes per distinct chunk
+        length; the caller buckets chunk sizes to powers of two so a long
+        orbit compiles a handful of variants."""
+        prog_key = (
+            self.parameters.sampling, self.parameters.classification,
+            "batch", bytes_out,
+        )
+        cached = self._step_progs.get(prog_key)
+        if cached is not None:
+            return cached
+        axes = mesh_axes(self.mesh)
+        transport = self.transport
+        kw = dict(
+            width=self.pad_w, height=self.pad_h, max_slices=self.cube,
+            logical_width=self.render_width,
+            logical_height=self.render_height,
+            interpret=self.interpret, sampling=self.parameters.sampling,
+            ghost=self.ghost, classification=self.parameters.classification,
+        )
+
+        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints, cams):
+            # b_hints [F, T_shard]; cams [F, 20] replicated
+            def body(carry, xs):
+                cam, hints = xs
+                colors, depths = sm.slicemarch_render(
+                    b_vol, b_meta, b_dims, b_lut, cam, **kw
+                )
+                layers = jnp.concatenate(
+                    [colors, depths[..., None]], axis=-1
+                )
+                mask = b_valid[:, None, None]
+                cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
+                layers = jnp.where(mask, layers, cleared)
+                h = jnp.where(b_valid, hints, jnp.inf)
+                frame = _compose_shard(layers, h, transport, axes)
+                if bytes_out:
+                    # Mesa byte codec on device after the fold: the
+                    # readback shrinks 5x (4 u8 vs 4+1 f32 per pixel);
+                    # "rgb" drops the alpha byte too
+                    b = _encode_ubyte(frame[:, :4])
+                    frame = b[:, :3] if bytes_out == "rgb" else b
+                return carry, frame
+
+            _, frames = jax.lax.scan(body, 0, (cams, b_hints))
+            return frames  # [F, P_shard, C]
+
+        prog = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P(axes),) * 5 + (P(None, axes), P()),
+                out_specs=P(None, axes),
+                check_vma=False,  # pallas_call out_shape carries no vma info
+            )
+        )
+        self._step_progs[prog_key] = prog
+        return prog
+
+    def render_batch(
+        self,
+        cameras,
+        overlay: bool = True,
+        output_pattern: Optional[str] = None,
+        max_chunk_bytes: int = 64 << 20,
+        bytes_out=False,
+    ) -> np.ndarray:
+        """Render a camera sequence across the mesh with ONE dispatch per
+        chunk (the mesh twin of ``FastSceneRenderer.render_batch``).
+
+        Consecutive same-march-axis frames are grouped, then scanned on
+        device in power-of-two chunks bounded by ``max_chunk_bytes`` of
+        readback: per chunk the hosts ship [F, 20] camera packs plus
+        [F, slots] order keys and read back [F, pixels, C] — the brick
+        tables stay resident.  Frames come back in input order as
+        [len(cameras), width*height, 5] float32 (``bytes_out=True``/"rgb"
+        applies the Mesa byte codec on device after the fold — 4- or
+        3-channel uint8; requires antialiasing=1 on this renderer, since
+        the AA downsample runs host-side after the sharded fold).
+        Beyond reference — the reference has no batched render entry."""
+        cameras = list(cameras)
+        if bytes_out and overlay:
+            raise ValueError("bytes_out requires overlay=False (the "
+                             "wireframe overlay blends float pixels)")
+        if bytes_out and self.sqrt_aa > 1:
+            raise ValueError(
+                "bytes_out with antialiasing > 1 is not supported on the "
+                "mesh renderer (the AA downsample runs after the sharded "
+                "fold); use float frames"
+            )
+        num_out = self.parameters.width * self.parameters.height
+        chans = (3 if bytes_out == "rgb" else 4) if bytes_out else 5
+        pad_pixels = self.pad_w * self.pad_h
+        frame_bytes = pad_pixels * (chans if bytes_out else 5 * 4)
+        chunk_max = int(max(1, min(16, max_chunk_bytes // frame_bytes)))
+        results = [None] * len(cameras)
+        stats = {
+            "frames": len(cameras), "dispatch_count": 0,
+            "host_prep_ms": 0.0, "dispatch_ms": 0.0,
+            "readback_ms": 0.0, "readback_mb": 0.0,
+        }
+        batch_t0 = time.perf_counter()
+
+        pending = []  # one-deep pipeline: [(part, device frames)]
+
+        def drain():
+            while pending:
+                part, frames = pending.pop()
+                t0 = time.perf_counter()
+                host = _fetch_global(frames)  # [F, P_pad, C]
+                stats["readback_ms"] += (time.perf_counter() - t0) * 1e3
+                stats["readback_mb"] += host.nbytes / 1e6
+                host = host.reshape(len(part), self.pad_h, self.pad_w, chans)
+                host = host[
+                    :, : self.render_height, : self.render_width
+                ].reshape(len(part), -1, chans)
+                for (idx, *_), px in zip(part, host):
+                    if self.sqrt_aa > 1:
+                        # same per-frame downsample call as render() so the
+                        # two paths stay bit-identical (float frames only)
+                        px = np.asarray(_device_downsample(
+                            jnp.asarray(px), self.render_width,
+                            self.render_height, self.sqrt_aa,
+                        ))
+                    results[idx] = np.asarray(px)
+
+        def flush(group, axis):
+            if not group:
+                return
+            meta_dev, dims_dev = self._placed_tables(axis)
+            vol = self._placed_vol(axis)
+            luts = self._placed_luts()
+            prog = self._sharded_batch_step(bytes_out)
+            c0 = 0
+            while c0 < len(group):
+                # largest power-of-two sub-chunk that fits: no wasted
+                # frames, few distinct batch shapes to compile
+                n = len(group) - c0
+                size = min(chunk_max, 1 << (n.bit_length() - 1))
+                part = group[c0 : c0 + size]
+                c0 += size
+                cams = np.stack([p[1] for p in part])
+                hints = np.stack([p[2] for p in part])
+                valid = part[0][3]  # camera-independent within a batch
+                t_dispatch = time.perf_counter()
+                frames = prog(
+                    vol, meta_dev, dims_dev, luts,
+                    jnp.asarray(valid), jnp.asarray(hints),
+                    jnp.asarray(cams),
+                )
+                stats["dispatch_ms"] += (
+                    time.perf_counter() - t_dispatch
+                ) * 1e3
+                stats["dispatch_count"] += 1
+                # pipeline: read back the PREVIOUS chunk while the mesh
+                # renders this one, then queue this one
+                drain()
+                pending.append((part, frames))
+
+        group = []
+        group_axis = None
+        for i, camera in enumerate(cameras):
+            t_prep = time.perf_counter()
+            axis, cam, slot_hints, slot_valid = self._frame_state(camera)
+            stats["host_prep_ms"] += (time.perf_counter() - t_prep) * 1e3
+            if group and axis != group_axis:
+                flush(group, group_axis)
+                group = []
+            group_axis = axis
+            group.append((i, cam, slot_hints, slot_valid))
+            # flush full windows eagerly: dispatch is async, so the host
+            # preps the NEXT window while the mesh renders this one
+            if len(group) >= 16:
+                flush(group, group_axis)
+                group = []
+        flush(group, group_axis)
+        drain()
+        stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
+        stats["order_cache_hits"] = self._order_cache.hits
+        stats["order_cache_misses"] = self._order_cache.misses
+        self.last_batch_stats = stats
+
+        out = self._stack_batch(results, num_out, chans, bytes_out)
+        return self._batch_outputs(
+            out, cameras, overlay, output_pattern, bytes_out
         )

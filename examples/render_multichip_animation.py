@@ -6,7 +6,9 @@ re-upload every call.  For animation and in-situ serving,
 ``MultiChipSceneRenderer`` keeps the scene sharded on the mesh for the
 whole run: per frame only the 20-float camera pack, per-piece ordering
 keys, and the validity mask ship to the devices, and the render +
-exchange + composite program is compiled once and reused.
+exchange + composite program is compiled once and reused.  The orbit
+itself renders through ``render_batch``: consecutive same-march-axis
+frames scan inside ONE sharded dispatch.
 
 Run on any device set; on a single-host CPU you can fake a mesh with:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -14,6 +16,7 @@ Run on any device set; on a single-host CPU you can fake a mesh with:
 (Beyond reference: the reference has no persistent-scene API.)
 """
 
+import argparse
 import os
 import sys
 
@@ -35,7 +38,13 @@ from amrvolumerenderer_tpu.types import (  # noqa: E402
 )
 
 
-def main() -> int:
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--size", type=int, default=256, help="frame edge pixels")
+    p.add_argument("--frames", type=int, default=8, help="orbit frame count")
+    p.add_argument("--output-dir", default=".", help="where the PPMs go")
+    args = p.parse_args(argv)
+
     n = 32
     c = (np.arange(n) + 0.5) / n
     field = (
@@ -51,7 +60,7 @@ def main() -> int:
 
     devices = len(jax.devices())
     renderer = MultiChipSceneRenderer(
-        geometry, RenderParameters(width=256, height=256),
+        geometry, RenderParameters(width=args.size, height=args.size),
         num_devices=devices,
     )
     print(f"scene resident on {devices} device(s); rendering orbit ...")
@@ -59,7 +68,8 @@ def main() -> int:
     base = auto_orbit_camera(renderer.bounds)
     center = 0.5 * (renderer.bounds.min_corner + renderer.bounds.max_corner)
     offset = np.asarray(base.eye) - center
-    for k in range(8):
+    cams = []
+    for k in range(args.frames):
         ang = 2.0 * np.pi * k / 32.0
         cs, sn = np.cos(ang), np.sin(ang)
         eye = center + np.array([
@@ -67,11 +77,17 @@ def main() -> int:
             offset[1],
             -sn * offset[0] + cs * offset[2],
         ])
-        cam = CameraParameters(
+        cams.append(CameraParameters(
             eye=tuple(eye), look_at=tuple(center), up=(0, 1, 0)
-        )
-        renderer.render(cam, output_filename=f"multichip_{k:02d}.ppm")
-        print(f"  frame {k}: multichip_{k:02d}.ppm")
+        ))
+    os.makedirs(args.output_dir, exist_ok=True)
+    pattern = os.path.join(args.output_dir, "multichip_{:02d}.ppm")
+    # batched: consecutive same-march-axis frames scan inside ONE sharded
+    # dispatch (render(cam, output_filename=...) serves the per-frame case)
+    renderer.render_batch(cams, output_pattern=pattern)
+    stats = renderer.last_batch_stats
+    print(f"  {args.frames} frames in {stats['dispatch_count']} mesh "
+          f"dispatch(es): {pattern.format(0)} ..")
     print("done; the sharded program compiled once and served every frame")
     return 0
 

@@ -135,3 +135,13 @@ def test_render_animation_example(tmp_path):
     assert sorted(n for n in names if n.startswith("orbit")) == [
         "orbit0000.png", "orbit0001.png", "orbit0002.png"
     ]
+
+
+def test_render_multichip_animation_example(tmp_path):
+    mod = load_example("render_multichip_animation.py")
+    rc = mod.main(["--size", "32", "--frames", "2",
+                   "--output-dir", str(tmp_path / "mesh")])
+    assert rc == 0
+    assert sorted(os.listdir(tmp_path / "mesh")) == [
+        "multichip_00.ppm", "multichip_01.ppm"
+    ]

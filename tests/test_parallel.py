@@ -575,3 +575,48 @@ def test_multihost_mesh_composite_matches_host():
     )
     expected_f = assemble_pieces(compose_flat_host(images, group_order))
     np.testing.assert_allclose(got_f, expected_f.pixels, atol=1e-6)
+
+
+class _FakeDev:
+    """Stand-in with the one attribute _subset_devices reads."""
+
+    def __init__(self, host):
+        self.process_index = host
+
+    def __repr__(self):
+        return f"dev(h{self.process_index})"
+
+
+def test_subset_devices_single_host_prefix():
+    from amrvolumerenderer_tpu.parallel.directsend import _subset_devices
+
+    devs = [_FakeDev(0) for _ in range(8)]
+    assert _subset_devices(devs, 4, 1) == devs[:4]
+    assert _subset_devices(devs, None, 1) == devs
+    assert _subset_devices(devs, 16, 1) == devs  # clamp to available
+
+
+def test_subset_devices_multi_host_equal_prefix():
+    # process-major global list: a plain prefix would starve host 1; the
+    # subset must take an equal per-host prefix so every process keeps an
+    # addressable shard and dcn rows stay host-aligned
+    from amrvolumerenderer_tpu.parallel.directsend import _subset_devices
+
+    devs = [_FakeDev(i // 4) for i in range(8)]
+    picked = _subset_devices(devs, 4, 2)
+    assert [d.process_index for d in picked] == [0, 0, 1, 1]
+    assert picked == devs[0:2] + devs[4:6]
+
+
+def test_subset_devices_multi_host_validation():
+    import pytest
+
+    from amrvolumerenderer_tpu.parallel.directsend import _subset_devices
+
+    devs = [_FakeDev(i // 4) for i in range(8)]
+    with pytest.raises(ValueError, match="multiple of the"):
+        _subset_devices(devs, 3, 2)
+    # lopsided hosts: host 1 cannot satisfy the per-host quota
+    lop = [_FakeDev(0)] * 6 + [_FakeDev(1)] * 2
+    with pytest.raises(ValueError, match="has only"):
+        _subset_devices(lop, 6, 2)

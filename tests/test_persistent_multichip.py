@@ -135,10 +135,15 @@ def test_validation_errors(geometry):
     params = RenderParameters(width=32, height=32)
     with pytest.raises(ValueError, match="device"):
         MultiChipSceneRenderer(geometry, params, num_devices=99)
-    with pytest.raises(NotImplementedError):
-        MultiChipSceneRenderer(
-            geometry, params, num_devices=2
-        ).render_batch([])
+    r = MultiChipSceneRenderer(geometry, params, num_devices=2)
+    with pytest.raises(ValueError, match="overlay"):
+        r.render_batch([], bytes_out=True, overlay=True)
+    aa = MultiChipSceneRenderer(
+        geometry, RenderParameters(width=32, height=32, antialiasing=4),
+        num_devices=2,
+    )
+    with pytest.raises(ValueError, match="antialiasing"):
+        aa.render_batch([], bytes_out=True, overlay=False)
 
 
 def test_parameter_mutation_recompiles_like_single_chip(geometry):
@@ -175,3 +180,75 @@ def test_meta_cache_is_mesh_sharded(geometry):
     for meta_dev, dims_dev in r._meta_cache.values():
         assert len(meta_dev.sharding.device_set) == 8
         assert len(dims_dev.sharding.device_set) == 8
+
+
+def test_render_batch_matches_per_frame(geometry, tmp_path):
+    # the batched mesh path (ONE scanned dispatch per chunk) must equal
+    # per-frame render() exactly: same program body, same fold
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cams = _cams(r)
+    cams = [cams[0], cams[0], cams[1], cams[0]]  # axis change mid-batch
+    batch = r.render_batch(
+        cams, overlay=False,
+        output_pattern=str(tmp_path / "f_{:03d}.ppm"),
+    )
+    assert batch.shape == (4, 32 * 32, 5)
+    for i, cam in enumerate(cams):
+        single = r.render(cam, overlay=False)
+        np.testing.assert_array_equal(batch[i], single)
+    assert (tmp_path / "f_003.ppm").exists()
+    stats = r.last_batch_stats
+    assert stats["frames"] == 4
+    # axis flush splits the batch: [cam0, cam0], [cam1], [cam0]
+    assert stats["dispatch_count"] == 3
+    assert stats["readback_mb"] > 0
+
+
+def test_render_batch_antialiased(geometry):
+    params = RenderParameters(width=16, height=16, antialiasing=4)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cams = _cams(r)[:1] * 2
+    batch = r.render_batch(cams, overlay=False)
+    assert batch.shape == (2, 16 * 16, 5)
+    single = r.render(cams[0], overlay=False)
+    np.testing.assert_array_equal(batch[0], single)
+    np.testing.assert_array_equal(batch[1], single)
+
+
+def test_render_batch_bytes_out(geometry):
+    from amrvolumerenderer_tpu.image import color_to_byte
+
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cams = _cams(r)
+    rgba = r.render_batch(cams, overlay=False, bytes_out=True)
+    rgb = r.render_batch(cams, overlay=False, bytes_out="rgb")
+    assert rgba.dtype == np.uint8 and rgba.shape == (2, 32 * 32, 4)
+    assert rgb.dtype == np.uint8 and rgb.shape == (2, 32 * 32, 3)
+    np.testing.assert_array_equal(rgb, rgba[..., :3])
+    # the device-side codec is the Mesa byte codec applied post-fold
+    single = r.render(cams[0], overlay=False)
+    np.testing.assert_array_equal(rgba[0], color_to_byte(single[:, :4]))
+
+
+def test_render_batch_chunking(geometry):
+    # a tiny readback budget forces single-frame chunks; pixels unchanged
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    cam = _cams(r)[0]
+    batch = r.render_batch([cam] * 3, overlay=False, max_chunk_bytes=1)
+    assert r.last_batch_stats["dispatch_count"] == 3
+    single = r.render(cam, overlay=False)
+    for i in range(3):
+        np.testing.assert_array_equal(batch[i], single)
+
+
+def test_render_batch_empty(geometry):
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=2)
+    out = r.render_batch([], overlay=False)
+    assert out.shape == (0, 32 * 32, 5) and out.dtype == np.float32
+    fsr = FastSceneRenderer(geometry, params)
+    out1 = fsr.render_batch([], overlay=False)
+    assert out1.shape == (0, 32 * 32, 5) and out1.dtype == np.float32
