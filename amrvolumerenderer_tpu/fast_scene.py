@@ -854,7 +854,6 @@ class FastSceneRenderer:
         num_out = self.parameters.width * self.parameters.height
         chans = (3 if bytes_out == "rgb" else 4) if bytes_out else 5
         frame_bytes = num_out * (chans if bytes_out else 5 * 4)
-        results: List[Optional[np.ndarray]] = [None] * len(cameras)
         # where the batch wall clock goes (read via ``last_batch_stats``):
         # host camera-table prep, dispatch count, device->host readback
         stats = {
@@ -864,35 +863,26 @@ class FastSceneRenderer:
         }
         batch_t0 = time.perf_counter()
 
-        pending = []  # one-deep pipeline: [(part, device frames)]
+        def prep(i, camera):
+            inputs = self.frame_inputs(camera, as_numpy=True)
+            if inputs is None:
+                if bytes_out:
+                    empty = np.zeros((num_out, chans), np.uint8)
+                else:
+                    empty = np.zeros((num_out, chans), np.float32)
+                    empty[:, 4] = np.inf
+                return None, empty
+            return self._packed_axis, (i, inputs, self._packed_vol)
 
-        def drain():
-            """Read back the previously dispatched chunk (JAX dispatch is
-            async, so this overlaps the readback with whatever the device
-            is rendering now)."""
-            while pending:
-                part, frames = pending.pop()
-                t0 = time.perf_counter()
-                host = np.asarray(frames)
-                stats["readback_ms"] += (time.perf_counter() - t0) * 1e3
-                stats["readback_mb"] += host.nbytes / 1e6
-                for (idx, _inp, _vol), px in zip(part, host):
-                    results[idx] = px
-
-        def flush(group):
-            """group: list of (frame index, inputs dict); one march axis.
-
-            All stacking/padding happens in host NumPy; each chunk ships as
-            FOUR device transfers (cams/offsets/bricks/owners) regardless of
-            frame count — per-array uploads would each pay the full dispatch
-            latency on a remote-accelerator link."""
-            if not group:
-                return
-            vol = group[0][2]
+        def begin_group(axis, group):
             meta = jnp.asarray(group[0][1]["meta"])
             dims = jnp.asarray(group[0][1]["dims"])
             w_max = max(int(len(g[1]["bricks"])) for g in group)
             w_pad = 1 << max(w_max - 1, 0).bit_length()  # pow2 bucket
+            return group[0][2], meta, dims, w_pad
+
+        def chunk_cap(group, ctx):
+            _vol, meta, _dims, w_pad = ctx
             # two frame-count caps: readback bytes AND scoped SMEM — the
             # batched kernel prefetches [F, w_pad] item tables into SMEM,
             # which a deep-AMR scene (hundreds of bricks) exhausts at
@@ -904,96 +894,66 @@ class FastSceneRenderer:
                 max(len(g[1]["tile_ids"]) for g in group),
                 w_pad, int(meta.shape[0]),
             )
-            chunk_max = int(
-                max(1, min(16, max_chunk_bytes // frame_bytes,
-                           smem_cap if smem_cap > 0 else 1))
-            )
-            c0 = 0
-            while c0 < len(group):
-                # largest power-of-two sub-chunk that fits: no wasted frames,
-                # few distinct batch shapes to compile
-                n = len(group) - c0
-                size = min(chunk_max, 1 << (n.bit_length() - 1))
-                part = group[c0 : c0 + size]
-                c0 += size
-                cams = np.stack([p[1]["cam"] for p in part])
-                # compacted grids vary per frame: pad each frame's step
-                # list to the chunk max with the sentinel tile (zero items,
-                # dropped by the scatter)
-                num_tiles = (self.pad_w // sm.TILE_W) * (
-                    self.pad_h // sm.TILE_H
-                )
-                s_steps = max(len(p[1]["tile_ids"]) for p in part)
-                offs = np.zeros((len(part), s_steps + 1), np.int32)
-                tids = np.full((len(part), s_steps), num_tiles, np.int32)
-                brs = np.zeros((len(part), w_pad), np.int32)
-                ows = np.zeros((len(part), w_pad), np.int32)
-                ibs = np.zeros((len(part), w_pad), np.int32)
-                for row, (_idx, inp, _vol) in enumerate(part):
-                    w = len(inp["bricks"])
-                    brs[row, :w] = inp["bricks"]
-                    ows[row, :w] = inp["owners"]
-                    ibs[row, :w] = inp["item_bounds"]
-                    o = inp["offsets"]
-                    offs[row, : len(o)] = o
-                    offs[row, len(o):] = o[-1]
-                    tids[row, : len(inp["tile_ids"])] = inp["tile_ids"]
-                t_dispatch = time.perf_counter()
-                frames = _render_batch_frames(
-                    vol, self._lut_device, meta, dims,
-                    jnp.asarray(cams), jnp.asarray(offs),
-                    jnp.asarray(brs), jnp.asarray(ows), jnp.asarray(ibs),
-                    jnp.asarray(tids),
-                    width=self.pad_w, height=self.pad_h,
-                    max_slices=self.cube,
-                    logical_width=self.render_width,
-                    logical_height=self.render_height,
-                    interpret=self.interpret,
-                    sampling=self.parameters.sampling,
-                    ghost=self.ghost, sqrt_aa=self.sqrt_aa,
-                    bytes_out=bytes_out,
-                    classification=self.parameters.classification,
-                    # chunk-wide DMA window; bucketed to 8 already, so a
-                    # long orbit compiles few variants
-                    dma_slices=max(p[1]["dma_slices"] for p in part),
-                )
-                stats["dispatch_ms"] += (time.perf_counter() - t_dispatch) * 1e3
-                stats["dispatch_count"] += 1
-                # pipeline: read back the PREVIOUS chunk while the device
-                # renders this one, then queue this one
-                drain()
-                pending.append((part, frames))
+            return min(16, max_chunk_bytes // frame_bytes,
+                       smem_cap if smem_cap > 0 else 1)
 
-        group: List = []
-        group_axis = None
-        for i, camera in enumerate(cameras):
-            t_prep = time.perf_counter()
-            inputs = self.frame_inputs(camera, as_numpy=True)
-            stats["host_prep_ms"] += (time.perf_counter() - t_prep) * 1e3
-            if inputs is None:
-                if bytes_out:
-                    empty = np.zeros((num_out, chans), np.uint8)
-                else:
-                    empty = np.zeros((num_out, chans), np.float32)
-                    empty[:, 4] = np.inf
-                results[i] = empty
-                continue
-            axis = self._packed_axis
-            if group and axis != group_axis:
-                flush(group)
-                group = []
-            group_axis = axis
-            group.append((i, inputs, self._packed_vol))
-            # flush full windows eagerly: dispatch is async, so the host
-            # preps the NEXT window's work lists while the device renders
-            # this one (prep ~4 ms/frame and kernel ~3 ms/frame are the
-            # same order on directly attached chips; serializing them
-            # would nearly double the batch wall clock there)
-            if len(group) >= 16:
-                flush(group)
-                group = []
-        flush(group)
-        drain()
+        def dispatch(part, ctx):
+            """All stacking/padding happens in host NumPy; each chunk ships
+            as FOUR device transfers (cams/offsets/bricks/owners) regardless
+            of frame count — per-array uploads would each pay the full
+            dispatch latency on a remote-accelerator link."""
+            vol, meta, dims, w_pad = ctx
+            cams = np.stack([p[1]["cam"] for p in part])
+            # compacted grids vary per frame: pad each frame's step
+            # list to the chunk max with the sentinel tile (zero items,
+            # dropped by the scatter)
+            num_tiles = (self.pad_w // sm.TILE_W) * (
+                self.pad_h // sm.TILE_H
+            )
+            s_steps = max(len(p[1]["tile_ids"]) for p in part)
+            offs = np.zeros((len(part), s_steps + 1), np.int32)
+            tids = np.full((len(part), s_steps), num_tiles, np.int32)
+            brs = np.zeros((len(part), w_pad), np.int32)
+            ows = np.zeros((len(part), w_pad), np.int32)
+            ibs = np.zeros((len(part), w_pad), np.int32)
+            for row, (_idx, inp, _vol) in enumerate(part):
+                w = len(inp["bricks"])
+                brs[row, :w] = inp["bricks"]
+                ows[row, :w] = inp["owners"]
+                ibs[row, :w] = inp["item_bounds"]
+                o = inp["offsets"]
+                offs[row, : len(o)] = o
+                offs[row, len(o):] = o[-1]
+                tids[row, : len(inp["tile_ids"])] = inp["tile_ids"]
+            return _render_batch_frames(
+                vol, self._lut_device, meta, dims,
+                jnp.asarray(cams), jnp.asarray(offs),
+                jnp.asarray(brs), jnp.asarray(ows), jnp.asarray(ibs),
+                jnp.asarray(tids),
+                width=self.pad_w, height=self.pad_h,
+                max_slices=self.cube,
+                logical_width=self.render_width,
+                logical_height=self.render_height,
+                interpret=self.interpret,
+                sampling=self.parameters.sampling,
+                ghost=self.ghost, sqrt_aa=self.sqrt_aa,
+                bytes_out=bytes_out,
+                classification=self.parameters.classification,
+                # chunk-wide DMA window; bucketed to 8 already, so a
+                # long orbit compiles few variants
+                dma_slices=max(p[1]["dma_slices"] for p in part),
+            )
+
+        def readback(part, frames, results):
+            host = np.asarray(frames)
+            stats["readback_mb"] += host.nbytes / 1e6
+            for (idx, _inp, _vol), px in zip(part, host):
+                results[idx] = px
+
+        results = self._run_chunked_batch(
+            cameras, stats, prep=prep, begin_group=begin_group,
+            chunk_cap=chunk_cap, dispatch=dispatch, readback=readback,
+        )
         stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
         # ordering-key memo effectiveness over the whole renderer life
         # (visibility.OrderKeyCache; a hit skips the per-frame graph build)
@@ -1005,6 +965,85 @@ class FastSceneRenderer:
         return self._batch_outputs(
             out, cameras, overlay, output_pattern, bytes_out
         )
+
+    def _run_chunked_batch(
+        self, cameras, stats, *, prep, begin_group, chunk_cap, dispatch,
+        readback, window: int = 16,
+    ):
+        """Shared chunked-batch skeleton for ``render_batch`` (single-chip
+        and mesh): group consecutive frames with equal group keys, dispatch
+        power-of-two sub-chunks through a one-deep dispatch/readback
+        pipeline, and fill per-frame results in input order.
+
+        Callbacks: ``prep(i, camera) -> (group_key, item)``, or
+        ``(None, pixels)`` for a frame resolved entirely on host (fully
+        culled); ``begin_group(group_key, group) -> ctx`` (per-group device
+        tables); ``chunk_cap(group, ctx) -> int`` max frames per dispatch;
+        ``dispatch(part, ctx) -> device frames``;
+        ``readback(part, frames, results)`` fills ``results`` and the
+        readback-size stats.  Chunk sizes are true powers of two (the cap
+        is floored to one), so a long batch compiles a handful of shapes.
+        """
+        results: List[Optional[np.ndarray]] = [None] * len(cameras)
+        pending = []  # one-deep pipeline: [(part, device frames)]
+
+        def drain():
+            # JAX dispatch is async: reading back the PREVIOUS chunk here
+            # overlaps with whatever the device is rendering now
+            while pending:
+                part, frames = pending.pop()
+                t0 = time.perf_counter()
+                readback(part, frames, results)
+                stats["readback_ms"] += (time.perf_counter() - t0) * 1e3
+
+        def flush(group, key):
+            if not group:
+                return
+            ctx = begin_group(key, group)
+            cap = max(1, int(chunk_cap(group, ctx)))
+            cap = 1 << (cap.bit_length() - 1)  # pow2: few shapes compile
+            c0 = 0
+            while c0 < len(group):
+                # largest power-of-two sub-chunk that fits: no wasted
+                # frames, few distinct batch shapes to compile
+                n = len(group) - c0
+                size = min(cap, 1 << (n.bit_length() - 1))
+                part = group[c0 : c0 + size]
+                c0 += size
+                t0 = time.perf_counter()
+                frames = dispatch(part, ctx)
+                stats["dispatch_ms"] += (time.perf_counter() - t0) * 1e3
+                stats["dispatch_count"] += 1
+                # pipeline: read back the PREVIOUS chunk while the device
+                # renders this one, then queue this one
+                drain()
+                pending.append((part, frames))
+
+        group: List = []
+        group_key = None
+        for i, camera in enumerate(cameras):
+            t0 = time.perf_counter()
+            key, item = prep(i, camera)
+            stats["host_prep_ms"] += (time.perf_counter() - t0) * 1e3
+            if key is None:  # resolved on host (e.g. fully culled)
+                results[i] = item
+                continue
+            if group and key != group_key:
+                flush(group, group_key)
+                group = []
+            group_key = key
+            group.append(item)
+            # flush full windows eagerly: dispatch is async, so the host
+            # preps the NEXT window's work lists while the device renders
+            # this one (prep and kernel are the same order of magnitude on
+            # directly attached chips; serializing them would nearly
+            # double the batch wall clock there)
+            if len(group) >= window:
+                flush(group, group_key)
+                group = []
+        flush(group, group_key)
+        drain()
+        return results
 
     @staticmethod
     def _stack_batch(results, num_out, chans, bytes_out) -> np.ndarray:

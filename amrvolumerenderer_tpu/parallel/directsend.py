@@ -166,7 +166,8 @@ def _compose_shard(
     return _composite_sorted_runs(sorted_layers, sorted_owners)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)  # bounded: each entry pins a Mesh +
+# compiled executable for the process lifetime; eviction just recompiles
 def _layers_prog(mesh: Mesh, transport: str):
     """Cached jitted program for composite_layers_sharded: the compose
     utilities are called per frame by layer-compositing users, so the
@@ -388,7 +389,8 @@ def compose_flat_sharded(
     return _flat_prog(mesh)(images, order)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)  # bounded: each entry pins a Mesh +
+# compiled executable for the process lifetime; eviction just recompiles
 def _flat_prog(mesh: Mesh):
     """Cached jitted program for compose_flat_sharded (the group order is
     a traced argument, so one program serves every frame/permutation)."""
@@ -516,7 +518,8 @@ def composite_partials_sharded(
     return _partials_prog(mesh, transport)(partials)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)  # bounded: each entry pins a Mesh +
+# compiled executable for the process lifetime; eviction just recompiles
 def _partials_prog(mesh: Mesh, transport: str):
     """Cached jitted program for composite_partials_sharded."""
     axes = mesh_axes(mesh)

@@ -48,6 +48,14 @@ from jax.sharding import PartitionSpec as P
 
 from ..camera import camera_basis
 from ..fast_scene import FastSceneRenderer, _device_downsample, _repack_for_axis
+
+
+# one downsample dispatch per CHUNK of antialiased batch frames (the
+# width/height/block operands are static so jit re-specializes per config)
+_batch_downsample = jax.jit(
+    jax.vmap(_device_downsample, in_axes=(0, None, None, None)),
+    static_argnums=(1, 2, 3),
+)
 from ..ops import slicemarch as sm
 from ..renderer_fast import _fetch_global, _grouped_cumcount
 from ..visibility import order_keys_or_hints
@@ -392,8 +400,6 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         chans = (3 if bytes_out == "rgb" else 4) if bytes_out else 5
         pad_pixels = self.pad_w * self.pad_h
         frame_bytes = pad_pixels * (chans if bytes_out else 5 * 4)
-        chunk_max = int(max(1, min(16, max_chunk_bytes // frame_bytes)))
-        results = [None] * len(cameras)
         stats = {
             "frames": len(cameras), "dispatch_count": 0,
             "host_prep_ms": 0.0, "dispatch_ms": 0.0,
@@ -401,80 +407,51 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         }
         batch_t0 = time.perf_counter()
 
-        pending = []  # one-deep pipeline: [(part, device frames)]
-
-        def drain():
-            while pending:
-                part, frames = pending.pop()
-                t0 = time.perf_counter()
-                host = _fetch_global(frames)  # [F, P_pad, C]
-                stats["readback_ms"] += (time.perf_counter() - t0) * 1e3
-                stats["readback_mb"] += host.nbytes / 1e6
-                host = host.reshape(len(part), self.pad_h, self.pad_w, chans)
-                host = host[
-                    :, : self.render_height, : self.render_width
-                ].reshape(len(part), -1, chans)
-                for (idx, *_), px in zip(part, host):
-                    if self.sqrt_aa > 1:
-                        # same per-frame downsample call as render() so the
-                        # two paths stay bit-identical (float frames only)
-                        px = np.asarray(_device_downsample(
-                            jnp.asarray(px), self.render_width,
-                            self.render_height, self.sqrt_aa,
-                        ))
-                    results[idx] = np.asarray(px)
-
-        def flush(group, axis):
-            if not group:
-                return
-            meta_dev, dims_dev = self._placed_tables(axis)
-            vol = self._placed_vol(axis)
-            luts = self._placed_luts()
-            prog = self._sharded_batch_step(bytes_out)
-            c0 = 0
-            while c0 < len(group):
-                # largest power-of-two sub-chunk that fits: no wasted
-                # frames, few distinct batch shapes to compile
-                n = len(group) - c0
-                size = min(chunk_max, 1 << (n.bit_length() - 1))
-                part = group[c0 : c0 + size]
-                c0 += size
-                cams = np.stack([p[1] for p in part])
-                hints = np.stack([p[2] for p in part])
-                valid = part[0][3]  # camera-independent within a batch
-                t_dispatch = time.perf_counter()
-                frames = prog(
-                    vol, meta_dev, dims_dev, luts,
-                    jnp.asarray(valid), jnp.asarray(hints),
-                    jnp.asarray(cams),
-                )
-                stats["dispatch_ms"] += (
-                    time.perf_counter() - t_dispatch
-                ) * 1e3
-                stats["dispatch_count"] += 1
-                # pipeline: read back the PREVIOUS chunk while the mesh
-                # renders this one, then queue this one
-                drain()
-                pending.append((part, frames))
-
-        group = []
-        group_axis = None
-        for i, camera in enumerate(cameras):
-            t_prep = time.perf_counter()
+        def prep(i, camera):
             axis, cam, slot_hints, slot_valid = self._frame_state(camera)
-            stats["host_prep_ms"] += (time.perf_counter() - t_prep) * 1e3
-            if group and axis != group_axis:
-                flush(group, group_axis)
-                group = []
-            group_axis = axis
-            group.append((i, cam, slot_hints, slot_valid))
-            # flush full windows eagerly: dispatch is async, so the host
-            # preps the NEXT window while the mesh renders this one
-            if len(group) >= 16:
-                flush(group, group_axis)
-                group = []
-        flush(group, group_axis)
-        drain()
+            return axis, (i, cam, slot_hints, slot_valid)
+
+        def begin_group(axis, group):
+            meta_dev, dims_dev = self._placed_tables(axis)
+            return (
+                self._placed_vol(axis), meta_dev, dims_dev,
+                self._placed_luts(), self._sharded_batch_step(bytes_out),
+            )
+
+        def dispatch(part, ctx):
+            vol, meta_dev, dims_dev, luts, prog = ctx
+            cams = np.stack([p[1] for p in part])
+            hints = np.stack([p[2] for p in part])
+            valid = part[0][3]  # camera-independent within a batch
+            return prog(
+                vol, meta_dev, dims_dev, luts,
+                jnp.asarray(valid), jnp.asarray(hints), jnp.asarray(cams),
+            )
+
+        def readback(part, frames, results):
+            host = _fetch_global(frames)  # [F, P_pad, C]
+            stats["readback_mb"] += host.nbytes / 1e6
+            host = host.reshape(len(part), self.pad_h, self.pad_w, chans)
+            host = host[
+                :, : self.render_height, : self.render_width
+            ].reshape(len(part), -1, chans)
+            if self.sqrt_aa > 1:
+                # ONE vmapped downsample dispatch per chunk (a per-frame
+                # _device_downsample would pay the dispatch latency per
+                # frame, defeating the batching; float frames only —
+                # bytes_out + AA is rejected above)
+                host = np.asarray(_batch_downsample(
+                    jnp.asarray(host), self.render_width,
+                    self.render_height, self.sqrt_aa,
+                ))
+            for (idx, *_), px in zip(part, host):
+                results[idx] = np.asarray(px)
+
+        results = self._run_chunked_batch(
+            cameras, stats, prep=prep, begin_group=begin_group,
+            chunk_cap=lambda g, c: min(16, max_chunk_bytes // frame_bytes),
+            dispatch=dispatch, readback=readback,
+        )
         stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
         stats["order_cache_hits"] = self._order_cache.hits
         stats["order_cache_misses"] = self._order_cache.misses

@@ -212,8 +212,11 @@ def test_render_batch_antialiased(geometry):
     batch = r.render_batch(cams, overlay=False)
     assert batch.shape == (2, 16 * 16, 5)
     single = r.render(cams[0], overlay=False)
-    np.testing.assert_array_equal(batch[0], single)
-    np.testing.assert_array_equal(batch[1], single)
+    # the batch path downsamples the whole chunk in ONE vmapped dispatch;
+    # XLA's batched mean reassociates the box-filter sum vs the per-frame
+    # call, so AA frames agree to f32 rounding (1 ulp), not bit-for-bit
+    np.testing.assert_allclose(batch[0], single, atol=2e-7)
+    np.testing.assert_array_equal(batch[0], batch[1])
 
 
 def test_render_batch_bytes_out(geometry):
