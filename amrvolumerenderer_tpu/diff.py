@@ -401,13 +401,18 @@ def prepare_geometry(
     """``prepare_scene`` from a built ``SceneGeometry`` — the bridge from
     the product ingestion paths (plotfile load, in-situ arrays) to the
     differentiable renderer.  Threads the geometry's scalar transform and
-    its global transformed range (renderer.compute_global_scalar_range,
-    the same range the forward pipeline classifies with)."""
+    its global transformed range — an explicit stored range when the scene
+    carries one, else the computed global range, exactly as the forward
+    pipeline selects it (renderer.py render_scene)."""
     # local import: renderer pulls in the full orchestration stack, which
     # the diff module otherwise does not need
     from .renderer import compute_global_scalar_range
 
-    scalar_range = compute_global_scalar_range(geometry)
+    scalar_range = (
+        geometry.scalar_range
+        if geometry.has_scalar_range
+        else compute_global_scalar_range(geometry)
+    )
     return prepare_scene(
         [(b.data, b.min_corner, b.max_corner) for b in geometry.bricks],
         camera,

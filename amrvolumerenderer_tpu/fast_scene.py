@@ -854,14 +854,6 @@ class FastSceneRenderer:
         num_out = self.parameters.width * self.parameters.height
         chans = (3 if bytes_out == "rgb" else 4) if bytes_out else 5
         frame_bytes = num_out * (chans if bytes_out else 5 * 4)
-        # where the batch wall clock goes (read via ``last_batch_stats``):
-        # host camera-table prep, dispatch count, device->host readback
-        stats = {
-            "frames": len(cameras), "dispatch_count": 0,
-            "host_prep_ms": 0.0, "dispatch_ms": 0.0,
-            "readback_ms": 0.0, "readback_mb": 0.0,
-        }
-        batch_t0 = time.perf_counter()
 
         def prep(i, camera):
             inputs = self.frame_inputs(camera, as_numpy=True)
@@ -897,12 +889,13 @@ class FastSceneRenderer:
             return min(16, max_chunk_bytes // frame_bytes,
                        smem_cap if smem_cap > 0 else 1)
 
-        def dispatch(part, ctx):
-            """All stacking/padding happens in host NumPy; each chunk ships
-            as FOUR device transfers (cams/offsets/bricks/owners) regardless
-            of frame count — per-array uploads would each pay the full
-            dispatch latency on a remote-accelerator link."""
-            vol, meta, dims, w_pad = ctx
+        def pack(part, ctx):
+            """All stacking/padding happens in host NumPy (charged to
+            host_prep_ms); each chunk then ships as a handful of device
+            transfers regardless of frame count — per-array uploads would
+            each pay the full dispatch latency on a remote-accelerator
+            link."""
+            _vol, _meta, _dims, w_pad = ctx
             cams = np.stack([p[1]["cam"] for p in part])
             # compacted grids vary per frame: pad each frame's step
             # list to the chunk max with the sentinel tile (zero items,
@@ -925,6 +918,14 @@ class FastSceneRenderer:
                 offs[row, : len(o)] = o
                 offs[row, len(o):] = o[-1]
                 tids[row, : len(inp["tile_ids"])] = inp["tile_ids"]
+            # chunk-wide DMA window; bucketed to 8 already, so a long
+            # orbit compiles few variants
+            dma = max(p[1]["dma_slices"] for p in part)
+            return cams, offs, brs, ows, ibs, tids, dma
+
+        def dispatch(packed, ctx):
+            vol, meta, dims, _w_pad = ctx
+            cams, offs, brs, ows, ibs, tids, dma = packed
             return _render_batch_frames(
                 vol, self._lut_device, meta, dims,
                 jnp.asarray(cams), jnp.asarray(offs),
@@ -939,51 +940,52 @@ class FastSceneRenderer:
                 ghost=self.ghost, sqrt_aa=self.sqrt_aa,
                 bytes_out=bytes_out,
                 classification=self.parameters.classification,
-                # chunk-wide DMA window; bucketed to 8 already, so a
-                # long orbit compiles few variants
-                dma_slices=max(p[1]["dma_slices"] for p in part),
+                dma_slices=dma,
             )
 
-        def readback(part, frames, results):
+        def readback(part, frames, results, stats):
             host = np.asarray(frames)
             stats["readback_mb"] += host.nbytes / 1e6
             for (idx, _inp, _vol), px in zip(part, host):
                 results[idx] = px
 
-        results = self._run_chunked_batch(
-            cameras, stats, prep=prep, begin_group=begin_group,
-            chunk_cap=chunk_cap, dispatch=dispatch, readback=readback,
-        )
-        stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
-        # ordering-key memo effectiveness over the whole renderer life
-        # (visibility.OrderKeyCache; a hit skips the per-frame graph build)
-        stats["order_cache_hits"] = self._order_cache.hits
-        stats["order_cache_misses"] = self._order_cache.misses
-        self.last_batch_stats = stats
-
-        out = self._stack_batch(results, num_out, chans, bytes_out)
-        return self._batch_outputs(
-            out, cameras, overlay, output_pattern, bytes_out
+        return self._run_chunked_batch(
+            cameras, num_out=num_out, chans=chans, bytes_out=bytes_out,
+            overlay=overlay, output_pattern=output_pattern,
+            prep=prep, begin_group=begin_group, chunk_cap=chunk_cap,
+            pack=pack, dispatch=dispatch, readback=readback,
         )
 
     def _run_chunked_batch(
-        self, cameras, stats, *, prep, begin_group, chunk_cap, dispatch,
+        self, cameras, *, num_out, chans, bytes_out, overlay,
+        output_pattern, prep, begin_group, chunk_cap, pack, dispatch,
         readback, window: int = 16,
-    ):
-        """Shared chunked-batch skeleton for ``render_batch`` (single-chip
+    ) -> np.ndarray:
+        """Shared chunked-batch driver for ``render_batch`` (single-chip
         and mesh): group consecutive frames with equal group keys, dispatch
         power-of-two sub-chunks through a one-deep dispatch/readback
-        pipeline, and fill per-frame results in input order.
+        pipeline, and return the stacked frames in input order.  Owns the
+        ``last_batch_stats`` bookkeeping and the overlay/save output tail,
+        so the two renderers cannot drift.
 
         Callbacks: ``prep(i, camera) -> (group_key, item)``, or
         ``(None, pixels)`` for a frame resolved entirely on host (fully
         culled); ``begin_group(group_key, group) -> ctx`` (per-group device
         tables); ``chunk_cap(group, ctx) -> int`` max frames per dispatch;
-        ``dispatch(part, ctx) -> device frames``;
-        ``readback(part, frames, results)`` fills ``results`` and the
-        readback-size stats.  Chunk sizes are true powers of two (the cap
-        is floored to one), so a long batch compiles a handful of shapes.
+        ``pack(part, ctx) -> packed`` host-side chunk packing (stacking/
+        padding NumPy work, charged to ``host_prep_ms``, NOT to
+        ``dispatch_ms``); ``dispatch(packed, ctx) -> device frames`` the
+        device call only; ``readback(part, frames, results, stats)`` fills
+        ``results`` and ``readback_mb``.  Chunk sizes are true powers of
+        two (the cap is floored to one), so a long batch compiles a
+        handful of shapes.
         """
+        stats = {
+            "frames": len(cameras), "dispatch_count": 0,
+            "host_prep_ms": 0.0, "dispatch_ms": 0.0,
+            "readback_ms": 0.0, "readback_mb": 0.0,
+        }
+        batch_t0 = time.perf_counter()
         results: List[Optional[np.ndarray]] = [None] * len(cameras)
         pending = []  # one-deep pipeline: [(part, device frames)]
 
@@ -993,7 +995,7 @@ class FastSceneRenderer:
             while pending:
                 part, frames = pending.pop()
                 t0 = time.perf_counter()
-                readback(part, frames, results)
+                readback(part, frames, results, stats)
                 stats["readback_ms"] += (time.perf_counter() - t0) * 1e3
 
         def flush(group, key):
@@ -1011,7 +1013,10 @@ class FastSceneRenderer:
                 part = group[c0 : c0 + size]
                 c0 += size
                 t0 = time.perf_counter()
-                frames = dispatch(part, ctx)
+                packed = pack(part, ctx)
+                stats["host_prep_ms"] += (time.perf_counter() - t0) * 1e3
+                t0 = time.perf_counter()
+                frames = dispatch(packed, ctx)
                 stats["dispatch_ms"] += (time.perf_counter() - t0) * 1e3
                 stats["dispatch_count"] += 1
                 # pipeline: read back the PREVIOUS chunk while the device
@@ -1043,7 +1048,17 @@ class FastSceneRenderer:
                 group = []
         flush(group, group_key)
         drain()
-        return results
+
+        stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
+        # ordering-key memo effectiveness over the whole renderer life
+        # (visibility.OrderKeyCache; a hit skips the per-frame graph build)
+        stats["order_cache_hits"] = self._order_cache.hits
+        stats["order_cache_misses"] = self._order_cache.misses
+        self.last_batch_stats = stats
+        out = self._stack_batch(results, num_out, chans, bytes_out)
+        return self._batch_outputs(
+            out, cameras, overlay, output_pattern, bytes_out
+        )
 
     @staticmethod
     def _stack_batch(results, num_out, chans, bytes_out) -> np.ndarray:

@@ -400,12 +400,6 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         chans = (3 if bytes_out == "rgb" else 4) if bytes_out else 5
         pad_pixels = self.pad_w * self.pad_h
         frame_bytes = pad_pixels * (chans if bytes_out else 5 * 4)
-        stats = {
-            "frames": len(cameras), "dispatch_count": 0,
-            "host_prep_ms": 0.0, "dispatch_ms": 0.0,
-            "readback_ms": 0.0, "readback_mb": 0.0,
-        }
-        batch_t0 = time.perf_counter()
 
         def prep(i, camera):
             axis, cam, slot_hints, slot_valid = self._frame_state(camera)
@@ -418,17 +412,21 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                 self._placed_luts(), self._sharded_batch_step(bytes_out),
             )
 
-        def dispatch(part, ctx):
-            vol, meta_dev, dims_dev, luts, prog = ctx
+        def pack(part, ctx):
             cams = np.stack([p[1] for p in part])
             hints = np.stack([p[2] for p in part])
             valid = part[0][3]  # camera-independent within a batch
+            return cams, hints, valid
+
+        def dispatch(packed, ctx):
+            vol, meta_dev, dims_dev, luts, prog = ctx
+            cams, hints, valid = packed
             return prog(
                 vol, meta_dev, dims_dev, luts,
                 jnp.asarray(valid), jnp.asarray(hints), jnp.asarray(cams),
             )
 
-        def readback(part, frames, results):
+        def readback(part, frames, results, stats):
             host = _fetch_global(frames)  # [F, P_pad, C]
             stats["readback_mb"] += host.nbytes / 1e6
             host = host.reshape(len(part), self.pad_h, self.pad_w, chans)
@@ -447,17 +445,10 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             for (idx, *_), px in zip(part, host):
                 results[idx] = np.asarray(px)
 
-        results = self._run_chunked_batch(
-            cameras, stats, prep=prep, begin_group=begin_group,
+        return self._run_chunked_batch(
+            cameras, num_out=num_out, chans=chans, bytes_out=bytes_out,
+            overlay=overlay, output_pattern=output_pattern,
+            prep=prep, begin_group=begin_group,
             chunk_cap=lambda g, c: min(16, max_chunk_bytes // frame_bytes),
-            dispatch=dispatch, readback=readback,
-        )
-        stats["total_ms"] = (time.perf_counter() - batch_t0) * 1e3
-        stats["order_cache_hits"] = self._order_cache.hits
-        stats["order_cache_misses"] = self._order_cache.misses
-        self.last_batch_stats = stats
-
-        out = self._stack_batch(results, num_out, chans, bytes_out)
-        return self._batch_outputs(
-            out, cameras, overlay, output_pattern, bytes_out
+            pack=pack, dispatch=dispatch, readback=readback,
         )

@@ -424,6 +424,22 @@ def test_prepare_geometry_from_plotfile(tmp_path):
     g = np.asarray(jax.grad(loss)(args[0]))
     assert np.any(g != 0.0)
 
+    # an EXPLICIT scalar range (the CLI --scalar-range / time-series fixed
+    # range) must flow through the bridge exactly as the forward pipeline
+    # consumes it (renderer.py render_scene: geometry.scalar_range when
+    # has_scalar_range): normalization moves into the transform and the
+    # classified range becomes (0, 1) — not the recomputed data range
+    from amrvolumerenderer_tpu.scene import set_scene_normalization_range
+
+    set_scene_normalization_range(geometry, 0.0, 10.0)
+    args2, _static2 = diff.prepare_geometry(
+        geometry, make_camera(), width=WIDTH, height=HEIGHT
+    )
+    assert float(args2[11]) == 0.0 and float(args2[12]) == 1.0
+    t = geometry.scalar_transform
+    assert float(args2[14]) == np.float32(t.normalization_min)
+    assert float(args2[15]) == np.float32(t.inverse_normalization_span)
+
 
 def test_grad_wrt_camera_eye_is_finite_and_nonzero():
     # pose gradients exist (the eye flows through ray origins, slab
