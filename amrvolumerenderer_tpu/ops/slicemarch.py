@@ -889,14 +889,19 @@ def compute_worklist(
     logical_width: Optional[int] = None,
     logical_height: Optional[int] = None,
     pad_to: int = 256,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    with_coverage: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Screen-bbox tile work list: one (brick, tile) item per 2D tile whose
     pixel block intersects the brick's projected bounding box.
 
     Conservative: bricks with any corner at or behind the eye plane cover
     the whole frame.  Returns (work_bricks, work_tiles, coverage[B, T]);
     the work list is padded to a multiple of ``pad_to`` by repeating the
-    last item (harmless re-render of a covered tile).
+    last item (harmless re-render of a covered tile).  The list is built
+    directly from each brick's tile rectangle — O(items), never the
+    O(bricks x tiles) boolean matrix; ``with_coverage=False`` callers
+    (the persistent path, which only needs the CSR list) skip
+    materializing ``coverage`` entirely (returned as None).
     """
     tiles_x = width // TILE_W
     tiles_y = height // TILE_H
@@ -904,7 +909,6 @@ def compute_worklist(
     lw = logical_width or width
     lh = logical_height or height
     num_bricks = len(box_min)
-    coverage = np.zeros((num_bricks, num_tiles), dtype=bool)
 
     if num_bricks:
         lo_x, hi_x, lo_y, hi_y, behind = project_screen_bboxes(
@@ -920,22 +924,34 @@ def compute_worklist(
         ty1 = np.where(behind, tiles_y - 1, ty1)
         offscreen = (~behind) & ((hi_x < 0) | (lo_x > lw) | (hi_y < 0) | (lo_y > lh))
 
-        tx_grid = np.arange(tiles_x)
-        ty_grid = np.arange(tiles_y)
-        in_x = (tx_grid[None, :] >= tx0[:, None]) & (tx_grid[None, :] <= tx1[:, None])
-        in_y = (ty_grid[None, :] >= ty0[:, None]) & (ty_grid[None, :] <= ty1[:, None])
-        coverage = (in_y[:, :, None] & in_x[:, None, :]).reshape(
-            num_bricks, num_tiles
-        )
-        coverage[offscreen] = False
+        # expand each brick's [tx0, tx1] x [ty0, ty1] tile rect into
+        # (brick, tile) items in brick-major, ascending-tile order (the
+        # order np.nonzero on the coverage matrix would produce)
+        nx = tx1 - tx0 + 1
+        cnt = np.where(offscreen, 0, nx * (ty1 - ty0 + 1))
+        total = int(cnt.sum())
+        wb = np.repeat(np.arange(num_bricks, dtype=np.int64), cnt)
+        starts = np.cumsum(cnt) - cnt
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        nxr = np.repeat(nx, cnt)
+        ty = np.repeat(ty0, cnt) + j // nxr
+        tx = np.repeat(tx0, cnt) + j % nxr
+        wt = ty * tiles_x + tx
+    else:
+        wb = np.zeros(0, np.int64)
+        wt = np.zeros(0, np.int64)
 
-    wb, wt = np.nonzero(coverage)
     wb = wb.astype(np.int32)
     wt = wt.astype(np.int32)
+    coverage = None
+    if with_coverage:
+        coverage = np.zeros((num_bricks, num_tiles), dtype=bool)
+        coverage[wb, wt] = True
     if len(wb) == 0:
         wb = np.array([0], np.int32)
         wt = np.array([0], np.int32)
-        coverage[0 if num_bricks else slice(0, 0), 0] = True
+        if with_coverage:
+            coverage[0 if num_bricks else slice(0, 0), 0] = True
 
     # pad by repeating the final item so compiled shapes bucket coarsely
     target = ((len(wb) + pad_to - 1) // pad_to) * pad_to

@@ -999,12 +999,16 @@ def compute_item_slice_bounds(
     ks = np.minimum(np.arange(n_seg + 1) * seg_len, cap - 1)  # [G+1]
     z = pmin[:, 0:1] + (ks[None, :] + 0.5) * cell[:, 0:1]  # [W, G+1]
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = (z[:, None, :] - eye_p[0]) / d_a[:, :, None]  # [W, 4, G+1]
+        # reciprocal form, matching the native C++ pass bit-for-bit
+        # (avr_native.cpp item_bands_range hoists these loop-invariant
+        # divisions out of its per-segment loop)
+        inv_da = 1.0 / d_a  # [W, 4]
+        t = (z[:, None, :] - eye_p[0]) * inv_da[:, :, None]  # [W, 4, G+1]
         ok = sign_ok & (t > 0).all(axis=(1, 2))
         u_pts = eye_p[1] + t * dp[:, :, 1:2]  # [W, 4, G+1]
         v_pts = eye_p[2] + t * dp[:, :, 2:3]
-        cu = (u_pts - pmin[:, 1:2, None]) / cell[:, 1:2, None] + ghost
-        cv = (v_pts - pmin[:, 2:3, None]) / cell[:, 2:3, None] + ghost
+        cu = (u_pts - pmin[:, 1:2, None]) * (1.0 / cell[:, 1:2, None]) + ghost
+        cv = (v_pts - pmin[:, 2:3, None]) * (1.0 / cell[:, 2:3, None]) + ghost
     if margin is None:
         margin = ghost + 2.0
     # segment g's footprint = hull of the 4 corners at boundaries g, g+1
@@ -1230,10 +1234,10 @@ def build_tile_worklist(
             f"owner ids must be in [0, 32767] for the packed work table "
             f"(got range [{owners.min()}, {owners.max()}])"
         )
-    wb, wt, _cov = compute_worklist(
+    wb, wt, _ = compute_worklist(
         box_min, box_max, eye, forward, right, up, fov_y_degrees,
         width, height, logical_width=logical_width,
-        logical_height=logical_height, pad_to=1,
+        logical_height=logical_height, pad_to=1, with_coverage=False,
     )
     num_tiles = (width // TILE_W) * (height // TILE_H)
     # order per tile by (hint, owner, brick index)

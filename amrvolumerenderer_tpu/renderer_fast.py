@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .camera import camera_basis, compute_box_depth_hints
+from .camera import camera_basis
 from .colormap import SOFT_CLIP_TOLERANCE, build_color_table, saturate_soft_tail_np
 from .ops import slicemarch as sm
 from .ops import tilemarch as tm
@@ -208,12 +208,21 @@ def _geometry_pack(
     slice_min = core.reshape(num_layers, cap, -1).min(axis=2)
     slice_max = core.reshape(num_layers, cap, -1).max(axis=2)
 
+    # camera-independent parent-box corner tables, hoisted out of
+    # prepare_slicemarch_scene (the corners are already baked into the
+    # pieces' meta at pack time, so caching them introduces no new
+    # staleness; OWNER ids are deliberately NOT cached — in-situ callers
+    # mutate ``brick.owner`` between renders and the per-frame read is
+    # cheap)
+    parent_min_arr = np.array([b.min_corner for b in bricks])
+    parent_max_arr = np.array([b.max_corner for b in bricks])
     gp = dict(
         vol=vol, meta=meta, dims=dims, box_min=box_min, box_max=box_max,
         parents=parents, quad_min=quad_min, quad_max=quad_max,
         split_u=split_u, split_v=split_v, nq=nq, s_max=s_max_all,
         slice_min=slice_min, slice_max=slice_max, ghost=ghost, axis=axis,
         lut_packs={},
+        parent_min=parent_min_arr, parent_max=parent_max_arr,
     )
     cache[key] = gp
     return gp
@@ -249,6 +258,39 @@ def _lut_pack(gp: dict, lut: np.ndarray, scalar_range: Tuple[float, float]):
     return lp
 
 
+def _cached_color_table(
+    geometry: SceneGeometry, alpha_scale: float,
+    scalar_range: Tuple[float, float], color_map: Optional[ColorMap],
+    lut_size: int,
+) -> np.ndarray:
+    """Content-keyed memo of ``build_color_table`` on the geometry object.
+
+    The LUT is a pure function of (alpha_scale, scalar_range, control
+    points, size); rebuilding it per frame costs ~1 ms of the per-frame
+    host budget on an orbit over a static scene.  Control points are
+    keyed by VALUE (a handful of floats), so a rebuilt-but-equal colormap
+    still hits."""
+    cm_key = (
+        None if not color_map else tuple(
+            (p.value, p.red, p.green, p.blue, p.alpha) for p in color_map
+        )
+    )
+    key = (
+        float(alpha_scale), float(scalar_range[0]), float(scalar_range[1]),
+        int(lut_size), cm_key,
+    )
+    cache = geometry.__dict__.setdefault("_color_table_cache", {})
+    lut = cache.get(key)
+    if lut is None:
+        if len(cache) >= 8:
+            cache.clear()
+        lut = build_color_table(
+            alpha_scale, 1.0, scalar_range, color_map, size=lut_size
+        )
+        cache[key] = lut
+    return lut
+
+
 def prepare_slicemarch_scene(
     geometry: SceneGeometry,
     parameters: RenderParameters,
@@ -266,7 +308,6 @@ def prepare_slicemarch_scene(
     camera-independent packing and the LUT-dependent bounds are cached on
     the geometry (``_geometry_pack`` / ``_lut_pack``), so only the O(work
     items) camera tables are rebuilt per frame."""
-    bricks = geometry.bricks
     alpha_scale = float(np.clip(1.0 - parameters.box_transparency, 0.0, 1.0))
     clip_start = float(np.clip(scalar_range[1], 0.0, 1.0))
     apply_clip = 1.0 > clip_start + SOFT_CLIP_TOLERANCE
@@ -285,8 +326,8 @@ def prepare_slicemarch_scene(
     gp = _geometry_pack(geometry, axis, ghost, clip_start, apply_clip)
     if gp is None:
         return None
-    lut = build_color_table(
-        alpha_scale, 1.0, scalar_range, color_map, size=parameters.lut_size
+    lut = _cached_color_table(
+        geometry, alpha_scale, scalar_range, color_map, parameters.lut_size
     )
     lp = _lut_pack(gp, lut, scalar_range)
     # empty-space skipping: march only transfer-function-occupied slices
@@ -342,35 +383,33 @@ def prepare_slicemarch_scene(
             [wbounds2, np.full(pad, wbounds2[-1], wbounds2.dtype)]
         )
 
-    parents = gp["parents"]
     # piece-level visibility-graph order keys when available (exact
     # view-consistent ordering over the convexified piece partition);
     # fallback: the parent box's scalar depth hint, shared by all its
-    # split pieces; --no-visibility-graph opts out
-    from .visibility import hierarchical_order_keys, piece_order_keys
+    # split pieces; --no-visibility-graph opts out.  Clean builds memoize
+    # per view-sign octant on the geometry pack (OrderKeyCache semantics,
+    # shared with the persistent renderers) — an orbit over a static
+    # scene pays the graph build a handful of times, not per frame.
+    from .visibility import OrderKeyCache, order_keys_or_hints
 
-    parent_min = np.array([b.min_corner for b in bricks])
-    parent_max = np.array([b.max_corner for b in bricks])
-    depth_hints = None
-    if parameters.use_visibility_graph:
-        aspect = render_width / max(render_height, 1)
-        depth_hints = piece_order_keys(
-            camera, aspect, gp["box_min"], gp["box_max"]
+    order_cache = gp.get("order_cache")
+    if order_cache is None:
+        order_cache = gp["order_cache"] = OrderKeyCache(
+            gp["box_min"], gp["box_max"], gp["parent_min"], gp["parent_max"]
         )
-        if depth_hints is None:
-            # too many pieces for the flat graph: brick-level graph x
-            # within-brick slab shells (exact for the grid splits)
-            depth_hints = hierarchical_order_keys(
-                camera, aspect, gp["box_min"], gp["box_max"],
-                parents, parent_min, parent_max,
-            )
-    if depth_hints is None:
-        parent_hints = compute_box_depth_hints(parent_min, parent_max, camera)
-        depth_hints = parent_hints[parents].astype(np.float32)
-    brick_owners = np.fromiter(
-        (b.owner for b in bricks), dtype=np.int32, count=len(bricks)
+    depth_hints = order_keys_or_hints(
+        camera, render_width / max(render_height, 1),
+        gp["box_min"], gp["box_max"],
+        use_graph=parameters.use_visibility_graph,
+        parents=gp["parents"],
+        parent_min=gp["parent_min"], parent_max=gp["parent_max"],
+        cache=order_cache, parent_hint_fallback=True,
     )
-    owners = brick_owners[parents]
+    brick_owners = np.fromiter(
+        (b.owner for b in geometry.bricks), dtype=np.int32,
+        count=len(geometry.bricks),
+    )
+    owners = brick_owners[gp["parents"]]
     local_indices = _grouped_cumcount(owners)
 
     return dict(

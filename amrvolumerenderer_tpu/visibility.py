@@ -691,6 +691,7 @@ def order_keys_or_hints(
     parent_min: Optional[np.ndarray] = None,
     parent_max: Optional[np.ndarray] = None,
     cache: Optional[OrderKeyCache] = None,
+    parent_hint_fallback: bool = False,
 ) -> np.ndarray:
     """The layer-ordering policy, shared by every compositing path:
     piece-level visibility-graph keys when enabled and available
@@ -712,9 +713,12 @@ def order_keys_or_hints(
                 and okey in cache._flat:
             cache.hits += 1
             return cache._flat[okey]
-        keys, clean = piece_order_keys(
+        res = piece_order_keys(
             camera, aspect, box_min, box_max, return_clean=True
         )
+        # tolerate a bare-None return (tests stub piece_order_keys with
+        # ``lambda *a, **k: None`` to force the hint fallback)
+        keys, clean = res if isinstance(res, tuple) else (res, None)
         if keys is not None:
             if (
                 cache is not None and cache.flat_sound
@@ -733,8 +737,11 @@ def order_keys_or_hints(
             if parent_pos is not None:
                 cache.hits += 1
             elif len(parent_min) <= PIECE_GRAPH_LIMIT:
-                parent_pos, pclean = piece_order_keys(
+                pres = piece_order_keys(
                     camera, aspect, parent_min, parent_max, return_clean=True
+                )
+                parent_pos, pclean = (
+                    pres if isinstance(pres, tuple) else (pres, None)
                 )
                 if (
                     parent_pos is not None
@@ -756,6 +763,13 @@ def order_keys_or_hints(
                 )
                 if keys is not None:
                     return keys
+    if parent_hint_fallback and parents is not None and parent_min is not None:
+        # one-shot layered-path fallback: parent-box corner hints shared
+        # by all the parent's split pieces (renderer_fast historical
+        # behavior; the persistent path falls back to piece-level hints)
+        return compute_box_depth_hints(parent_min, parent_max, camera)[
+            parents
+        ].astype(np.float32)
     return compute_box_depth_hints(box_min, box_max, camera).astype(
         np.float32
     )

@@ -765,18 +765,26 @@ static void item_bands_range(
 
     bool ok = sign_ok;
     if (ok) {
+      // divisions hoisted to reciprocal multiplies: d_a and the cell
+      // spans are loop-invariant, and the old form spent ~200 divides
+      // per item (the NumPy oracle computes the identical reciprocal
+      // form, keeping native/oracle bit-parity)
+      const double inv_cell1 = 1.0 / cell1;
+      const double inv_cell2 = 1.0 / cell2;
+      double inv_da[4];
+      for (int c = 0; c < 4; ++c) inv_da[c] = 1.0 / d_a[c];
       for (int g = 0; g <= n_seg && ok; ++g) {
         const int ks = std::min(g * seg_len, cap - 1);
         const double z = pmin0 + (ks + 0.5) * cell0;
         double umin = std::numeric_limits<double>::infinity(), umax = -umin;
         double vmin = umin, vmax = -umin;
         for (int c = 0; c < 4; ++c) {
-          const double t = (z - eye_p[0]) / d_a[c];
+          const double t = (z - eye_p[0]) * inv_da[c];
           if (!(t > 0.0)) { ok = false; break; }
           const double u = eye_p[1] + t * dp[c][1];
           const double v = eye_p[2] + t * dp[c][2];
-          const double cu = (u - pmin1) / cell1 + ghost;
-          const double cv = (v - pmin2) / cell2 + ghost;
+          const double cu = (u - pmin1) * inv_cell1 + ghost;
+          const double cv = (v - pmin2) * inv_cell2 + ghost;
           umin = std::min(umin, cu); umax = std::max(umax, cu);
           vmin = std::min(vmin, cv); vmax = std::max(vmax, cv);
         }
