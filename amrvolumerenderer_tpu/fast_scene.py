@@ -48,6 +48,7 @@ from .renderer_fast import _device_downsample, _pretransform
 from .types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 
 MAX_CUBE = 32  # largest canonical piece edge (32*32 = one vreg slice)
+NARROW_ROWS_DEFAULT = tm.NARROW_ROWS_DEFAULT  # narrowed-gather window
 
 
 def _ghost_fill_bricks(datas, bricks, ghost):
@@ -126,14 +127,15 @@ def _repack_for_axis(canonical: jnp.ndarray, *, axis: int, cube: int):
     static_argnames=(
         "width", "height", "max_slices", "logical_width", "logical_height",
         "interpret", "sampling", "ghost", "sqrt_aa", "bytes_out",
-        "dma_slices", "classification",
+        "dma_slices", "classification", "narrow_rows",
     ),
 )
 def _render_batch_frames(
     vol, lut, meta, dims, cams, offsets, bricks, owners, ibounds, tile_ids,
+    row_chords=None,
     *, width, height, max_slices, logical_width, logical_height,
     interpret, sampling, ghost, sqrt_aa, bytes_out=False, dma_slices=None,
-    classification="post",
+    classification="post", narrow_rows=None,
 ):
     """Run a [F]-frame camera batch through ONE mega-kernel launch.
 
@@ -157,20 +159,23 @@ def _render_batch_frames(
         c1, d1 = tm.tilemarch_render(
             vol, meta, dims, lut, cams[0], offsets[0], bricks[0],
             owners[0], ibounds[0], tile_ids[0],
+            None if row_chords is None else row_chords[0],
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
             dma_slices=dma_slices, classification=classification,
+            narrow_rows=narrow_rows,
         )
         out_c, out_d = c1[None], d1[None]
     else:
         out_c, out_d = tm.tilemarch_render_batch(
             vol, meta, dims, lut, cams, offsets, bricks, owners, ibounds,
-            tile_ids,
+            tile_ids, row_chords,
             width=width, height=height, max_slices=max_slices,
             logical_width=logical_width, logical_height=logical_height,
             interpret=interpret, sampling=sampling, ghost=ghost,
             dma_slices=dma_slices, classification=classification,
+            narrow_rows=narrow_rows,
         )
 
     def assemble(out_c, out_d, tids):
@@ -369,6 +374,11 @@ class FastSceneRenderer:
         self._order_cache = OrderKeyCache(
             self.box_min, self.box_max, self._parent_min, self._parent_max
         )
+        # narrowed volume gather: per-item certified row windows shrink the
+        # kernel's 8-row gather select chain to this many rows (see
+        # tm.compute_row_chords); None disables (full chain, no chord
+        # table shipped)
+        self.narrow_rows: Optional[int] = NARROW_ROWS_DEFAULT
 
     def _set_canonical(self, canonical: jnp.ndarray) -> None:
         """(Re)place the device piece table and refresh value-derived state."""
@@ -706,9 +716,8 @@ class FastSceneRenderer:
         # that is ~half the items
         nonempty = (item_bounds >> 16) < (item_bounds & 0xFFFF)
         if not nonempty.all():
-            counts = np.bincount(
-                wt_final[nonempty], minlength=len(offsets) - 1
-            )
+            wt_final = wt_final[nonempty]
+            counts = np.bincount(wt_final, minlength=len(offsets) - 1)
             tbricks = tbricks[nonempty]
             towners = towners[nonempty]
             item_bounds = item_bounds[nonempty]
@@ -716,6 +725,19 @@ class FastSceneRenderer:
             np.cumsum(counts, out=offsets[1:])
             if len(tbricks) == 0:
                 return None
+        # narrowed volume gather: certify a per-item linear row window so
+        # the kernel's gather select chain shrinks from 8 rows to
+        # ``narrow_rows`` (items without a certificate keep the full chain)
+        row_chords = None
+        if self.narrow_rows:
+            row_chords = tm.compute_row_chords(
+                meta, dims, wt_final, tbricks, item_bounds,
+                np.asarray(camera.eye), forward, right, up,
+                camera.fov_y_degrees, axes, self.pad_w,
+                self.render_width, self.render_height,
+                ghost=self.ghost, sampling=self.parameters.sampling,
+                narrow_rows=self.narrow_rows,
+            )
         # DMA window bucket: the largest occupied span over all items,
         # rounded to 8 slices — the kernel then copies only that window of
         # each brick instead of all ``cube`` slices (tilemarch dma_slices)
@@ -751,6 +773,7 @@ class FastSceneRenderer:
                 meta=meta, dims=dims, cam=cam, offsets=offsets,
                 bricks=tbricks, owners=towners, item_bounds=item_bounds,
                 dma_slices=dma_slices, tile_ids=tile_ids,
+                row_chords=row_chords,
             )
         return dict(
             meta=jnp.asarray(meta), dims=jnp.asarray(dims),
@@ -758,6 +781,9 @@ class FastSceneRenderer:
             bricks=jnp.asarray(tbricks), owners=jnp.asarray(towners),
             item_bounds=jnp.asarray(item_bounds),
             dma_slices=dma_slices, tile_ids=jnp.asarray(tile_ids),
+            row_chords=(
+                None if row_chords is None else jnp.asarray(row_chords)
+            ),
         )
 
     def render(
@@ -782,7 +808,7 @@ class FastSceneRenderer:
                 self._packed_vol, inputs["meta"], inputs["dims"],
                 self._lut_device, inputs["cam"], inputs["offsets"],
                 inputs["bricks"], inputs["owners"], inputs["item_bounds"],
-                inputs["tile_ids"],
+                inputs["tile_ids"], inputs.get("row_chords"),
                 width=self.pad_w, height=self.pad_h, max_slices=self.cube,
                 logical_width=self.render_width,
                 logical_height=self.render_height,
@@ -791,6 +817,7 @@ class FastSceneRenderer:
                 ghost=self.ghost,
                 dma_slices=inputs["dma_slices"],
                 classification=self.parameters.classification,
+                narrow_rows=self.narrow_rows,
             )
             tiles_x = self.pad_w // sm.TILE_W
             tiles_y = self.pad_h // sm.TILE_H
@@ -885,6 +912,7 @@ class FastSceneRenderer:
             smem_cap = tm.max_batch_frames(
                 max(len(g[1]["tile_ids"]) for g in group),
                 w_pad, int(meta.shape[0]),
+                narrow=bool(self.narrow_rows),
             )
             return min(16, max_chunk_bytes // frame_bytes,
                        smem_cap if smem_cap > 0 else 1)
@@ -909,11 +937,18 @@ class FastSceneRenderer:
             brs = np.zeros((len(part), w_pad), np.int32)
             ows = np.zeros((len(part), w_pad), np.int32)
             ibs = np.zeros((len(part), w_pad), np.int32)
+            narrow = bool(self.narrow_rows)
+            rcs = (
+                np.full((len(part), w_pad), tm.NARROW_SENTINEL, np.int32)
+                if narrow else None
+            )
             for row, (_idx, inp, _vol) in enumerate(part):
                 w = len(inp["bricks"])
                 brs[row, :w] = inp["bricks"]
                 ows[row, :w] = inp["owners"]
                 ibs[row, :w] = inp["item_bounds"]
+                if narrow and inp.get("row_chords") is not None:
+                    rcs[row, :w] = inp["row_chords"]
                 o = inp["offsets"]
                 offs[row, : len(o)] = o
                 offs[row, len(o):] = o[-1]
@@ -921,16 +956,18 @@ class FastSceneRenderer:
             # chunk-wide DMA window; bucketed to 8 already, so a long
             # orbit compiles few variants
             dma = max(p[1]["dma_slices"] for p in part)
-            return cams, offs, brs, ows, ibs, tids, dma
+            return cams, offs, brs, ows, ibs, tids, dma, rcs
 
         def dispatch(packed, ctx):
             vol, meta, dims, _w_pad = ctx
-            cams, offs, brs, ows, ibs, tids, dma = packed
+            cams, offs, brs, ows, ibs, tids, dma, rcs = packed
             return _render_batch_frames(
                 vol, self._lut_device, meta, dims,
                 jnp.asarray(cams), jnp.asarray(offs),
                 jnp.asarray(brs), jnp.asarray(ows), jnp.asarray(ibs),
                 jnp.asarray(tids),
+                None if rcs is None else jnp.asarray(rcs),
+                narrow_rows=self.narrow_rows,
                 width=self.pad_w, height=self.pad_h,
                 max_slices=self.cube,
                 logical_width=self.render_width,

@@ -42,6 +42,22 @@ from .slicemarch import (
 )
 from .vreg import gather_rows
 
+# int32 twin of NARROW_SENTINEL for in-kernel comparison (defined as an
+# np scalar next to compute_row_chords below)
+_NARROW_SENTINEL_I32 = -(2**31)
+
+
+def _dyn_row(tile: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Row ``r`` (dynamic scalar) of an [8, 128] tile, broadcast to all
+    sublanes — the one dynamic-data-movement op of the narrowed volume
+    gather, expressed as a same-shape axis-0 take_along_axis with a
+    splatted index (the only dynamic sublane move Mosaic lowers
+    correctly: pltpu.roll with a dynamic sublane shift silently no-ops
+    on v5e, measured 2026-08; validated on hardware by
+    tests/test_narrow_gather.py)."""
+    idx = jnp.full((SUBLANES, LANES), 0, jnp.int32) + r
+    return jnp.take_along_axis(tile, idx, axis=0)
+
 
 def _kernel(
     # scalar prefetch.  Batched launches (steps_per_frame set) carry a
@@ -68,6 +84,10 @@ def _kernel(
     ibounds_ref,  # [F, W] i32 per-ITEM occupied-slice bounds ((lo<<16)|hi;
     #               defaults to the brick's dims[7], tightened per tile by
     #               compute_item_slice_bounds)
+    rowchord_ref,  # [F, W] i32 packed per-item row chords
+    #               (compute_row_chords) when ``narrow_rows`` is set;
+    #               the no-narrow wrapper in _tilemarch_call passes None
+    #               and the operand is not shipped at all
     # tensors
     vol_hbm,  # [B, S_max, 8, 128] f32 in HBM/ANY
     lut_ref,  # [4, rows, LANES] f32 in VMEM (rows = size/128)
@@ -90,6 +110,7 @@ def _kernel(
     s_stored: Optional[int] = None,
     classification: str = "post",
     steps_per_frame: Optional[int] = None,
+    narrow_rows: Optional[int] = None,
 ):
     # ``ghost`` marks packs carrying a ghost-cell ring (see
     # slicemarch._kernel_body): loads shift by ``ghost`` on all three axes
@@ -115,6 +136,7 @@ def _kernel(
         off_at = lambda s: offsets_ref[s]
         work_at = lambda w: work_ref[w]
         ib_at = lambda w: ibounds_ref[w]
+        rc_at = lambda w: rowchord_ref[w]
     else:
         f = gstep // steps_per_frame
         step = gstep - f * steps_per_frame
@@ -123,6 +145,7 @@ def _kernel(
         off_at = lambda s: offsets_ref[f, s]
         work_at = lambda w: work_ref[f, w]
         ib_at = lambda w: ibounds_ref[f, w]
+        rc_at = lambda w: rowchord_ref[f, w]
     t = tid_at(step)  # frame tile this step renders
     inf = jnp.float32(np.inf)
 
@@ -214,6 +237,14 @@ def _kernel(
         s_bounds = ib_at(work_idx)
         s_lo = jnp.where(s_bounds > 0, s_bounds >> 16, 0)
         s_hi = jnp.where(s_bounds > 0, s_bounds & 0xFFFF, n_slices)
+        if narrow_rows is not None:
+            # per-item row chord (compute_row_chords): a certified linear
+            # model of the vreg rows this tile's gathers can touch per
+            # slice; sentinel = run the full 8-row chain
+            rcw = rc_at(work_idx)
+            can_narrow = rcw != _NARROW_SENTINEL_I32
+            a0r = (rcw >> 16).astype(jnp.float32) * (1.0 / 256.0)
+            dar = ((rcw << 16) >> 16).astype(jnp.float32) * (1.0 / 4096.0)
 
         def pick(vecs, p):
             out = vecs[2]
@@ -249,12 +280,19 @@ def _kernel(
         t_lo = jnp.maximum(tmin, 0.0)
         t_hi = tmax
 
-        def sample_slice(k, mode):
+        def sample_slice(k, mode, narrow=False):
             """One slice's (r, g, b, sample_alpha) for loop index ``k``;
             out-of-range ``k`` (the unroll tail) is masked to zero alpha.
             ``mode`` in {"fwd", "bwd", "mixed"} selects the per-ray
             slice-direction handling — uniform-sign (tile, brick) items
-            skip the dual slice load (see slicemarch.sample_slice)."""
+            skip the dual slice load (see slicemarch.sample_slice).
+            ``narrow`` runs the certified narrowed volume gather: the
+            row chord bounds every touched vreg row to a
+            ``narrow_rows``-row window, so the gather's select chain
+            shrinks from 8 rows to ``narrow_rows`` (items are only
+            dispatched here when eligible — uniform sign, so never
+            ``mixed``)."""
+            assert not (narrow and mode == "mixed")
             k_rev = s_lo + s_hi - 1 - k
             if mode == "fwd":
                 k_eff = k
@@ -262,6 +300,26 @@ def _kernel(
                 k_eff = k_rev
             else:
                 k_eff = jnp.where(backward, k_rev, k)
+            if narrow:
+                # certified: every row any valid ray's stencil touches at
+                # core slice k_eff lies in [r_lo, r_lo + narrow_rows)
+                chord = a0r + k_eff.astype(jnp.float32) * dar
+                r_lo = jnp.clip(
+                    jnp.floor(chord).astype(jnp.int32),
+                    0, SUBLANES - narrow_rows,
+                )
+
+                def gat(tile, row, col):
+                    out = col.astype(jnp.float32) * 0.0
+                    for rr in range(narrow_rows):
+                        brow = _dyn_row(tile, r_lo + rr)
+                        v = jnp.take_along_axis(brow, col, axis=1)
+                        out = jnp.where(row == r_lo + rr, v, out)
+                    return out
+
+            else:
+                def gat(tile, row, col):
+                    return gather_vreg(tile, row, col, SUBLANES)
             z_k = pmin[0] + (k_eff.astype(jnp.float32) + 0.5) * cell[0]
             t_k = (z_k - eye[0]) * inv_da
             pos_u = eye[1] + d[1] * t_k
@@ -288,7 +346,7 @@ def _kernel(
                 col = flat % LANES
 
                 def sample(tile):
-                    return gather_vreg(tile, row, col, SUBLANES)
+                    return gat(tile, row, col)
             else:
                 # trilinear == in-slice bilinear with clamp-to-edge over
                 # core + ghost ring (see slicemarch._kernel_body)
@@ -308,9 +366,7 @@ def _kernel(
 
                 def bilerp_at(tile, iu_, iv_):
                     flat = (iu_ + ghost) * nv_stride + (iv_ + ghost)
-                    return gather_vreg(
-                        tile, flat // LANES, flat % LANES, SUBLANES
-                    )
+                    return gat(tile, flat // LANES, flat % LANES)
 
                 def sample(tile):
                     v0 = (
@@ -415,7 +471,7 @@ def _kernel(
             t = 1.0 - pa
             return (pr + qr * t, pg + qg * t, pb + qb * t, pa + qa * t)
 
-        def make_body(mode):
+        def make_body(mode, narrow=False):
             def body(kn, carry):
                 # unrolled: ``unroll`` independent samples combined in a
                 # tree before the accumulator (slicemarch.make_body_unrolled)
@@ -423,7 +479,7 @@ def _kernel(
                 k0 = s_lo + unroll * kn
                 parts = []
                 for i in range(unroll):
-                    r, g, b, a = sample_slice(k0 + i, mode)
+                    r, g, b, a = sample_slice(k0 + i, mode, narrow)
                     parts.append((r * a, g * a, b * a, a))
                 while len(parts) > 1:
                     parts = [
@@ -448,9 +504,11 @@ def _kernel(
         hi_k = jnp.minimum(s_hi, max_slices)
         trips = (hi_k - s_lo + unroll - 1) // unroll
 
-        def run_loop(mode):
+        def run_loop(mode, narrow=False):
             def run(_):
-                return jax.lax.fori_loop(0, trips, make_body(mode), init)
+                return jax.lax.fori_loop(
+                    0, trips, make_body(mode, narrow), init
+                )
 
             return run
 
@@ -467,19 +525,37 @@ def _kernel(
         any_hit = jnp.any(live)
         any_bwd = jnp.any(backward & live)
         any_fwd = jnp.any(jnp.logical_not(backward) & live)
-        l_r, l_g, l_b, l_a = jax.lax.cond(
-            any_hit,
-            lambda op: jax.lax.cond(
+
+        def full_tree(op):
+            return jax.lax.cond(
                 any_bwd,
                 lambda o: jax.lax.cond(
                     any_fwd, run_loop("mixed"), run_loop("bwd"), o
                 ),
                 run_loop("fwd"),
                 op,
-            ),
-            skip_loop,
-            0,
-        )
+            )
+
+        if narrow_rows is None:
+            dispatch = full_tree
+        else:
+            # chord-certified items run the narrowed gather; certification
+            # implies a uniform d_a sign across the tile (the corner-hull
+            # argument needs it), so narrow never sees "mixed"
+            def dispatch(op):
+                return jax.lax.cond(
+                    can_narrow,
+                    lambda o: jax.lax.cond(
+                        any_bwd,
+                        run_loop("bwd", narrow=True),
+                        run_loop("fwd", narrow=True),
+                        o,
+                    ),
+                    full_tree,
+                    op,
+                )
+
+        l_r, l_g, l_b, l_a = jax.lax.cond(any_hit, dispatch, skip_loop, 0)
         l_r = jnp.clip(l_r, 0.0, 1.0)
         l_g = jnp.clip(l_g, 0.0, 1.0)
         l_b = jnp.clip(l_b, 0.0, 1.0)
@@ -559,7 +635,7 @@ def _kernel(
     static_argnames=(
         "width", "height", "logical_width", "logical_height", "max_slices",
         "interpret", "sampling", "unroll", "ghost", "dma_slices",
-        "classification",
+        "classification", "narrow_rows",
     ),
 )
 def tilemarch_render(
@@ -579,6 +655,9 @@ def tilemarch_render(
     #   measured per-step fixed cost, ~1.5 us on v5e, is the sparse-scene
     #   frame floor; skipping uncovered tiles removes it).  None = dense
     #   grid over all T tiles (outputs then index by frame tile id).
+    row_chords: Optional[jnp.ndarray] = None,  # [W] i32 packed per-item
+    #   row chords (compute_row_chords) enabling the narrowed volume
+    #   gather; None (or narrow_rows=None) = full 8-row gather chain
     *,
     width: int,
     height: int,
@@ -591,6 +670,7 @@ def tilemarch_render(
     ghost: int = 0,
     dma_slices: Optional[int] = None,
     classification: str = "post",
+    narrow_rows: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render + composite the whole frame in one kernel pass.
 
@@ -618,12 +698,12 @@ def tilemarch_render(
     # tables ship 1-D (frameless): a [1, W] SMEM operand pads to 8 rows
     out_c, out_d = _tilemarch_call(
         vol, meta, dims, lut, cam, tile_offsets,
-        tile_bricks, tile_owners, item_bounds, tile_ids,
+        tile_bricks, tile_owners, item_bounds, tile_ids, row_chords,
         width=width, height=height, max_slices=max_slices,
         logical_width=logical_width, logical_height=logical_height,
         interpret=interpret, sampling=sampling, unroll=unroll,
         ghost=ghost, dma_slices=dma_slices, classification=classification,
-        batched=False,
+        batched=False, narrow_rows=narrow_rows,
     )
     return out_c, out_d
 
@@ -639,6 +719,7 @@ def tilemarch_render_batch(
     tile_owners: jnp.ndarray,  # [F, W]
     item_bounds: jnp.ndarray,  # [F, W]
     tile_ids: jnp.ndarray,  # [F, S]
+    row_chords: Optional[jnp.ndarray] = None,  # [F, W] packed row chords
     **kw,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """F frames in ONE pallas launch: grid = (F * S,).
@@ -651,7 +732,7 @@ def tilemarch_render_batch(
     """
     out_c, out_d = _tilemarch_call(
         vol, meta, dims, lut, cams, tile_offsets, tile_bricks, tile_owners,
-        item_bounds, tile_ids, batched=True, **kw,
+        item_bounds, tile_ids, row_chords, batched=True, **kw,
     )
     frames, steps = tile_ids.shape
     return (
@@ -681,7 +762,8 @@ def _pad128(n: int) -> int:
 
 
 def smem_prefetch_bytes(
-    frames: Optional[int], steps: int, items: int, bricks: int
+    frames: Optional[int], steps: int, items: int, bricks: int,
+    narrow: bool = False,
 ) -> int:
     """Scoped-SMEM bytes the kernel's scalar-prefetch operands occupy,
     with Mosaic's row/minor-dim padding applied (see above).
@@ -689,12 +771,15 @@ def smem_prefetch_bytes(
     ``frames=None`` models the FRAMELESS single-frame launch (1-D
     tables, one row each); an integer models the batched launch, whose
     2-D tables pad rows to 8 — a batched F=1 launch costs 8x the
-    frameless one, which is why ``tilemarch_render`` ships 1-D."""
+    frameless one, which is why ``tilemarch_render`` ships 1-D.
+    ``narrow`` adds the per-item row-chord table of the narrowed volume
+    gather (compute_row_chords)."""
     row_words = (
         _pad128(20)          # cams
         + _pad128(steps)     # tile_ids
         + _pad128(steps + 1)  # CSR offsets
-        + 2 * _pad128(items)  # packed (owner, brick) / item_bounds
+        + (3 if narrow else 2) * _pad128(items)  # (owner, brick) /
+        #                       item_bounds / optional row chords
     )
     shared_words = (_pad8(12) + _pad8(8)) * _pad128(bricks)  # meta.T/dims.T
     rows = 1 if frames is None else _pad8(frames)
@@ -706,6 +791,7 @@ def max_batch_frames(
     items: int,
     bricks: int,
     budget_bytes: Optional[int] = None,
+    narrow: bool = False,
 ) -> int:
     """Largest frame count whose batched scalar-prefetch tables fit SMEM.
 
@@ -722,17 +808,17 @@ def max_batch_frames(
     ``render_batch`` does for e.g. the 4096^2 supersampled stretch
     config."""
     budget = SMEM_BYTES - SMEM_MARGIN if budget_bytes is None else budget_bytes
-    row_bytes = smem_prefetch_bytes(8, steps, items, bricks) - (
-        smem_prefetch_bytes(0, steps, items, bricks)
+    row_bytes = smem_prefetch_bytes(8, steps, items, bricks, narrow) - (
+        smem_prefetch_bytes(0, steps, items, bricks, narrow)
     )
-    shared = smem_prefetch_bytes(0, steps, items, bricks)
+    shared = smem_prefetch_bytes(0, steps, items, bricks, narrow)
     rows = (budget - shared) * 8 // max(row_bytes, 1)
     return max(0, int(rows // 8) * 8)
 
 
 def _tilemarch_call(
     vol, meta, dims, lut, cams, tile_offsets, tile_bricks, tile_owners,
-    item_bounds, tile_ids, *,
+    item_bounds, tile_ids, row_chords=None, *,
     width: int,
     height: int,
     max_slices: int,
@@ -745,6 +831,7 @@ def _tilemarch_call(
     dma_slices: Optional[int] = None,
     classification: str = "post",
     batched: bool = False,
+    narrow_rows: Optional[int] = None,
 ):
     s_max = vol.shape[1]
     if batched:
@@ -760,12 +847,15 @@ def _tilemarch_call(
             f"{vol.shape[0]} bricks exceed the mega-kernel's 65536-brick "
             f"work-table limit; split the scene across devices"
         )
+    narrow = row_chords is not None and narrow_rows is not None
+    if not narrow:
+        narrow_rows = None
     if not interpret:
         # refuse known-RESOURCE_EXHAUSTED Mosaic compiles host-side: a
         # Mosaic crash wedges a relay-attached TPU for ~10-15 minutes
         need = smem_prefetch_bytes(
             frames if batched else None,
-            steps, tile_bricks.shape[-1], vol.shape[0],
+            steps, tile_bricks.shape[-1], vol.shape[0], narrow,
         )
         # same margin the batched planner (max_batch_frames) budgets:
         # only 1 KB of compiler scratch was measured on ONE dump, so the
@@ -802,9 +892,16 @@ def _tilemarch_call(
         s_stored=s_max,
         classification=classification,
         steps_per_frame=steps if batched else None,
+        narrow_rows=narrow_rows,
     )
+    if not narrow:
+        # the rowchord operand is not shipped; splice None into its slot
+        inner = kernel
+        kernel = lambda cam, mt, dm, tid, off, wk, ib, *rest: inner(
+            cam, mt, dm, tid, off, wk, ib, None, *rest
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8 if narrow else 7,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # vol stays in HBM
@@ -821,6 +918,15 @@ def _tilemarch_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    operands = [
+        # meta/dims ship brick-major ([12, B]/[8, B]): SMEM pads each
+        # operand's minor dim to 128 words, so the public [B, 12] layout
+        # would cost 128 words per brick in scoped SMEM
+        cams, jnp.asarray(meta).T, jnp.asarray(dims).T, tile_ids,
+        tile_offsets, work, item_bounds,
+    ]
+    if narrow:
+        operands.append(jnp.asarray(row_chords, jnp.int32))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -829,13 +935,7 @@ def _tilemarch_call(
             jax.ShapeDtypeStruct((grid, SUBLANES, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        # meta/dims ship brick-major ([12, B]/[8, B]): SMEM pads each
-        # operand's minor dim to 128 words, so the public [B, 12] layout
-        # would cost 128 words per brick in scoped SMEM
-        cams, jnp.asarray(meta).T, jnp.asarray(dims).T, tile_ids,
-        tile_offsets, work, item_bounds, vol, lut,
-    )
+    )(*operands, vol, lut)
 
 
 def scatter_tiles(
@@ -1086,6 +1186,227 @@ def footprint_margin(ghost: int, sampling: str) -> float:
     (vs the legacy ghost + 2) cuts marched slice-iterations ~12%
     (scripts/bounds_variant_sweep.py)."""
     return ghost + (1.01 if sampling == "nearest" else 1.51)
+
+
+# Sentinel row-chord value marking an item ineligible for the narrowed
+# volume gather (see compute_row_chords / the ``narrow_rows`` kernel mode).
+NARROW_SENTINEL = np.int32(-(2**31))
+
+# Default narrowed-gather window (rows).  Measured on v5e-lite (interleaved
+# A/B, scripts/narrow_gather_ab.py): dense 3-level trilinear 1024^2
+# 7.08 -> 5.05 ms (1.40x — the trilinear march pays 4 volume gathers per
+# sample and the gather's 8-row select chain is the dominant cost);
+# nearest paths neutral (the single volume gather is not dominant there).
+NARROW_ROWS_DEFAULT = 4
+
+
+def compute_row_chords(
+    meta: np.ndarray,  # [L, 12] f32 permuted pmin/pmax/cell (march axis 1st)
+    dims: np.ndarray,  # [L, 8] i32 (nu=col 1, nv=col 2, nv_stride=col 6)
+    wt: np.ndarray,  # [W] tile index per FINAL work item (post expand/cull)
+    wb: np.ndarray,  # [W] brick index per work item
+    item_bounds: np.ndarray,  # [W] i32 packed (lo<<16)|hi per item
+    eye: np.ndarray,
+    forward: np.ndarray,
+    right: np.ndarray,
+    up: np.ndarray,
+    fov_y_degrees: float,
+    axes: Sequence[int],
+    width: int,
+    logical_width: int,
+    logical_height: int,
+    ghost: int = 0,
+    sampling: str = "nearest",
+    narrow_rows: int = 4,
+) -> np.ndarray:
+    """Per-item linear bounds on the vreg ROWS a tile's gathers can touch.
+
+    The kernel's dominant cost is the [8, 128] volume gather, decomposed
+    as 8 x (broadcast + lane-take + select) because Mosaic has no 2-D
+    gather (ops/vreg.py).  But a 32x32-pixel tile's footprint on one
+    brick slice usually spans only a few cells, i.e. a few of the 8 vreg
+    rows — so the kernel can rotate the slice tile by a per-slice scalar
+    row base and run a ``narrow_rows``-row select chain instead of all 8.
+
+    This host pass certifies, per work item, a conservative linear model
+
+        r_lo(k) = clip(floor(a0 + k * da), 0, 8 - narrow_rows)
+
+    such that EVERY row any tile ray's stencil can touch at core slice k
+    lies in [r_lo(k), r_lo(k) + narrow_rows) for all k in the item's
+    occupied band.  The geometry argument is the compute_item_slice_bounds
+    one (corner-ray hulls are exact while ``d_a`` keeps one sign across
+    the tile; in-plane position is linear in the slice plane); the row
+    bounds then apply the kernel's exact clamp/floor index math
+    (``sample_slice``) to the padded hull, and the certificate re-runs the
+    kernel's float32 chord arithmetic with a +-1/64 guard band so scalar
+    FMA/rounding differences on device cannot cross a floor boundary.
+
+    Returns [W] int32: ``(a0q << 16) | (daq & 0xFFFF)`` with a0 in rows as
+    a Q8.8 and da as a Q4.12 fixed-point value, or ``NARROW_SENTINEL``
+    where no certificate holds (the kernel then runs the full 8-row
+    chain — behavior identical to narrow_rows=None)."""
+    if not (1 <= narrow_rows <= SUBLANES):
+        raise ValueError("narrow_rows must be in [1, 8]")
+    wb = np.asarray(wb, np.int64)
+    wt = np.asarray(wt, np.int64)
+    W = len(wb)
+    out = np.full(W, NARROW_SENTINEL, np.int32)
+    if W == 0:
+        return out
+    ib = np.asarray(item_bounds).astype(np.int64)
+    blo = np.where(ib > 0, ib >> 16, 0)
+    bhi = np.where(ib > 0, ib & 0xFFFF, np.asarray(dims)[wb, 0])
+
+    # --- tile corner rays (same construction as compute_item_slice_bounds)
+    tiles_x = width // TILE_W
+    tx = wt % tiles_x
+    ty = wt // tiles_x
+    px = np.stack([tx * TILE_W + 0.5, tx * TILE_W + TILE_W - 0.5], -1)
+    py = np.stack([ty * TILE_H + 0.5, ty * TILE_H + TILE_H - 0.5], -1)
+    tan_half = math.tan(math.radians(fov_y_degrees) * 0.5)
+    aspect = logical_width / max(logical_height, 1)
+    plane_x = (px * (2.0 / logical_width) - 1.0) * tan_half * aspect
+    plane_y = (py * (2.0 / logical_height) - 1.0) * tan_half
+    cx = plane_x[:, [0, 0, 1, 1]]
+    cy = plane_y[:, [0, 1, 0, 1]]
+    dirs = (
+        np.asarray(forward, np.float64)[None, None, :]
+        + cx[:, :, None] * np.asarray(right, np.float64)
+        + cy[:, :, None] * np.asarray(up, np.float64)
+    )  # [W, 4, 3]
+    axes = list(axes)
+    dp = dirs[:, :, axes]
+    eye_p = np.asarray(eye, np.float64)[axes]
+    pmin = np.asarray(meta, np.float64)[wb][:, 0:3]
+    cell = np.asarray(meta, np.float64)[wb][:, 6:9]
+    d_a = dp[:, :, 0]
+    sign_ok = (np.abs(d_a) > 1e-8).all(1) & (
+        (d_a > 0).all(1) | (d_a < 0).all(1)
+    )
+
+    cap = int(bhi.max()) if W else 0
+    if cap <= 0:
+        return out
+    ks = np.arange(cap, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        z = pmin[:, 0:1] + (ks[None, :] + 0.5) * cell[:, 0:1]  # [W, S]
+        inv_da = 1.0 / d_a  # [W, 4]
+        t = (z[:, None, :] - eye_p[0]) * inv_da[:, :, None]  # [W, 4, S]
+        ok_k = sign_ok[:, None] & (t > 0).all(axis=1)  # [W, S]
+        u_pts = eye_p[1] + t * dp[:, :, 1:2]
+        v_pts = eye_p[2] + t * dp[:, :, 2:3]
+        # CORE continuous cell coordinates (the kernel's (pos-pmin)/cell)
+        cu = (u_pts - pmin[:, 1:2, None]) * (1.0 / cell[:, 1:2, None])
+        cv = (v_pts - pmin[:, 2:3, None]) * (1.0 / cell[:, 2:3, None])
+    slack = 0.01  # f32-kernel vs f64-host rounding (see footprint_margin)
+    cu_lo = cu.min(axis=1) - slack  # [W, S]
+    cu_hi = cu.max(axis=1) + slack
+    cv_lo = cv.min(axis=1) - slack
+    cv_hi = cv.max(axis=1) + slack
+    ok_k &= (
+        np.isfinite(cu_lo) & np.isfinite(cu_hi)
+        & np.isfinite(cv_lo) & np.isfinite(cv_hi)
+    )
+    cu_lo = np.nan_to_num(cu_lo, nan=0.0, posinf=0.0, neginf=0.0)
+    cu_hi = np.nan_to_num(cu_hi, nan=0.0, posinf=0.0, neginf=0.0)
+    cv_lo = np.nan_to_num(cv_lo, nan=0.0, posinf=0.0, neginf=0.0)
+    cv_hi = np.nan_to_num(cv_hi, nan=0.0, posinf=0.0, neginf=0.0)
+
+    dims = np.asarray(dims)
+    nu = dims[wb, 1].astype(np.int64)[:, None]
+    nv = dims[wb, 2].astype(np.int64)[:, None]
+    stride = dims[wb, 6].astype(np.int64)
+    stride = np.where(stride > 0, stride, dims[wb, 2].astype(np.int64))[
+        :, None
+    ]
+    g = int(ghost)
+
+    def _stored_index_bounds(c_lo, c_hi, n):
+        """Min/max STORED index the kernel's stencil touches for a hull of
+        core continuous coordinates [c_lo, c_hi] on an axis of n cells
+        (mirrors sample_slice's nearest / bilinear index math exactly)."""
+        if sampling == "nearest":
+            i_lo = np.clip(np.floor(c_lo), 0, n - 1).astype(np.int64) + g
+            i_hi = np.clip(np.floor(c_hi), 0, n - 1).astype(np.int64) + g
+        else:
+            p_lo = np.clip(c_lo - 0.5, -g, n - 1 + g)
+            p_hi = np.clip(c_hi - 0.5, -g, n - 1 + g)
+            i_lo = np.floor(p_lo).astype(np.int64) + g
+            i_hi = (
+                np.minimum(np.floor(p_hi).astype(np.int64) + 1, n - 1 + g)
+                + g
+            )
+        return i_lo, i_hi
+
+    iu_lo, iu_hi = _stored_index_bounds(cu_lo, cu_hi, nu)
+    iv_lo, iv_hi = _stored_index_bounds(cv_lo, cv_hi, nv)
+    row_min = (iu_lo * stride + iv_lo) >> 7  # [W, S]
+    row_max = (iu_hi * stride + iv_hi) >> 7
+
+    # --- fit a chord through the feasible envelope, then CERTIFY it by
+    # simulating the kernel's f32 arithmetic with a +-1/64 guard band
+    R = int(narrow_rows)
+    lo_env = (row_max - (R - 1)).astype(np.float64)
+    hi_env = (row_min + 1).astype(np.float64)
+    mid = 0.5 * (lo_env + hi_env)
+    rows_idx = np.arange(W)
+    k0 = np.clip(blo, 0, cap - 1)
+    k1 = np.clip(bhi - 1, 0, cap - 1)
+    m0 = mid[rows_idx, k0]
+    m1 = mid[rows_idx, k1]
+    span = np.maximum(k1 - k0, 1).astype(np.float64)
+    d_raw = np.where(k1 > k0, (m1 - m0) / span, 0.0)
+    a_raw = m0 - d_raw * k0
+
+    in_band = (ks[None, :] >= blo[:, None]) & (ks[None, :] < bhi[:, None])
+    geom_ok = (
+        (bhi > blo)
+        & sign_ok
+        & np.logical_or.reduce(in_band, axis=1)
+        & np.where(in_band, ok_k, True).all(axis=1)
+        & np.where(in_band, row_max <= SUBLANES - 1, True).all(axis=1)
+        & np.where(in_band, row_min >= 0, True).all(axis=1)
+    )
+
+    def _certify(a_q, d_q):
+        """Exact f32 simulation of the kernel's r_lo(k) with +-1/64."""
+        a_f = (a_q.astype(np.float32)) * np.float32(1.0 / 256.0)
+        d_f = (d_q.astype(np.float32)) * np.float32(1.0 / 4096.0)
+        kf = ks.astype(np.float32)
+        A = (a_f[:, None] + kf[None, :] * d_f[:, None]).astype(np.float32)
+        good = np.ones((W, cap), bool)
+        delta = np.float32(1.0 / 64.0)
+        for Ax in (A - delta, A + delta):
+            r = np.clip(
+                np.floor(Ax.astype(np.float32)).astype(np.int64),
+                0, SUBLANES - R,
+            )
+            good &= (r <= row_min) & (row_max <= r + R - 1)
+        return np.where(in_band, good, True).all(axis=1)
+
+    a_q = np.clip(np.round(a_raw * 256.0), -32767, 32767).astype(np.int64)
+    d_q = np.clip(np.round(d_raw * 4096.0), -32767, 32767).astype(np.int64)
+    eligible = geom_ok & _certify(a_q, d_q)
+    # fallback: a flat (da = 0) window where the drifting chord failed
+    flat_mid = 0.5 * (
+        np.where(in_band, lo_env, -np.inf).max(axis=1)
+        + np.where(in_band, hi_env, np.inf).min(axis=1)
+    )
+    flat_mid = np.nan_to_num(flat_mid, nan=0.0, posinf=0.0, neginf=0.0)
+    a_q2 = np.clip(np.round(flat_mid * 256.0), -32767, 32767).astype(
+        np.int64
+    )
+    d_q2 = np.zeros_like(a_q2)
+    retry = geom_ok & ~eligible
+    if retry.any():
+        flat_ok = retry & _certify(a_q2, d_q2)
+        a_q = np.where(flat_ok, a_q2, a_q)
+        d_q = np.where(flat_ok, d_q2, d_q)
+        eligible |= flat_ok
+    packed = ((a_q << 16) | (d_q & 0xFFFF)).astype(np.int64)
+    out = np.where(eligible, packed, np.int64(NARROW_SENTINEL))
+    return out.astype(np.int32)
 
 
 def find_second_bands(

@@ -964,6 +964,17 @@ def render_composited_tilemarch(
     counts = np.bincount(wt_items, minlength=num_tiles)
     offsets = np.zeros(num_tiles + 1, dtype=np.int32)
     offsets[1:] = np.cumsum(counts).astype(np.int32)
+    # narrowed volume gather (tm.compute_row_chords): same certified row
+    # windows as the persistent path
+    row_chords = tm.compute_row_chords(
+        prep["meta"], prep["dims"], wt_items, tbricks,
+        ibounds.astype(np.int32),
+        np.asarray(camera.eye), forward, right, up, camera.fov_y_degrees,
+        list(prep["dims"][0, 3:6]), prep["pad_w"],
+        render_width, render_height,
+        ghost=prep["ghost"], sampling=parameters.sampling,
+        narrow_rows=tm.NARROW_ROWS_DEFAULT,
+    )
     lut_single = np.ascontiguousarray(prep["luts"][0])
     out_c, out_d = tm.tilemarch_render(
         jnp.asarray(prep["vol"]), jnp.asarray(prep["meta"]),
@@ -971,10 +982,12 @@ def render_composited_tilemarch(
         jnp.asarray(prep["cam"]), jnp.asarray(offsets),
         jnp.asarray(tbricks), jnp.asarray(towners),
         jnp.asarray(ibounds.astype(np.int32)),
+        None, jnp.asarray(row_chords),
         width=prep["pad_w"], height=prep["pad_h"], max_slices=prep["s_max"],
         logical_width=render_width, logical_height=render_height,
         interpret=interpret, sampling=parameters.sampling,
         ghost=prep["ghost"], classification=parameters.classification,
+        narrow_rows=tm.NARROW_ROWS_DEFAULT,
     )
     tiles_x = prep["pad_w"] // sm.TILE_W
     tiles_y = prep["pad_h"] // sm.TILE_H

@@ -231,6 +231,7 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
             cap = tm.max_batch_frames(
                 len(inputs["tile_ids"]), len(inputs["bricks"]),
                 inputs["meta"].shape[0],
+                narrow=inputs.get("row_chords") is not None,
             )
             f2 = min(16, cap)
             if f2 < 2:
@@ -248,12 +249,14 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
         cams = np.tile(inputs["cam"], (f, 1)).astype(np.float32)
         cams[:, 19] = np.arange(f)  # unused slot: defeats CSE across frames
 
+        narrow = inputs.get("row_chords") is not None and fsr.narrow_rows
+
         @jax.jit
         def frames(vol, meta, dims, lut, cams, offsets, bricks, owners,
-                   ibounds, tile_ids):
+                   ibounds, tile_ids, row_chords=None):
             out_c, _out_d = tm.tilemarch_render_batch(
                 vol, meta, dims, lut, cams, offsets, bricks, owners,
-                ibounds, tile_ids,
+                ibounds, tile_ids, row_chords,
                 width=fsr.pad_w, height=fsr.pad_h, max_slices=fsr.cube,
                 logical_width=fsr.render_width,
                 logical_height=fsr.render_height,
@@ -262,6 +265,7 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
                 ghost=fsr.ghost, dma_slices=inputs["dma_slices"],
                 classification=fsr.parameters.classification,
                 unroll=unroll,
+                narrow_rows=fsr.narrow_rows if narrow else None,
             )
             return jnp.sum(out_c[:, ::8])  # strided checksum readback
 
@@ -272,7 +276,7 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
             tile(inputs["offsets"]), tile(inputs["bricks"]),
             tile(inputs["owners"]), tile(inputs["item_bounds"]),
             tile(inputs["tile_ids"]),
-        )
+        ) + ((tile(inputs["row_chords"]),) if narrow else ())
         checksum = float(frames(*args))  # compile + warm
         assert np.isfinite(checksum) and checksum > 0.0
 
