@@ -1,0 +1,60 @@
+"""Persistent XLA compilation cache for the one-process-per-render surface.
+
+The product's primary surface is a CLI launched once per job — exactly like
+the reference binary (/root/reference/VolumeRenderer/main.cpp:19-36, run
+under ``mpirun`` per render).  The reference pays no per-launch compile
+because its kernels are AOT-compiled C++/CUDA; a JAX process instead traces
+and compiles per shape, and on remote-compile TPU relays a cold tilemarch
+compile is minutes.  JAX's on-disk executable cache turns every repeat
+launch at a seen (shape, knob) configuration into a disk hit, restoring the
+reference's "binary starts fast" property without giving up JIT.
+
+Enabled by default on every product entry (driver CLI, ``render()``,
+``api.render``); opt out with ``AVR_COMPILE_CACHE=off`` or point
+``AVR_COMPILE_CACHE`` at a different directory.  Backends whose executables
+cannot be serialized simply skip the cache (JAX handles that internally) —
+enabling it is always safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "amrvolumerenderer_tpu", "xla"
+)
+_configured: str | None = None
+_attempted = False
+
+
+def enable_persistent_compile_cache(cache_dir: str | None = None):
+    """Point JAX's compilation cache at a durable directory (idempotent).
+
+    Resolution order: explicit ``cache_dir`` argument, then the
+    ``AVR_COMPILE_CACHE`` env var (``off``/``0``/``none`` disables), then
+    ``~/.cache/amrvolumerenderer_tpu/xla``.  Returns the directory in use,
+    or None when disabled/unavailable.  Never raises: an unwritable
+    directory or an old JAX just leaves caching off.
+    """
+    global _configured, _attempted
+    if _attempted:
+        return _configured
+    _attempted = True
+
+    env = os.environ.get("AVR_COMPILE_CACHE", "")
+    if env.lower() in ("off", "0", "none", "false"):
+        return None
+    target = cache_dir or env or _DEFAULT_DIR
+    try:
+        os.makedirs(target, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", target)
+        # Cache every nontrivial compile: the CLI's cost is dominated by a
+        # handful of large kernels, but small helper jits (histogram,
+        # stats) also pay relay round trips worth skipping on relaunch.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        return None
+    _configured = target
+    return target

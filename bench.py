@@ -399,7 +399,21 @@ def main() -> None:
     from amrvolumerenderer_tpu.ops import tilemarch as tm
     from amrvolumerenderer_tpu.types import RenderParameters
 
-    on_tpu = jax.default_backend() == "tpu"
+    from amrvolumerenderer_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()  # relaunches skip remote compiles
+
+    # If the TPU relay is down (axon registration failed / backend init
+    # raises), fall back to CPU so the one-line JSON contract still holds;
+    # the "platform" extra makes the degraded run unmistakable.
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+        backend = jax.default_backend()
+    on_tpu = backend == "tpu"
     width = height = 1024 if on_tpu else 128  # CPU fallback keeps CI fast
 
     # soft wall-clock budget: the required metrics always complete and the
@@ -623,6 +637,7 @@ def main() -> None:
         "ici_rect_fraction": round(rect_frac, 3),
         "ici_gbps_to_hide_f32": round(ici_gbps, 2),
         "exchange_devices": EXCHANGE_DEVICES,
+        "platform": backend,
     }
     if batch_stats is not None:
         extra["e2e_batch8_split"] = {
