@@ -27,6 +27,9 @@ def initialize_runtime() -> None:
     global _manual_ref_count
     import jax
 
+    from .utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     jax.devices()  # force backend initialization
     _manual_ref_count += 1
 
@@ -67,14 +70,18 @@ def render(
     sampling: str = "nearest",
     classification: str = "post",
     lut_size: int = 256,
+    orbit_frames: int = 0,
+    orbit_degrees: float = 360.0,
 ) -> int:
     """Render a plotfile; the exact kwarg surface of the reference binding
     (python/amrVolumeRenderer/module.cpp:276-303).  ``devices``,
-    ``sampling``, ``classification`` and ``lut_size`` are beyond-reference:
-    distribute the render across that many mesh devices (the reference
-    distributes by launching under ``mpirun -n``), select trilinear
-    sampling, choose the transfer-function classification order, and set
-    the LUT resolution (see RenderParameters)."""
+    ``sampling``, ``classification``, ``lut_size`` and
+    ``orbit_frames``/``orbit_degrees`` are beyond-reference: distribute the
+    render across that many mesh devices (the reference distributes by
+    launching under ``mpirun -n``), select trilinear sampling, choose the
+    transfer-function classification order, set the LUT resolution (see
+    RenderParameters), and render an N-frame orbit animation through the
+    persistent batched renderer (frame index appended to ``output``)."""
     from .driver import RunOptions, run_options
 
     options = RunOptions(
@@ -93,6 +100,11 @@ def render(
     options.parameters.sampling = sampling
     options.parameters.classification = classification
     options.parameters.lut_size = int(lut_size)
+    if orbit_frames:
+        if int(orbit_frames) <= 0:
+            raise ValueError("orbit_frames must be positive")
+        options.orbit_frames = int(orbit_frames)
+        options.orbit_degrees = float(orbit_degrees)
     if devices is not None:
         if int(devices) <= 0:
             raise ValueError("devices must be a positive device count")

@@ -312,6 +312,9 @@ def render(
     data: AmrData, options: RenderOptions, verbose: bool = True
 ) -> Tuple[ImageBuffer, RenderTiming]:
     """In-situ render entry point (VolumeRendererApi.cpp:257-395)."""
+    from .utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     if not options.output_filename:
         raise ValueError("output filename must not be empty")
     parameters = RenderParameters(

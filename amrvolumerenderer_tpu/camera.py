@@ -197,6 +197,49 @@ def auto_orbit_camera(
     )
 
 
+def orbit_camera_sequence(
+    base: CameraParameters,
+    frames: int,
+    total_degrees: float = 360.0,
+) -> list:
+    """``frames`` cameras circling ``base.look_at`` about the up axis.
+
+    Frame ``i`` rotates the base eye by ``i * total_degrees / frames``
+    around the axis through the look-at point along ``base.up`` (Rodrigues
+    rotation); fov/near/far/up carry over unchanged.  Frame 0 is exactly
+    the base camera (angle 0 evaluates to the identity in float), so an
+    orbit's first frame is pixel-identical to a single render.  This is
+    the camera path of the reference's rotation miniapp
+    (python/examples/render_volume_rotate.py: equal azimuth steps about
+    the vertical axis); beyond reference as a product surface.
+    """
+    if frames <= 0:
+        raise ValueError("orbit frames must be positive")
+    axis = safe_normalize(base.up)
+    look_at = np.asarray(base.look_at, dtype=np.float64)
+    offset = np.asarray(base.eye, dtype=np.float64) - look_at
+    cameras = []
+    for i in range(frames):
+        angle = math.radians(total_degrees) * i / frames
+        c, s = math.cos(angle), math.sin(angle)
+        rotated = (
+            offset * c
+            + np.cross(axis, offset) * s
+            + axis * float(np.dot(axis, offset)) * (1.0 - c)
+        )
+        cameras.append(
+            CameraParameters(
+                eye=look_at + rotated,
+                look_at=base.look_at,
+                up=base.up,
+                fov_y_degrees=base.fov_y_degrees,
+                near_plane=base.near_plane,
+                far_plane=base.far_plane,
+            )
+        )
+    return cameras
+
+
 def compute_box_depth_hint(
     min_corner: Vec3, max_corner: Vec3, camera: CameraParameters
 ) -> float:

@@ -61,6 +61,12 @@ USAGE = """Usage: volume_renderer [options] plotfile
   --lut-size N     Transfer-function LUT resolution: 256 (reference table,
                    default) or 128 (halves the kernels' LUT-gather cost at
                    half the classification resolution; beyond reference)
+  --orbit-frames N Render an N-frame orbit animation instead of one frame:
+                   the camera circles the look-at point about the up axis,
+                   scene prepared once and frames batched per device
+                   dispatch; frame index is appended to --output
+                   (frame.png -> frame_0000.png; beyond reference)
+  --orbit-degrees D  Total orbit sweep in degrees (default: 360)
   -h, --help       Show this help message
 """
 
@@ -81,6 +87,8 @@ class RunOptions:
     scalar_range: Optional[Tuple[float, float]] = None
     color_map: Optional[ColorMap] = None
     trace_dir: str = ""  # capture a jax.profiler trace of the render
+    orbit_frames: int = 0  # 0 = single frame; N > 0 = N-frame orbit
+    orbit_degrees: float = 360.0
 
 
 def parse_options(argv: List[str]) -> RunOptions:
@@ -155,6 +163,14 @@ def parse_options(argv: List[str]) -> RunOptions:
             parsed.parameters.devices = int(require_value(arg))
             if parsed.parameters.devices <= 0:
                 raise RuntimeError("device count must be positive")
+        elif arg == "--orbit-frames":
+            parsed.orbit_frames = int(require_value(arg))
+            if parsed.orbit_frames <= 0:
+                raise RuntimeError("orbit frame count must be positive")
+        elif arg == "--orbit-degrees":
+            parsed.orbit_degrees = float(require_value(arg))
+            if not math.isfinite(parsed.orbit_degrees):
+                raise RuntimeError("orbit degrees must be finite")
         elif arg == "--render-method":
             parsed.parameters.render_method = require_value(arg)
             if parsed.parameters.render_method not in (
@@ -297,6 +313,9 @@ def load_plotfile_geometry(
 
 def run_options(options: RunOptions, verbose: bool = True) -> int:
     """VolumeRenderer::run(RunOptions) (cpp:1341-1576)."""
+    from .utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     validate_render_parameters(options.parameters)
     if not options.output_filename:
         raise ValueError("output filename must not be empty")
@@ -352,14 +371,37 @@ def run_options(options: RunOptions, verbose: bool = True) -> int:
     from .utils.timers import device_trace
 
     with device_trace(options.trace_dir or None):
-        render_scene(
-            options.output_filename,
-            options.parameters,
-            geometry,
-            camera=camera,
-            color_map=normalized_color_map,
-            verbose=verbose,
-        )
+        if options.orbit_frames > 0:
+            from .renderer import render_orbit
+
+            name = options.output_filename
+            if "{" in name:
+                pattern = name  # already a format pattern
+            else:
+                stem, dot, ext = name.rpartition(".")
+                if dot:
+                    pattern = f"{stem}_{{:04d}}.{ext}"
+                else:
+                    pattern = f"{name}_{{:04d}}"
+            render_orbit(
+                pattern,
+                options.parameters,
+                geometry,
+                options.orbit_frames,
+                camera=camera,
+                color_map=normalized_color_map,
+                total_degrees=options.orbit_degrees,
+                verbose=verbose,
+            )
+        else:
+            render_scene(
+                options.output_filename,
+                options.parameters,
+                geometry,
+                camera=camera,
+                color_map=normalized_color_map,
+                verbose=verbose,
+            )
     return 0
 
 
@@ -431,6 +473,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     import sys
 
     argv = list(sys.argv[1:] if argv is None else argv)
+    from .utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     try:
         maybe_initialize_distributed()
     except Exception as error:  # noqa: BLE001 - mirror MPI_Init failure

@@ -766,3 +766,87 @@ def render_scene(
         verbose=verbose,
         method=method,
     )
+
+
+def render_orbit(
+    output_pattern: str,
+    parameters: RenderParameters,
+    geometry: SceneGeometry,
+    frames: int,
+    camera: Optional[CameraParameters] = None,
+    color_map: Optional[ColorMap] = None,
+    total_degrees: float = 360.0,
+    verbose: bool = True,
+) -> None:
+    """Render a ``frames``-frame orbit animation through the persistent
+    batched renderer (prepare the scene once, one device dispatch per
+    frame chunk).
+
+    Beyond reference as a product surface: the reference renders one frame
+    per process launch and its rotation miniapp re-runs the whole pipeline
+    per frame (python/examples/render_volume_rotate.py); here the scene
+    stays device-resident (fast_scene.FastSceneRenderer) and consecutive
+    frames batch into single ``lax.scan`` dispatches
+    (``render_batch``), across ``parameters.devices`` mesh devices when
+    set.  The base camera (explicit, or the seeded auto-orbit of
+    VolumeRenderer.cpp:974-1023) is frame 0 exactly; subsequent frames
+    rotate it about the up axis (camera.orbit_camera_sequence).
+
+    ``output_pattern`` must contain a ``{}``-style format field for the
+    frame index (e.g. ``"frame_{:04d}.png"``).
+    """
+    from .camera import orbit_camera_sequence
+
+    validate_render_parameters(parameters)
+    if frames <= 0:
+        raise ValueError("orbit frames must be positive")
+    if parameters.render_method not in ("auto", "slicemarch", "tilemarch"):
+        raise ValueError(
+            "orbit rendering runs on the fast kernel family; "
+            "render_method must be auto, slicemarch, or tilemarch "
+            f"(got {parameters.render_method!r})"
+        )
+    try:
+        output_pattern.format(0)
+    except (IndexError, KeyError, ValueError) as error:
+        raise ValueError(
+            f"orbit output pattern {output_pattern!r} must format a frame "
+            "index (e.g. 'frame_{:04d}.png')"
+        ) from error
+
+    if verbose:
+        print(
+            "volume_renderer: Using TPU volume mapper on "
+            f"{len(jax.devices())} device(s)"
+        )
+    bounds = compute_global_bounds(geometry)
+    if camera is None:
+        camera = auto_orbit_camera(
+            bounds, parameters.camera_seed, parameters.camera_up
+        )
+    cameras = orbit_camera_sequence(camera, frames, total_degrees)
+
+    devices = parameters.devices or 1
+    if devices > 1:
+        from .parallel.persistent import MultiChipSceneRenderer
+
+        renderer = MultiChipSceneRenderer(
+            geometry,
+            parameters,
+            num_devices=devices,
+            color_map=color_map,
+            transport=parameters.multichip_transport,
+        )
+    else:
+        from .fast_scene import FastSceneRenderer
+
+        renderer = FastSceneRenderer(geometry, parameters, color_map)
+    start = time.perf_counter()
+    renderer.render_batch(cameras, output_pattern=output_pattern)
+    if verbose:
+        elapsed = time.perf_counter() - start
+        print(
+            f"Render: {frames} orbit frame(s) took {elapsed:.4f} s "
+            f"({elapsed / frames * 1e3:.2f} ms/frame incl. host prep)"
+        )
+        print(f"Saved orbit frames to '{output_pattern}'")

@@ -135,3 +135,70 @@ def test_box_depth_hints_batch_matches_scalar():
     for i in range(10):
         expected = compute_box_depth_hint(mins[i], maxs[i], cam)
         assert batch[i] == pytest.approx(expected, rel=1e-6)
+
+
+class TestOrbitCameraSequence:
+    def _base(self):
+        from amrvolumerenderer_tpu.types import CameraParameters
+
+        return CameraParameters(
+            eye=np.array([3.0, 2.0, 0.5]),
+            look_at=np.array([0.5, 0.5, 0.5]),
+            up=np.array([0.0, 1.0, 0.0]),
+            fov_y_degrees=45.0,
+            near_plane=0.1,
+            far_plane=20.0,
+        )
+
+    def test_frame0_is_base_exactly(self):
+        from amrvolumerenderer_tpu.camera import orbit_camera_sequence
+
+        base = self._base()
+        cams = orbit_camera_sequence(base, 8)
+        assert np.array_equal(np.asarray(cams[0].eye), np.asarray(base.eye))
+        assert cams[0].fov_y_degrees == base.fov_y_degrees
+
+    def test_equidistant_and_periodic(self):
+        from amrvolumerenderer_tpu.camera import orbit_camera_sequence
+
+        base = self._base()
+        cams = orbit_camera_sequence(base, 16)
+        look = np.asarray(base.look_at)
+        r0 = np.linalg.norm(np.asarray(base.eye) - look)
+        for cam in cams:
+            assert np.isclose(np.linalg.norm(np.asarray(cam.eye) - look), r0)
+            # up-axis component of the offset is preserved (rotation about up)
+            assert np.isclose(
+                np.dot(np.asarray(cam.eye) - look, np.asarray(base.up)),
+                np.dot(np.asarray(base.eye) - look, np.asarray(base.up)),
+            )
+
+    def test_quarter_turn(self):
+        from amrvolumerenderer_tpu.camera import orbit_camera_sequence
+
+        base = self._base()
+        cams = orbit_camera_sequence(base, 4)
+        # rotating (2.5, 1.5, 0) about +y by 90 deg gives (0, 1.5, -2.5)
+        expected = np.array([0.5 + 0.0, 2.0, 0.5 - 2.5])
+        assert np.allclose(np.asarray(cams[1].eye), expected)
+
+    def test_partial_sweep_and_errors(self):
+        from amrvolumerenderer_tpu.camera import orbit_camera_sequence
+
+        base = self._base()
+        cams = orbit_camera_sequence(base, 2, total_degrees=90.0)
+        assert len(cams) == 2
+        # frame 1 is a 45-degree rotation about up: the offsets' components
+        # perpendicular to the axis are 45 degrees apart
+        look = np.asarray(base.look_at)
+        axis = np.asarray(base.up) / np.linalg.norm(np.asarray(base.up))
+        a = np.asarray(base.eye) - look
+        b = np.asarray(cams[1].eye) - look
+        a = a - axis * np.dot(a, axis)
+        b = b - axis * np.dot(b, axis)
+        cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert np.isclose(np.degrees(np.arccos(cos)), 45.0, atol=1e-6)
+        import pytest
+
+        with pytest.raises(ValueError):
+            orbit_camera_sequence(base, 0)

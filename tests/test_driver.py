@@ -343,3 +343,119 @@ class TestDistributedEntry:
         monkeypatch.setenv("AVR_DISTRIBUTED", "1")
         assert maybe_initialize_distributed(verbose=False) is True
         assert called == [{}]
+
+
+class TestOrbitCLI:
+    """--orbit-frames: batched orbit animation from the product CLI."""
+
+    def test_parse_orbit_flags(self):
+        opts = parse_options(
+            ["--orbit-frames", "12", "--orbit-degrees", "180", "plt"]
+        )
+        assert opts.orbit_frames == 12
+        assert opts.orbit_degrees == 180.0
+
+    def test_parse_orbit_validation(self):
+        with pytest.raises(RuntimeError):
+            parse_options(["--orbit-frames", "0", "plt"])
+        with pytest.raises(ValueError):
+            parse_options(["--orbit-frames", "plt"])  # non-integer value
+        with pytest.raises(RuntimeError):
+            parse_options(["--orbit-degrees", "nan", "plt"])
+
+    def test_orbit_renders_frames(self, tmp_path, plotfile):
+        out = str(tmp_path / "orbit.ppm")
+        options = RunOptions(plotfile_path=plotfile, output_filename=out)
+        options.parameters.width = 32
+        options.parameters.height = 32
+        options.orbit_frames = 4
+        assert run_options(options, verbose=False) == 0
+        from amrvolumerenderer_tpu.io import load_ppm
+
+        frames = []
+        for i in range(4):
+            data, w, h = load_ppm(str(tmp_path / f"orbit_{i:04d}.ppm"))
+            assert (w, h) == (32, 32)
+            frames.append(data)
+        assert frames[0].max() > 0.1
+        # the camera moves: successive frames must differ
+        assert any(
+            not np.array_equal(frames[0], frames[k]) for k in (1, 2, 3)
+        )
+
+    def test_orbit_frame0_matches_single_render(self, tmp_path, plotfile):
+        """Frame 0 of an orbit is the base camera exactly, so it must be
+        byte-identical to a single render on the same kernel family."""
+        out_single = str(tmp_path / "single.ppm")
+        options = RunOptions(
+            plotfile_path=plotfile, output_filename=out_single
+        )
+        options.parameters.width = 32
+        options.parameters.height = 32
+        options.parameters.render_method = "slicemarch"
+        assert run_options(options, verbose=False) == 0
+
+        out_orbit = str(tmp_path / "orbit.ppm")
+        options2 = RunOptions(
+            plotfile_path=plotfile, output_filename=out_orbit
+        )
+        options2.parameters.width = 32
+        options2.parameters.height = 32
+        options2.orbit_frames = 3
+        assert run_options(options2, verbose=False) == 0
+
+        single = open(out_single, "rb").read()
+        frame0 = open(str(tmp_path / "orbit_0000.ppm"), "rb").read()
+        assert single == frame0
+
+    def test_orbit_rejects_raymarch(self, tmp_path, plotfile):
+        options = RunOptions(
+            plotfile_path=plotfile,
+            output_filename=str(tmp_path / "o.ppm"),
+        )
+        options.parameters.render_method = "raymarch"
+        options.orbit_frames = 2
+        with pytest.raises(ValueError, match="fast kernel family"):
+            run_options(options, verbose=False)
+
+    def test_orbit_multidevice_matches_single(self, tmp_path, plotfile):
+        """devices=8 orbit frames are pixel-identical to single-device."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the virtual 8-device mesh")
+        base = RunOptions(
+            plotfile_path=plotfile,
+            output_filename=str(tmp_path / "one.ppm"),
+        )
+        base.parameters.width = 32
+        base.parameters.height = 32
+        base.orbit_frames = 2
+        assert run_options(base, verbose=False) == 0
+
+        multi = RunOptions(
+            plotfile_path=plotfile,
+            output_filename=str(tmp_path / "multi.ppm"),
+        )
+        multi.parameters.width = 32
+        multi.parameters.height = 32
+        multi.parameters.devices = 8
+        multi.orbit_frames = 2
+        assert run_options(multi, verbose=False) == 0
+        for i in range(2):
+            a = open(str(tmp_path / f"one_{i:04d}.ppm"), "rb").read()
+            b = open(str(tmp_path / f"multi_{i:04d}.ppm"), "rb").read()
+            assert a == b, f"frame {i} differs across device counts"
+
+    def test_python_render_orbit_kwarg(self, tmp_path, plotfile):
+        code = avr.render(
+            plotfile, width=32, height=32,
+            output=str(tmp_path / "anim.ppm"),
+            orbit_frames=2, orbit_degrees=180.0,
+        )
+        assert code == 0
+        assert (tmp_path / "anim_0000.ppm").exists()
+        assert (tmp_path / "anim_0001.ppm").exists()
+        with pytest.raises(ValueError):
+            avr.render(plotfile, output=str(tmp_path / "x.ppm"),
+                       orbit_frames=-3)
