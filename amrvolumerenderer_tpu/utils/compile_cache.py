@@ -51,9 +51,11 @@ def enable_persistent_compile_cache(cache_dir: str | None = None):
 
         jax.config.update("jax_compilation_cache_dir", target)
         # Cache every nontrivial compile: the CLI's cost is dominated by a
-        # handful of large kernels, but small helper jits (histogram,
-        # stats) also pay relay round trips worth skipping on relaunch.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # handful of large kernels, but on a remote-compile relay EVERY
+        # compile pays a ~0.4 s round trip (measured: one 64x64 CLI render
+        # issues ~40 helper jits, each logged at 0.41-0.45 s), so the
+        # threshold sits below that floor rather than at JAX's 1 s default.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:
         return None
     _configured = target
