@@ -208,7 +208,11 @@ def orbit_camera_sequence(
     around the axis through the look-at point along ``base.up`` (Rodrigues
     rotation); fov/near/far/up carry over unchanged.  Frame 0 is exactly
     the base camera (angle 0 evaluates to the identity in float), so an
-    orbit's first frame is pixel-identical to a single render.  This is
+    orbit's first frame is pixel-identical to a single render *on the same
+    kernel family* (orbits always render through the fast kernels; a
+    single render with ``render_method='auto'`` resolves to the raymarch
+    oracle on non-TPU backends, where pixels differ by the oracle's
+    half-step quantization).  This is
     the camera path of the reference's rotation miniapp
     (python/examples/render_volume_rotate.py: equal azimuth steps about
     the vertical axis); beyond reference as a product surface.

@@ -3,8 +3,11 @@
 The product surface is one process per render (the reference launches its
 binary per job, main.cpp:19-36); the on-disk executable cache is what makes
 a relaunch at a seen configuration skip the compile.  These tests pin the
-config plumbing and that a cached CPU executable is actually written and
-re-read across processes.
+round-4 safety model: TPU-gated default, machine-scoped CPU entries,
+no clobbering of user JAX config, and that a cached CPU executable is
+actually written and re-read across processes — including a Pallas
+interpret-mode compile in the same process as a cached product render
+(regression for the r3 full-suite serializer crash).
 """
 
 from __future__ import annotations
@@ -24,19 +27,37 @@ def _fresh_module():
     return compile_cache
 
 
+def _scoped(mod, base: str) -> str:
+    """Expected on-disk dir for an explicit request on this (CPU) backend."""
+    return os.path.join(base, "cpu-" + mod._machine_fingerprint())
+
+
 def test_enable_sets_cache_dir(tmp_path, monkeypatch):
     monkeypatch.delenv("AVR_COMPILE_CACHE", raising=False)
     mod = _fresh_module()
     target = str(tmp_path / "xla")
+    expect = _scoped(mod, target)
     prev = jax.config.jax_compilation_cache_dir
     try:
-        assert mod.enable_persistent_compile_cache(target) == target
-        assert os.path.isdir(target)
-        assert jax.config.jax_compilation_cache_dir == target
+        # CPU backend: explicit opt-in works but is machine-scoped so a
+        # shared directory can never serve another host's AOT code.
+        assert mod.enable_persistent_compile_cache(target) == expect
+        assert os.path.isdir(expect)
+        assert jax.config.jax_compilation_cache_dir == expect
         # idempotent: second call reports the configured dir, ignores args
-        assert mod.enable_persistent_compile_cache("/elsewhere") == target
+        assert mod.enable_persistent_compile_cache("/elsewhere") == expect
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_default_requires_tpu(monkeypatch):
+    """With no explicit dir, a CPU backend must NOT enable caching (the
+    default home dir would accumulate machine-specific AOT executables)."""
+    monkeypatch.delenv("AVR_COMPILE_CACHE", raising=False)
+    mod = _fresh_module()
+    prev = jax.config.jax_compilation_cache_dir
+    assert mod.enable_persistent_compile_cache() is None
+    assert jax.config.jax_compilation_cache_dir == prev
 
 
 def test_env_off_disables(monkeypatch):
@@ -47,13 +68,44 @@ def test_env_off_disables(monkeypatch):
     assert jax.config.jax_compilation_cache_dir == prev
 
 
+def test_explicit_arg_beats_env_off(tmp_path, monkeypatch):
+    """An explicit cache_dir argument bypasses the env kill-switch (the
+    caller asked for this directory in code; the env default is for the
+    zero-argument product path)."""
+    monkeypatch.setenv("AVR_COMPILE_CACHE", "off")
+    mod = _fresh_module()
+    target = str(tmp_path / "xla")
+    expect = _scoped(mod, target)
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert mod.enable_persistent_compile_cache(target) == expect
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_env_dir_used(tmp_path, monkeypatch):
     target = str(tmp_path / "envxla")
     monkeypatch.setenv("AVR_COMPILE_CACHE", target)
     mod = _fresh_module()
+    expect = _scoped(mod, target)
     prev = jax.config.jax_compilation_cache_dir
     try:
-        assert mod.enable_persistent_compile_cache() == target
+        assert mod.enable_persistent_compile_cache() == expect
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_user_config_not_clobbered(tmp_path, monkeypatch):
+    """A pre-existing jax_compilation_cache_dir (e.g. from the user's
+    JAX_COMPILATION_CACHE_DIR) must be respected, not overwritten."""
+    monkeypatch.delenv("AVR_COMPILE_CACHE", raising=False)
+    mod = _fresh_module()
+    prev = jax.config.jax_compilation_cache_dir
+    user_dir = str(tmp_path / "user-cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", user_dir)
+        assert mod.enable_persistent_compile_cache(str(tmp_path)) == user_dir
+        assert jax.config.jax_compilation_cache_dir == user_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
 
@@ -67,7 +119,7 @@ from amrvolumerenderer_tpu.utils.compile_cache import (
 )
 # run the (idempotent) product enable first, then force caching of every
 # compile regardless of wall time so the tiny CPU render is eligible (the
-# product default only caches >= 0.5 s compiles)
+# product default only caches >= 0.1 s compiles)
 enable_persistent_compile_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -85,12 +137,36 @@ data = api.AmrData(
 options = api.RenderOptions(width=32, height=32, output_filename=sys.argv[2])
 image, _ = api.render(data, options, verbose=False)
 print("OK", float(np.asarray(image.pixels).sum()))
+
+# Regression (VERDICT r3 Weak #1): with the cache live, compiling and
+# caching a Pallas interpret-mode executable in the SAME process must not
+# crash the serializer.
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _kern(x_ref, o_ref):
+    o_ref[...] = x_ref[...] * 2.0
+
+
+@jax.jit
+def _pallas_probe(x):
+    return pl.pallas_call(
+        _kern,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=True,
+    )(x)
+
+
+print("PALLAS", float(_pallas_probe(jnp.ones((8, 128), jnp.float32)).sum()))
 """
 
 
 def test_cache_round_trip_across_processes(tmp_path):
     """Two fresh processes, same render: the second must HIT the cache
-    (jax logs misses only; a hit writes nothing new)."""
+    (jax logs misses only; a hit writes nothing new).  Each child also
+    compiles a Pallas interpret kernel under the live cache — the r3
+    suite-killer scenario."""
     cache = tmp_path / "xla"
     env = dict(os.environ)
     env["AVR_COMPILE_CACHE"] = str(cache)
@@ -111,12 +187,15 @@ def test_cache_round_trip_across_processes(tmp_path):
             timeout=600,
         )
         assert out.returncode == 0, out.stderr
+        assert "PALLAS" in out.stdout, out.stdout
         return out.stdout
 
     run("first")
-    entries = {p.name: p.stat().st_mtime_ns for p in cache.iterdir()}
-    assert entries, "first process wrote no cache entries"
+    # entries land under the machine-scoped subdir
+    files = sorted(p.relative_to(cache) for p in cache.rglob("*") if p.is_file())
+    assert files, "first process wrote no cache entries"
+    assert all(str(f).startswith("cpu-") for f in files)
     run("second")
-    after = {p.name: p.stat().st_mtime_ns for p in cache.iterdir()}
+    after = sorted(p.relative_to(cache) for p in cache.rglob("*") if p.is_file())
     # the second process re-used the first's executables: no new entries
-    assert set(after) == set(entries)
+    assert after == files
