@@ -422,6 +422,11 @@ class FastSceneRenderer:
             self._slice_quad_minmax[a] = (host[0], host[1])
         self._packed_axis: Optional[int] = None
         self._packed_vol: Optional[jnp.ndarray] = None
+        # per-axis (meta, dims) tables, host + device twins: camera-
+        # independent for a fixed LUT, so per-frame prep can skip both the
+        # rebuild and the device upload (the dims[:, 7] occupied ranges
+        # depend on the transfer function — set_transfer_function clears)
+        self._axis_meta_cache: dict = {}
         # per-axis repack cache: an orbit crossing march axes would
         # otherwise re-transpose (one device dispatch) on every switch;
         # at most 3 copies of the canonical table live on device
@@ -527,6 +532,7 @@ class FastSceneRenderer:
         self._lut_alpha = lut[:, 3].copy()
         self._lut_device = jnp.asarray(self._lut)
         self._occ_bits_cache = {}  # block occupancy depends on the LUT
+        self._axis_meta_cache = {}  # dims[:, 7] depends on the LUT
         if self.piece_ranges is not None:
             self.visible = np.array(
                 [self._range_visible(vmin, vmax, self._lut_alpha)
@@ -635,7 +641,12 @@ class FastSceneRenderer:
             self._packed_vol = vol
             self._packed_axis = axis
 
-        meta, dims = self._axis_metadata(axis)
+        cached = self._axis_meta_cache.get(axis)
+        if cached is None:
+            meta, dims = self._axis_metadata(axis)
+            cached = (meta, dims, jnp.asarray(meta), jnp.asarray(dims))
+            self._axis_meta_cache[axis] = cached
+        meta, dims, meta_dev, dims_dev = cached
         cam = self._pack_cam(camera, forward, right, up)
         # piece-level visibility-graph order keys when available (EXACT
         # view-consistent ordering over the piece partition — scalar depth
@@ -776,7 +787,7 @@ class FastSceneRenderer:
                 row_chords=row_chords,
             )
         return dict(
-            meta=jnp.asarray(meta), dims=jnp.asarray(dims),
+            meta=meta_dev, dims=dims_dev,
             cam=jnp.asarray(cam), offsets=jnp.asarray(offsets),
             bricks=jnp.asarray(tbricks), owners=jnp.asarray(towners),
             item_bounds=jnp.asarray(item_bounds),

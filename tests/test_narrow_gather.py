@@ -306,6 +306,62 @@ class TestChordCertificate:
         assert ((elig >> 16) > -32768).all()
 
 
+class TestNativeParity:
+    @pytest.mark.parametrize(
+        "geometry_fn,sampling",
+        [
+            (_shell_geometry, "nearest"),
+            (_shell_geometry, "trilinear"),
+            (lambda: _random_geometry(3), "trilinear"),
+        ],
+    )
+    def test_native_matches_oracle_bitwise(self, geometry_fn, sampling):
+        """native.row_chords (avr_row_chords) must reproduce the NumPy
+        oracle's packed int32 output EXACTLY — the chord is a correctness
+        artifact (it bounds the kernel's gather), so the native twin runs
+        the identical f64/f32 arithmetic, not an approximation."""
+        from amrvolumerenderer_tpu import native
+        from amrvolumerenderer_tpu.camera import camera_basis
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        g = geometry_fn()
+        fsr = FastSceneRenderer(
+            g, RenderParameters(width=128, height=128, sampling=sampling),
+            interpret=True,
+        )
+        compared = 0
+        for eye in CAMS:
+            cam = _cam(eye)
+            inputs = fsr.frame_inputs(cam, as_numpy=True)
+            if inputs is None:
+                continue
+            offsets = inputs["offsets"]
+            wt = np.asarray(inputs["tile_ids"])[
+                np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+            ]
+            forward, right, up = camera_basis(cam)
+            axis = sm.choose_march_axis(forward)
+            axes = [axis] + [a for a in range(3) if a != axis]
+            kwargs = dict(
+                fov_y_degrees=cam.fov_y_degrees, axes=axes,
+                width=fsr.pad_w, logical_width=fsr.render_width,
+                logical_height=fsr.render_height, ghost=fsr.ghost,
+                sampling=sampling, narrow_rows=4,
+            )
+            args = (
+                inputs["meta"], inputs["dims"], wt, inputs["bricks"],
+                inputs["item_bounds"], np.asarray(cam.eye), forward,
+                right, up,
+            )
+            oracle = tm.compute_row_chords_oracle(*args, **kwargs)
+            nat = native.row_chords(*args, **kwargs)
+            assert nat is not None
+            np.testing.assert_array_equal(np.asarray(nat), oracle)
+            compared += len(oracle)
+        assert compared > 100
+
+
 class TestSmemModel:
     def test_narrow_adds_one_item_table(self):
         base = tm.smem_prefetch_bytes(8, 256, 1000, 64)
