@@ -200,6 +200,206 @@ def composite_layers_sharded(
     return _layers_prog(mesh, transport)(layers, hints)
 
 
+# ---------------------------------------------------------------------------
+# Local run pre-blend before the layered exchange.
+#
+# The reference's composeLayered pre-blends each same-owner run locally and
+# exchanges ONE flat frame per run — traffic O(runs x pixels), not
+# O(layers x pixels) (DirectSendBase.cpp:400-446, pre-blend at 418-425).
+# The rebuild's twin: host-side, the global (hint, owner, local) sort is
+# cut into maximal same-device runs; each device folds its runs locally
+# with the SAME left-associative blend the post-exchange fold would have
+# used, ships [Rmax] pre-blended run layers instead of [Lmax] raw layers,
+# and the receiving fold blends runs in the global run order.  The fold
+# TREE is unchanged (identical blend calls on identical operands), so the
+# result is bitwise equal to ``_compose_shard`` — not merely close
+# (tests/test_parallel.py pre-blend parity).
+# ---------------------------------------------------------------------------
+
+
+def preblend_plan(
+    slot_hints: np.ndarray, rmax_bucket: int = 4, rmax: int | None = None
+):
+    """Host-side run decomposition of the global layer order.
+
+    ``slot_hints`` is the [D, Lmax] per-device depth-hint table (+inf on
+    invalid slots).  Returns ``(local_order, run_slot, perm, rmax)``:
+
+      * ``local_order[d, j]``: which local layer device d folds at step j
+        (its layers in global-order restriction);
+      * ``run_slot[d, j]``: the device-local run buffer that step writes;
+      * ``perm[g]``: flattened ``(device * rmax + slot)`` of the g-th run
+        in the global depth order (padding slots follow, blending as
+        identity);
+      * ``rmax``: run-buffer depth, bucketed to a multiple of
+        ``rmax_bucket`` so orbits reuse a handful of compiled shapes.
+
+    Passing ``rmax`` forces that buffer depth (batched chunks share one
+    compiled shape across frames); it must cover the frame's run count.
+    """
+    slot_hints = np.asarray(slot_hints)
+    num_devices, lmax = slot_hints.shape
+    owner = np.repeat(np.arange(num_devices), lmax)
+    local = np.tile(np.arange(lmax), num_devices)
+    order = np.lexsort((local, owner, slot_hints.reshape(-1)))
+    seq_owner = owner[order]
+    total = len(order)
+    run_break = np.ones(total, bool)
+    run_break[1:] = seq_owner[1:] != seq_owner[:-1]
+    run_gid = np.cumsum(run_break) - 1  # global run id per sorted position
+    run_owner = seq_owner[run_break]  # [R] owner of each run, global order
+    num_runs = len(run_owner)
+    # device-local slot of each run = occurrence index within its owner
+    by_owner = np.argsort(run_owner, kind="stable")
+    sorted_owner = run_owner[by_owner]
+    occ = np.arange(num_runs) - np.searchsorted(sorted_owner, sorted_owner)
+    slot_of_run = np.empty(num_runs, np.int64)
+    slot_of_run[by_owner] = occ
+    counts = np.bincount(run_owner, minlength=num_devices)
+    need = max(int(counts.max()) if num_runs else 1, 1)
+    if rmax is None:
+        rmax = -(-need // rmax_bucket) * rmax_bucket
+    elif rmax < need:
+        raise ValueError(f"forced rmax={rmax} < required run depth {need}")
+    # per-device step tables: each device owns exactly lmax sorted
+    # positions, so a stable owner-sort groups them in sequence order
+    grouped = np.argsort(seq_owner, kind="stable").reshape(num_devices, lmax)
+    local_order = local[order][grouped].astype(np.int32)
+    run_slot = slot_of_run[run_gid[grouped]].astype(np.int32)
+    # global run order -> flattened (device, slot); padding slots trail
+    perm = np.empty(num_devices * rmax, np.int64)
+    perm[:num_runs] = run_owner * rmax + slot_of_run
+    used = np.zeros(num_devices * rmax, bool)
+    used[perm[:num_runs]] = True
+    perm[num_runs:] = np.flatnonzero(~used)
+    return local_order, run_slot, perm.astype(np.int32), int(rmax)
+
+
+def _preblend_runs(
+    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
+    local_order: jnp.ndarray,  # [Lmax] fold order (preblend_plan)
+    run_slot: jnp.ndarray,  # [Lmax] run buffer per fold step
+    rmax: int,
+) -> jnp.ndarray:
+    """Fold local layers into [rmax, P, 5] pre-blended run layers.
+
+    The intra-run fold is ``blend_depth_sort(run_acc, layer)`` in global-
+    order restriction — the exact sub-tree ``_composite_sorted_runs``
+    would have computed for the same run.  Unused run buffers hold the
+    identity layer (zeros, depth +inf)."""
+    from ..image import blend_depth_sort
+
+    lmax, num_pixels, channels = layers.shape
+    # derive carries from the inputs so their varying-axis types match the
+    # body outputs under shard_map (see _composite_sorted_runs)
+    identity = jnp.zeros_like(layers[0]).at[:, 4].set(jnp.inf)
+    out0 = jnp.zeros((rmax, 1, 1), layers.dtype) + identity[None]
+    if lmax == 0:
+        return out0
+
+    def body(i, carry):
+        out, run_acc, prev_slot = carry
+        layer = layers[local_order[i]]
+        slot = run_slot[i]
+        same = jnp.logical_and(i > 0, slot == prev_slot)
+        # close the previous run buffer when the slot changes (the write
+        # is unconditional but value-predicated: O(P) per step)
+        closed = jnp.where(same, out[prev_slot], run_acc)
+        out = out.at[prev_slot].set(closed)
+        run_acc = jnp.where(same, blend_depth_sort(run_acc, layer), layer)
+        return out, run_acc, slot
+
+    out, run_acc, prev_slot = jax.lax.fori_loop(
+        0, lmax, body, (out0, identity, run_slot[0] * 0)
+    )
+    return out.at[prev_slot].set(run_acc)
+
+
+def _compose_shard_preblend(
+    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
+    local_order: jnp.ndarray,  # [Lmax]
+    run_slot: jnp.ndarray,  # [Lmax]
+    perm: jnp.ndarray,  # [D * rmax] replicated global run order
+    rmax: int,
+    transport: str = "float32",
+    axis=AXIS,
+) -> jnp.ndarray:
+    """``_compose_shard`` with the run pre-blend: exchange O(runs) pre-
+    blended layers instead of O(layers), then fold runs in global order.
+    Bitwise-identical output (see the section comment)."""
+    num_devices = jax.lax.psum(1, axis)
+    _, num_pixels, channels = layers.shape
+    shard = num_pixels // num_devices
+
+    runs = _preblend_runs(layers, local_order, run_slot, rmax)
+    if transport == "ubyte":
+        color_u8 = _encode_ubyte(runs[..., :4])
+        depth = runs[..., 4]
+        c_chunks = color_u8.reshape(rmax, num_devices, shard, 4).transpose(
+            1, 0, 2, 3
+        )
+        d_chunks = depth.reshape(rmax, num_devices, shard).transpose(1, 0, 2)
+        rc = jax.lax.all_to_all(c_chunks, axis, split_axis=0, concat_axis=0)
+        rd = jax.lax.all_to_all(d_chunks, axis, split_axis=0, concat_axis=0)
+        received = jnp.concatenate(
+            [_decode_ubyte(rc), rd[..., None]], axis=-1
+        )
+    else:
+        chunks = runs.reshape(rmax, num_devices, shard, channels).transpose(
+            1, 0, 2, 3
+        )
+        received = jax.lax.all_to_all(
+            chunks, axis, split_axis=0, concat_axis=0
+        )
+    all_runs = received.reshape(num_devices * rmax, shard, channels)
+    sorted_runs = jnp.take(all_runs, perm, axis=0)
+    # every pre-blended run is its own closed group: distinct owner ids
+    # make _composite_sorted_runs fold them left-associatively in order —
+    # the exact cross-run fold of the non-pre-blended path
+    run_ids = jax.lax.iota(jnp.int32, num_devices * rmax)
+    return _composite_sorted_runs(sorted_runs, run_ids)
+
+
+@functools.lru_cache(maxsize=16)
+def _layers_preblend_prog(mesh: Mesh, transport: str, rmax: int):
+    axes = mesh_axes(mesh)
+
+    def body(layers, local_order, run_slot, perm):
+        return _compose_shard_preblend(
+            layers, local_order[0], run_slot[0], perm, rmax, transport, axes
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axes), P(axes), P(axes), P()),
+            out_specs=P(axes),
+        )
+    )
+
+
+def composite_layers_sharded_preblend(
+    mesh: Mesh,
+    layers: jnp.ndarray,  # [D * Lmax, P, 5] global, shardable on axis 0
+    hints: np.ndarray,  # [D * Lmax] HOST depth hints (+inf on invalid)
+    transport: str = "float32",
+) -> jnp.ndarray:
+    """``composite_layers_sharded`` with the reference's local run
+    pre-blend (DirectSendBase.cpp:418-425): same pixels, bitwise, with
+    exchange traffic O(runs x pixels).  ``hints`` must be host-resident
+    (the run decomposition is per-frame host prep, like the reference's
+    order computation on rank 0)."""
+    num_devices = mesh.devices.size
+    assert layers.shape[1] % num_devices == 0
+    slot_hints = np.asarray(hints).reshape(num_devices, -1)
+    local_order, run_slot, perm, rmax = preblend_plan(slot_hints)
+    return _layers_preblend_prog(mesh, transport, rmax)(
+        layers, jnp.asarray(local_order), jnp.asarray(run_slot),
+        jnp.asarray(perm),
+    )
+
+
 def render_and_composite_sharded(
     mesh: Mesh,
     data: jnp.ndarray,  # [D * Bmax, nx, ny, nz] padded brick values

@@ -61,11 +61,12 @@ from ..renderer_fast import _fetch_global, _grouped_cumcount
 from ..visibility import order_keys_or_hints
 from ..types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 from .directsend import (
-    _compose_shard,
+    _compose_shard_preblend,
     _encode_ubyte,
     make_mesh,
     mesh_axes,
     pack_contiguous,
+    preblend_plan,
     shard_leading,
 )
 
@@ -179,13 +180,19 @@ class MultiChipSceneRenderer(FastSceneRenderer):
 
     # ---- the compiled per-frame program ---------------------------------
 
-    def _sharded_step(self):
+    def _sharded_step(self, rmax: int):
         """ONE compiled program, reused for every frame and march axis:
-        per-device slicemarch render of the resident shard, pixel
-        all_to_all exchange, ordered fold.  Camera/hints/valid/tables are
+        per-device slicemarch render of the resident shard, local run
+        pre-blend, pixel all_to_all exchange of O(runs) pre-blended
+        layers, global-order fold (directsend._compose_shard_preblend —
+        the reference's composeLayered pre-blend before the exchange,
+        DirectSendBase.cpp:418-425).  Camera/plan/valid/tables are
         ARGUMENTS (the one-shot path's jit captures the camera as a
-        constant, recompiling per frame)."""
-        prog_key = (self.parameters.sampling, self.parameters.classification)
+        constant, recompiling per frame); jit re-specializes per bucketed
+        ``rmax`` run depth."""
+        prog_key = (
+            self.parameters.sampling, self.parameters.classification, rmax,
+        )
         cached = self._step_progs.get(prog_key)
         if cached is not None:
             return cached
@@ -199,7 +206,8 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             ghost=self.ghost, classification=self.parameters.classification,
         )
 
-        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints, cam):
+        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_lorder, b_rslot,
+                 perm, cam):
             colors, depths = sm.slicemarch_render(
                 b_vol, b_meta, b_dims, b_lut, cam, **kw
             )
@@ -207,14 +215,15 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             mask = b_valid[:, None, None]
             cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
             layers = jnp.where(mask, layers, cleared)
-            hints = jnp.where(b_valid, b_hints, jnp.inf)
-            return _compose_shard(layers, hints, transport, axes)
+            return _compose_shard_preblend(
+                layers, b_lorder[0], b_rslot[0], perm, rmax, transport, axes
+            )
 
         prog = jax.jit(
             jax.shard_map(
                 step,
                 mesh=self.mesh,
-                in_specs=(P(axes),) * 6 + (P(),),
+                in_specs=(P(axes),) * 5 + (P(axes), P(axes), P(), P()),
                 out_specs=P(axes),
                 check_vma=False,  # pallas_call out_shape carries no vma info
             )
@@ -270,6 +279,13 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         cam = self._pack_cam(camera, forward, right, up)
         return axis, cam, slot_hints, slot_valid
 
+    def _effective_hints(self, slot_hints, slot_valid) -> np.ndarray:
+        """[D, Lmax] hint table with culled/padding slots at +inf — the
+        order the device fold would have applied, for preblend_plan."""
+        return np.where(
+            slot_valid, slot_hints, np.float32(np.inf)
+        ).reshape(self.num_devices, -1)
+
     def render(
         self,
         camera: CameraParameters,
@@ -281,12 +297,16 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         ImageColorOnly.hpp:220-270 as an allgather)."""
         axis, cam, slot_hints, slot_valid = self._frame_state(camera)
         meta_dev, dims_dev = self._placed_tables(axis)
+        local_order, run_slot, perm, rmax = preblend_plan(
+            self._effective_hints(slot_hints, slot_valid)
+        )
 
-        frame = self._sharded_step()(
+        frame = self._sharded_step(rmax)(
             self._placed_vol(axis),
             meta_dev, dims_dev,
             self._placed_luts(),
-            jnp.asarray(slot_valid), jnp.asarray(slot_hints),
+            jnp.asarray(slot_valid), jnp.asarray(local_order),
+            jnp.asarray(run_slot), jnp.asarray(perm),
             jnp.asarray(cam),
         )
         pixels = _fetch_global(frame)
@@ -303,16 +323,17 @@ class MultiChipSceneRenderer(FastSceneRenderer):
 
     # ---- batched rendering ----------------------------------------------
 
-    def _sharded_batch_step(self, bytes_out):
+    def _sharded_batch_step(self, bytes_out, rmax: int):
         """The batched twin of ``_sharded_step``: ONE shard_map program
-        whose body ``lax.scan``s the render+exchange+fold over the chunk's
-        frame axis — a camera orbit pays one dispatch and one readback per
-        chunk instead of per frame.  jit re-specializes per distinct chunk
-        length; the caller buckets chunk sizes to powers of two so a long
-        orbit compiles a handful of variants."""
+        whose body ``lax.scan``s the render+pre-blend+exchange+fold over
+        the chunk's frame axis — a camera orbit pays one dispatch and one
+        readback per chunk instead of per frame.  jit re-specializes per
+        distinct (chunk length, rmax); the caller buckets chunk sizes to
+        powers of two and run depths to multiples of four so a long orbit
+        compiles a handful of variants."""
         prog_key = (
             self.parameters.sampling, self.parameters.classification,
-            "batch", bytes_out,
+            "batch", bytes_out, rmax,
         )
         cached = self._step_progs.get(prog_key)
         if cached is not None:
@@ -327,10 +348,12 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             ghost=self.ghost, classification=self.parameters.classification,
         )
 
-        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints, cams):
-            # b_hints [F, T_shard]; cams [F, 20] replicated
+        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_lorder, b_rslot,
+                 perms, cams):
+            # b_lorder/b_rslot [F, 1, Lmax] (device shard); perms
+            # [F, D * rmax] + cams [F, 20] replicated
             def body(carry, xs):
-                cam, hints = xs
+                cam, lorder, rslot, perm = xs
                 colors, depths = sm.slicemarch_render(
                     b_vol, b_meta, b_dims, b_lut, cam, **kw
                 )
@@ -340,8 +363,10 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                 mask = b_valid[:, None, None]
                 cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
                 layers = jnp.where(mask, layers, cleared)
-                h = jnp.where(b_valid, hints, jnp.inf)
-                frame = _compose_shard(layers, h, transport, axes)
+                frame = _compose_shard_preblend(
+                    layers, lorder[0], rslot[0], perm, rmax, transport,
+                    axes,
+                )
                 if bytes_out:
                     # Mesa byte codec on device after the fold: the
                     # readback shrinks 5x (4 u8 vs 4+1 f32 per pixel);
@@ -350,14 +375,17 @@ class MultiChipSceneRenderer(FastSceneRenderer):
                     frame = b[:, :3] if bytes_out == "rgb" else b
                 return carry, frame
 
-            _, frames = jax.lax.scan(body, 0, (cams, b_hints))
+            _, frames = jax.lax.scan(
+                body, 0, (cams, b_lorder, b_rslot, perms)
+            )
             return frames  # [F, P_shard, C]
 
         prog = jax.jit(
             jax.shard_map(
                 step,
                 mesh=self.mesh,
-                in_specs=(P(axes),) * 5 + (P(None, axes), P()),
+                in_specs=(P(axes),) * 5
+                + (P(None, axes), P(None, axes), P(), P()),
                 out_specs=P(None, axes),
                 check_vma=False,  # pallas_call out_shape carries no vma info
             )
@@ -409,21 +437,34 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             meta_dev, dims_dev = self._placed_tables(axis)
             return (
                 self._placed_vol(axis), meta_dev, dims_dev,
-                self._placed_luts(), self._sharded_batch_step(bytes_out),
+                self._placed_luts(),
             )
 
         def pack(part, ctx):
             cams = np.stack([p[1] for p in part])
-            hints = np.stack([p[2] for p in part])
             valid = part[0][3]  # camera-independent within a batch
-            return cams, hints, valid
+            # per-frame run plans under ONE chunk-wide rmax (the compiled
+            # scan shape is shared across the chunk's frames)
+            effs = [self._effective_hints(p[2], p[3]) for p in part]
+            plans = [preblend_plan(e) for e in effs]
+            rmax = max(pl[3] for pl in plans)
+            plans = [
+                pl if pl[3] == rmax else preblend_plan(e, rmax=rmax)
+                for pl, e in zip(plans, effs)
+            ]
+            lorder = np.stack([pl[0] for pl in plans])
+            rslot = np.stack([pl[1] for pl in plans])
+            perms = np.stack([pl[2] for pl in plans])
+            return cams, lorder, rslot, perms, valid, rmax
 
         def dispatch(packed, ctx):
-            vol, meta_dev, dims_dev, luts, prog = ctx
-            cams, hints, valid = packed
+            vol, meta_dev, dims_dev, luts = ctx
+            cams, lorder, rslot, perms, valid, rmax = packed
+            prog = self._sharded_batch_step(bytes_out, rmax)
             return prog(
                 vol, meta_dev, dims_dev, luts,
-                jnp.asarray(valid), jnp.asarray(hints), jnp.asarray(cams),
+                jnp.asarray(valid), jnp.asarray(lorder),
+                jnp.asarray(rslot), jnp.asarray(perms), jnp.asarray(cams),
             )
 
         def readback(part, frames, results, stats):

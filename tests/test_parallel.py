@@ -14,7 +14,9 @@ import pytest
 from amrvolumerenderer_tpu.compositor import composite_layers_host
 from amrvolumerenderer_tpu.parallel.directsend import (
     composite_layers_sharded,
+    composite_layers_sharded_preblend,
     make_mesh,
+    preblend_plan,
 )
 
 
@@ -54,6 +56,102 @@ def test_sharded_composite_matches_host(num_devices):
     local = np.tile(np.arange(lmax, dtype=np.int32), num_devices)
     expected = composite_layers_host(layers, hints, owners, local)
     np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_devices", [2, 8])
+@pytest.mark.parametrize("ties", [False, True])
+def test_preblend_composite_bitwise_equal(num_devices, ties):
+    """The run pre-blend before the exchange (the reference's
+    composeLayered pre-blend, DirectSendBase.cpp:418-425) leaves the fold
+    TREE unchanged, so its output must be bitwise equal to the
+    non-pre-blended exchange — including on exact depth-hint ties, where
+    the (owner, local) tie-break defines the runs."""
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(7 + num_devices + ties)
+    lmax, num_pixels = 5, 64
+    layers, hints, valid = make_device_layers(
+        rng, num_devices, lmax, num_pixels
+    )
+    if ties:
+        hints[valid] = np.round(hints[valid] * 2) / 2  # force exact ties
+    mesh = make_mesh(num_devices)
+    base = np.asarray(
+        composite_layers_sharded(mesh, jnp.asarray(layers), jnp.asarray(hints))
+    )
+    pre = np.asarray(
+        composite_layers_sharded_preblend(mesh, jnp.asarray(layers), hints)
+    )
+    np.testing.assert_array_equal(pre, base)
+
+
+def test_preblend_plan_structure():
+    """The plan must cut the global (hint, owner, local) order into
+    maximal same-device runs: run count = number of owner changes + 1,
+    fold order per device = its global-order restriction."""
+    hints = np.array([
+        [0.0, 2.0, 4.0],   # device 0
+        [1.0, 3.0, np.inf],  # device 1 (one invalid slot)
+    ], dtype=np.float32)
+    local_order, run_slot, perm, rmax = preblend_plan(hints, rmax_bucket=1)
+    # global order: (0,0) (1,0) (0,1) (1,1) (0,2) (1,2-inf)
+    # device 0 runs: [l0], [l1], [l2] -> slots 0,1,2; device 1: [l0], [l1], [l2]
+    np.testing.assert_array_equal(local_order, [[0, 1, 2], [0, 1, 2]])
+    np.testing.assert_array_equal(run_slot, [[0, 1, 2], [0, 1, 2]])
+    assert rmax == 3
+    # run sequence: d0s0 d1s0 d0s1 d1s1 d0s2 d1s2
+    np.testing.assert_array_equal(perm, [0, 3, 1, 4, 2, 5])
+    # contiguous same-device layers merge into ONE run
+    hints2 = np.array([
+        [0.0, 1.0, 5.0],
+        [2.0, 3.0, 4.0],
+    ], dtype=np.float32)
+    lo2, rs2, perm2, rmax2 = preblend_plan(hints2, rmax_bucket=1)
+    np.testing.assert_array_equal(rs2, [[0, 0, 1], [0, 0, 0]])
+    assert rmax2 == 2
+    np.testing.assert_array_equal(perm2, [0, 2, 1, 3])
+
+
+def test_preblend_forced_rmax():
+    hints = np.array([[0.0, 2.0], [1.0, 3.0]], dtype=np.float32)
+    _, _, perm, rmax = preblend_plan(hints, rmax_bucket=1, rmax=4)
+    assert rmax == 4 and len(perm) == 8
+    with pytest.raises(ValueError):
+        preblend_plan(hints, rmax_bucket=1, rmax=1)
+
+
+@pytest.mark.parametrize("num_devices", [4])
+def test_preblend_ubyte_quantizes_per_run(num_devices):
+    """ubyte transport with pre-blend quantizes each pre-blended RUN on
+    the wire (the reference's quantization point — pre-blend first, byte
+    send after, DirectSendBase.cpp:418-446) instead of every raw layer;
+    the result matches the per-layer-quantized path within codec
+    tolerance and the f32 path at least as closely."""
+    if len(jax.devices()) < num_devices:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(5)
+    layers, hints, _ = make_device_layers(rng, num_devices, 4, 64)
+    mesh = make_mesh(num_devices)
+    exact = np.asarray(
+        composite_layers_sharded(mesh, jnp.asarray(layers), jnp.asarray(hints))
+    )
+    pre_u8 = np.asarray(composite_layers_sharded_preblend(
+        mesh, jnp.asarray(layers), hints, transport="ubyte"
+    ))
+    base_u8 = np.asarray(composite_layers_sharded(
+        mesh, jnp.asarray(layers), jnp.asarray(hints), transport="ubyte"
+    ))
+    # depth channel is f32 on the wire in both modes
+    np.testing.assert_array_equal(pre_u8[:, 4], exact[:, 4])
+    # color: both byte modes sit within stacked-codec tolerance of exact,
+    # and pre-blend (fewer quantization events) is no farther from exact
+    tol = 16 / 255.0
+    assert np.abs(base_u8[:, :4] - exact[:, :4]).max() < tol
+    assert np.abs(pre_u8[:, :4] - exact[:, :4]).max() < tol
+    assert (
+        np.abs(pre_u8[:, :4] - exact[:, :4]).mean()
+        <= np.abs(base_u8[:, :4] - exact[:, :4]).mean() + 1e-6
+    )
 
 
 def test_sharded_composite_uses_all_devices():
