@@ -31,6 +31,35 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no map-count ceiling to manage
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _jit_map_guard():
+    """Keep the process under the kernel's vm.max_map_count ceiling.
+
+    Every XLA:CPU executable JIT-maps a few code regions; a full suite
+    compiles thousands of distinct programs, and at ~65k mappings mmap
+    starts failing inside LLVM, which SEGFAULTS the compile (reproduced:
+    filling the map table to <=30 free slots crashes a trivial jit with
+    'LLVM compilation error: Cannot allocate memory' — this, not the
+    round-3 compile-cache serializer, was the suite killer at ~90%).
+    Clearing JAX's caches unmaps retired executables (measured 1672 ->
+    483 maps); trip well below the ceiling so no single test can cross
+    it, at the cost of recompiling later reused programs."""
+    yield
+    if _map_count() > 40_000:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
