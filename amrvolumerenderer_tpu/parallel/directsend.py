@@ -315,23 +315,62 @@ def _preblend_runs(
     return out.at[prev_slot].set(run_acc)
 
 
-def _compose_shard_preblend(
-    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
-    local_order: jnp.ndarray,  # [Lmax]
-    run_slot: jnp.ndarray,  # [Lmax]
-    perm: jnp.ndarray,  # [D * rmax] replicated global run order
+def _preblend_runs_scan(
+    render_one,  # j -> [P, 5] layer for local piece j (cleared if invalid)
+    lmax: int,
+    local_order: jnp.ndarray,  # [Lmax] fold order (preblend_plan)
+    run_slot: jnp.ndarray,  # [Lmax] run buffer per fold step
     rmax: int,
+    num_pixels: int,
+    channels: int = 5,
+) -> jnp.ndarray:
+    """``_preblend_runs`` with the render fused into the fold loop.
+
+    Deep-AMR shards (many pieces per device) would otherwise materialize
+    an O(pieces x pixels) layer stack in HBM before pre-blending; here
+    each piece renders inside the fold body and blends straight into its
+    run buffer — peak memory O(runs x pixels) + one in-flight layer.
+    Same fold tree as ``_preblend_runs`` (bitwise-identical runs)."""
+    from ..image import blend_depth_sort
+
+    # derive the carry from a varying input so its axis types match the
+    # body outputs under shard_map
+    vary0 = (run_slot[0] * 0).astype(jnp.float32)
+    identity = (
+        jnp.zeros((num_pixels, channels), jnp.float32) + vary0
+    ).at[:, 4].set(jnp.inf)
+    out0 = jnp.zeros((rmax, 1, 1), jnp.float32) + identity[None]
+    if lmax == 0:
+        return out0
+
+    def body(i, carry):
+        out, run_acc, prev_slot = carry
+        layer = render_one(local_order[i])
+        slot = run_slot[i]
+        same = jnp.logical_and(i > 0, slot == prev_slot)
+        closed = jnp.where(same, out[prev_slot], run_acc)
+        out = out.at[prev_slot].set(closed)
+        run_acc = jnp.where(same, blend_depth_sort(run_acc, layer), layer)
+        return out, run_acc, slot
+
+    out, run_acc, prev_slot = jax.lax.fori_loop(
+        0, lmax, body, (out0, identity, run_slot[0] * 0)
+    )
+    return out.at[prev_slot].set(run_acc)
+
+
+def _exchange_and_fold_runs(
+    runs: jnp.ndarray,  # [rmax, P, 5] this device's pre-blended run layers
+    perm: jnp.ndarray,  # [D * rmax] replicated global run order
     transport: str = "float32",
     axis=AXIS,
 ) -> jnp.ndarray:
-    """``_compose_shard`` with the run pre-blend: exchange O(runs) pre-
-    blended layers instead of O(layers), then fold runs in global order.
-    Bitwise-identical output (see the section comment)."""
+    """Exchange pre-blended run layers and fold them in global order —
+    the shared tail of the pre-blend compose paths."""
     num_devices = jax.lax.psum(1, axis)
-    _, num_pixels, channels = layers.shape
+    rmax, num_pixels, channels = runs.shape
     shard = num_pixels // num_devices
 
-    runs = _preblend_runs(layers, local_order, run_slot, rmax)
     if transport == "ubyte":
         color_u8 = _encode_ubyte(runs[..., :4])
         depth = runs[..., 4]
@@ -358,6 +397,22 @@ def _compose_shard_preblend(
     # the exact cross-run fold of the non-pre-blended path
     run_ids = jax.lax.iota(jnp.int32, num_devices * rmax)
     return _composite_sorted_runs(sorted_runs, run_ids)
+
+
+def _compose_shard_preblend(
+    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
+    local_order: jnp.ndarray,  # [Lmax]
+    run_slot: jnp.ndarray,  # [Lmax]
+    perm: jnp.ndarray,  # [D * rmax] replicated global run order
+    rmax: int,
+    transport: str = "float32",
+    axis=AXIS,
+) -> jnp.ndarray:
+    """``_compose_shard`` with the run pre-blend: exchange O(runs) pre-
+    blended layers instead of O(layers), then fold runs in global order.
+    Bitwise-identical output (see the section comment)."""
+    runs = _preblend_runs(layers, local_order, run_slot, rmax)
+    return _exchange_and_fold_runs(runs, perm, transport, axis)
 
 
 @functools.lru_cache(maxsize=16)

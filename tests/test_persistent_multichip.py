@@ -255,3 +255,78 @@ def test_render_batch_empty(geometry):
     fsr = FastSceneRenderer(geometry, params)
     out1 = fsr.render_batch([], overlay=False)
     assert out1.shape == (0, 32 * 32, 5) and out1.dtype == np.float32
+
+
+# ---------------------------------------------------------------------------
+# Deep-AMR shards (VERDICT r3 Weak #7): many pieces per device must not
+# allocate the O(pieces x pixels) layer stack — the scan-pieces mode
+# renders each piece inside the pre-blend fold.
+# ---------------------------------------------------------------------------
+
+
+def _deep_geometry(n=48, brick=8):
+    """216 pieces (6^3 bricks of 8^3) — a non-toy piece count that puts
+    27 pieces on each of 8 devices, above the scan threshold."""
+    from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+
+    c = (np.arange(n) + 0.5) / n
+    r = np.sqrt(
+        (c[:, None, None] - 0.5) ** 2
+        + (c[None, :, None] - 0.5) ** 2
+        + (c[None, None, :] - 0.5) ** 2
+    )
+    f = np.exp(-((r - 0.35) / 0.1) ** 2)
+    boxes = [
+        LevelBox(f[i:i + brick, j:j + brick, k:k + brick],
+                 np.array([i, j, k], dtype=int))
+        for i in range(0, n, brick)
+        for j in range(0, n, brick)
+        for k in range(0, n, brick)
+    ]
+    geoms = [LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))]
+    data = api.AmrData(level_data=[boxes], level_geometry=geoms)
+    return api.load_amr_geometry(data, 0, -1, 0, False, True, verbose=False)
+
+
+def test_deep_amr_scan_mode_parity():
+    """216 pieces / 8 devices: the scan-pieces render (fused into the
+    pre-blend fold, O(runs x pixels) memory) must match both the
+    materialized-stack mesh path and the single-chip product path."""
+    geometry = _deep_geometry()
+    params = RenderParameters(width=32, height=32)
+    r8 = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    assert r8._scan_pieces()  # 27 pieces/device > threshold
+    fsr = FastSceneRenderer(geometry, params)
+    for cam in _cams(r8):
+        f8 = r8.render(cam, overlay=False)
+        # force the materialized-stack path on a fresh renderer: pixels
+        # must be IDENTICAL (same fold tree, only buffering differs)
+        r8_stack = MultiChipSceneRenderer(geometry, params, num_devices=8)
+        r8_stack.scan_piece_threshold = 10_000
+        assert not r8_stack._scan_pieces()
+        f_stack = r8_stack.render(cam, overlay=False)
+        np.testing.assert_array_equal(f8, f_stack)
+        # vs the single-chip product path: the D-way mesh folds each
+        # device's run with blend_depth_sort and then folds runs — where
+        # a pixel's rendered depths contradict the frame-global piece
+        # order, the per-pixel depth test resolves locally inside a run,
+        # so the D-way association can differ from the serial fold by a
+        # bounded amount on a handful of pixels (the reference's
+        # composeLayered has the same property: pre-blended rank images
+        # meet in a depth-sorted blend, DirectSendBase.cpp:418-446)
+        ft = fsr.render(cam, overlay=False)
+        assert np.abs(f8[np.isfinite(f8)]).sum() > 0
+        diff = np.abs(f8[:, :4] - ft[:, :4])
+        assert diff.max() < 0.01
+        assert (diff.max(axis=1) > 1e-5).mean() < 0.01
+
+
+def test_deep_amr_batch_scan_matches_per_frame():
+    geometry = _deep_geometry()
+    params = RenderParameters(width=32, height=32)
+    r = MultiChipSceneRenderer(geometry, params, num_devices=8)
+    assert r._scan_pieces()
+    cams = _cams(r)
+    batch = r.render_batch(cams, overlay=False)
+    for i, cam in enumerate(cams):
+        np.testing.assert_array_equal(batch[i], r.render(cam, overlay=False))
