@@ -88,6 +88,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_float_p, c_float_p, c_double_p, c_int_p, c_int_p,
         ]
         lib.avr_visibility_order_v2.restype = ctypes.c_int
+    if hasattr(lib, "avr_visibility_order_v3"):
+        lib.avr_visibility_order_v3.argtypes = [
+            c_double_p, c_double_p, c_int_p, ctypes.c_int, ctypes.c_int,
+            c_float_p, c_float_p, c_double_p, c_double_p, c_int_p, c_int_p,
+        ]
+        lib.avr_visibility_order_v3.restype = ctypes.c_int
     for name in ("avr_scalar_stats_f64", "avr_scalar_stats_f32"):
         if hasattr(lib, name):
             getattr(lib, name).argtypes = [
@@ -432,13 +438,17 @@ def visibility_order_flags(
     modelview: np.ndarray,
     projection: np.ndarray,
     view_dir: np.ndarray,
+    eye: Optional[np.ndarray] = None,
 ) -> Optional[tuple]:
     """Like ``visibility_order`` but returns ``(order, clean)`` where
     ``clean`` is True when no cycle-breaking split happened (the order
-    then depends on the camera only through sign(view_dir) per axis plus
-    tie-breaks — cacheable per view octant, visibility.OrderKeyCache) and
-    None when the loaded library predates the v2 symbol (cycles unknown,
-    never cache)."""
+    then depends on the camera only through the adjacency DAG plus
+    tie-breaks — cacheable, visibility.OrderKeyCache) and None when the
+    loaded library predates the v2 symbol (cycles unknown, never cache).
+
+    ``eye`` selects the exact perspective (eye-side-of-plane) edge
+    orientation via the v3 symbol; a pre-v3 library falls back to the
+    reference's directional predicate (orthographically exact only)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -450,6 +460,17 @@ def visibility_order_flags(
     projection = np.ascontiguousarray(projection, dtype=np.float32)
     view_dir = np.ascontiguousarray(view_dir, dtype=np.float64)
     out = np.zeros(num_ranks, dtype=np.int32)
+    if eye is not None and hasattr(lib, "avr_visibility_order_v3"):
+        eye64 = np.ascontiguousarray(eye, dtype=np.float64)
+        cycles = ctypes.c_int(0)
+        ok = lib.avr_visibility_order_v3(
+            _ptr(box_min, ctypes.c_double), _ptr(box_max, ctypes.c_double),
+            _ptr(owners, ctypes.c_int), n, num_ranks,
+            _ptr(modelview, ctypes.c_float), _ptr(projection, ctypes.c_float),
+            _ptr(view_dir, ctypes.c_double), _ptr(eye64, ctypes.c_double),
+            _ptr(out, ctypes.c_int), ctypes.byref(cycles),
+        )
+        return (out, cycles.value == 0) if ok else None
     if hasattr(lib, "avr_visibility_order_v2"):
         cycles = ctypes.c_int(0)
         ok = lib.avr_visibility_order_v2(

@@ -79,11 +79,26 @@ def _overlaps(a_min, a_max, b_min, b_max) -> bool:
     return (overlap_max - overlap_min) > 1e-5 * scale
 
 
-def _rebuild_adjacency(boxes: List[_BoxInfo], view_dir: np.ndarray):
+def _rebuild_adjacency(
+    boxes: List[_BoxInfo], view_dir: np.ndarray,
+    eye: Optional[np.ndarray] = None,
+):
     """Face-adjacency visibility edges (VisibilityOrdering.cpp:261-317).
 
     Edge u -> v means u must be blended before v (u occludes from the
-    camera's perspective along the shared face)."""
+    camera's perspective along the shared face).
+
+    Orientation: with an ``eye`` position, the box on the eye's side of
+    the shared face plane composites in FRONT — exact for every
+    perspective ray, since any ray from the eye crosses the plane from
+    the eye's side to the far side regardless of its direction signs
+    (round-4 upgrade: the reference's sign(view_dir) predicate emits NO
+    edges on a view-perpendicular axis, so e.g. a camera level with the
+    scene left every y-adjacent pair tie-break-ordered — observed 0.18
+    RGB divergence between fold structures on a 216-piece scene).
+    Without an eye the reference's orthographically-exact sign predicate
+    applies.  An eye ON a face plane (within tolerance) emits no edge
+    for that plane: rays genuinely cross it both ways."""
     n = len(boxes)
     adjacency: List[List[int]] = [[] for _ in range(n)]
     indegree = [0] * n
@@ -94,6 +109,18 @@ def _rebuild_adjacency(boxes: List[_BoxInfo], view_dir: np.ndarray):
         if to not in adjacency[frm]:
             adjacency[frm].append(to)
             indegree[to] += 1
+
+    def lower_in_front(axis, plane, dir_component):
+        """True/False = orientation; None = no edge (degenerate)."""
+        if eye is not None:
+            if _nearly_equal(eye[axis], plane):
+                return None
+            return bool(eye[axis] < plane)
+        if dir_component > K_DIRECTION_TOLERANCE:
+            return True
+        if dir_component < -K_DIRECTION_TOLERANCE:
+            return False
+        return None
 
     for i in range(n):
         a = boxes[i]
@@ -112,14 +139,20 @@ def _rebuild_adjacency(boxes: List[_BoxInfo], view_dir: np.ndarray):
                     continue
                 dir_component = view_dir[axis]
                 if _nearly_equal(a.max_corner[axis], b.min_corner[axis]):
-                    if dir_component > K_DIRECTION_TOLERANCE:
+                    front = lower_in_front(
+                        axis, a.max_corner[axis], dir_component
+                    )
+                    if front is True:  # a (lower) in front; b painted first
                         add_edge(j, i)
-                    elif dir_component < -K_DIRECTION_TOLERANCE:
+                    elif front is False:
                         add_edge(i, j)
                 elif _nearly_equal(b.max_corner[axis], a.min_corner[axis]):
-                    if dir_component > K_DIRECTION_TOLERANCE:
+                    front = lower_in_front(
+                        axis, b.max_corner[axis], dir_component
+                    )
+                    if front is True:  # b (lower) in front; a painted first
                         add_edge(i, j)
-                    elif dir_component < -K_DIRECTION_TOLERANCE:
+                    elif front is False:
                         add_edge(j, i)
     return adjacency, indegree
 
@@ -350,6 +383,7 @@ def build_visibility_order(
             modelview,
             projection,
             safe_normalize(camera.look_at - camera.eye),
+            eye=np.asarray(camera.eye, np.float64),
         )
         if native_result is not None:
             return ret(native_result[0], native_result[1])
@@ -372,10 +406,11 @@ def build_visibility_order(
         boxes.append(info)
 
     view_dir = safe_normalize(camera.look_at - camera.eye)
+    eye = np.asarray(camera.eye, np.float64)
     max_iterations = max(len(boxes), 1) * 8 + 32
 
     for iteration in range(max_iterations):
-        adjacency, indegree = _rebuild_adjacency(boxes, view_dir)
+        adjacency, indegree = _rebuild_adjacency(boxes, view_dir, eye=eye)
         if write_visibility_graph:
             _export_dot(
                 boxes, adjacency, f"visibility_graph_{_graph_file_counter}.dot"
@@ -561,96 +596,56 @@ def _is_cuboid_tiling(box_min: np.ndarray, box_max: np.ndarray) -> bool:
 _DIR_TOL = 1e-6  # the builders' kDirTol (avr_native.cpp / _rebuild_adjacency)
 
 
-def frustum_safe_axes(
-    camera: CameraParameters,
-    aspect: float,
-    domain_lo: np.ndarray,
-    domain_hi: np.ndarray,
-):
-    """The per-axis view-dir sign tuple when EVERY ray that can reach the
-    domain crosses axis faces in that sign's direction on every axis;
-    None otherwise.
+def _face_planes(box_min: np.ndarray, box_max: np.ndarray):
+    """Per-axis sorted face-plane coordinates, tolerance-clustered.
 
-    Axis k is safe in either of two ways:
-
-      * **eye outside the domain on the entry side** (``trit=+1`` with
-        ``eye_k <= domain_lo_k``, or ``trit=-1`` with ``eye_k >=
-        domain_hi_k``): a ray whose k-component opposes the trit can
-        never reach the domain at all, so every face crossing inside it
-        has the trit's sign; or
-      * **frustum sign-strict on k**: a ray direction is ``fwd +
-        px*right + py*up`` with (px, py) over the image rectangle — each
-        component is bilinear in (px, py), so its extrema sit at the 4
-        corner rays; when all 4 agree in strict sign, every ray does.
-
-    When all three axes are safe, every occlusion in a gap-free tiling
-    travels a chain of DAG-directed face crossings, so camera-dependent
-    depth tie-breaks are never load-bearing and OrderKeyCache may reuse
-    keys across cameras sharing the tuple.  A camera that fails (eye
-    BETWEEN the scene's face planes on an axis the frustum also
-    straddles) can have rays opposing sign(view_dir) that connect
-    DAG-unconstrained pieces — there the graph model itself (the
-    reference's, VisibilityOrdering.cpp:261-317) is already approximate
-    and the cache must not freeze one tie-break choice across cameras.
-    """
-    from .camera import camera_basis
-
-    eye = np.asarray(camera.eye, np.float64)
-    d = safe_normalize(
-        np.asarray(camera.look_at, np.float64) - eye
-    )
-    trits = tuple(int(v > _DIR_TOL) - int(v < -_DIR_TOL) for v in d)
-    if any(t == 0 for t in trits):
-        # the DAG has no edges on a zero axis, yet rays still cross its
-        # faces: those occlusions are tie-break-ordered, never cache
-        return None
-    forward, right, up = camera_basis(camera)
-    tan_half = math.tan(math.radians(camera.fov_y_degrees) * 0.5)
+    Clustering merges values within the builders' ``nearly_equal``
+    window; merging only coarsens the eye-cell partition (two planes
+    closer than the tolerance bound a sliver no cacheable eye can sit in
+    — ``OrderKeyCache.gate`` returns None within the window of any
+    plane)."""
+    lo = np.asarray(box_min, np.float64)
+    hi = np.asarray(box_max, np.float64)
+    if len(lo) == 0:
+        return [np.zeros(0)] * 3, 1.0
+    scale = max(1.0, float(np.abs(lo).max()), float(np.abs(hi).max()))
+    window = 1e-5 * scale
+    planes = []
     for k in range(3):
-        if trits[k] > 0 and eye[k] <= domain_lo[k]:
-            continue
-        if trits[k] < 0 and eye[k] >= domain_hi[k]:
-            continue
-        vals = [
-            forward[k] + sx * tan_half * aspect * right[k]
-            + sy * tan_half * up[k]
-            for sx in (-1.0, 1.0)
-            for sy in (-1.0, 1.0)
-        ]
-        if trits[k] > 0 and all(v > _DIR_TOL for v in vals):
-            continue
-        if trits[k] < 0 and all(v < -_DIR_TOL for v in vals):
-            continue
-        return None
-    return trits
+        vals = np.unique(np.concatenate([lo[:, k], hi[:, k]]))
+        keep = [vals[0]] if len(vals) else []
+        for v in vals[1:]:
+            if v - keep[-1] > window:
+                keep.append(v)
+        planes.append(np.asarray(keep))
+    return planes, window
 
 
 class OrderKeyCache:
-    """Frustum-sign-keyed memo for ordering keys on static geometry.
+    """Eye-cell-keyed memo for ordering keys on static geometry.
 
-    The adjacency DAG depends on the camera only through the sign of
-    ``view_dir`` per axis, so cameras sharing a sign pattern share the
-    DAG; what differs per camera are depth tie-breaks (and cycle splits).
-    A cached order is valid for another camera only when tie-breaks are
-    provably not load-bearing, which requires BOTH:
+    Under the eye-side-of-plane edge orientation (round 4,
+    ``_rebuild_adjacency``), the adjacency DAG depends on the camera
+    only through which CELL of the face-plane arrangement the eye sits
+    in — per axis, which interval between the scene's face coordinates
+    contains ``eye[k]``.  Within one cell the DAG is identical, and for
+    a cuboid-tiling partition (``_is_cuboid_tiling``, checked once)
+    every ray's piece-crossing chain is a directed DAG path oriented
+    consistently for EVERY eye in the cell — so any cached clean topo
+    order is a valid compositing order for every camera in the cell,
+    independent of frustum or view direction (per-pixel output is
+    identical under any valid order: pieces a ray misses blend as exact
+    identities).
 
-      * the pieces tile a cuboid (``_is_cuboid_tiling``, checked once) —
-        occlusion chains have no gaps; and
-      * every domain-reaching ray of the CURRENT frustum has per-axis
-        direction signs matching the DAG's (``frustum_safe_axes``,
-        checked per frame: eye outside the domain on the entry side per
-        axis, or frustum sign-strict) — chains are DAG-directed, so
-        occluding pairs are always DAG-ordered.  An eye between the
-        scene's face planes on a frustum-straddled axis fails this and
-        bypasses the cache (the per-frame build is used, exactly as
-        without a cache).
-
-    Cycle-broken and flag-less (pre-v2 native) builds are never cached.
-    Persistent renderers (fast_scene, parallel/persistent) hold one cache
-    per scene: an animation orbit pays the graph build at most once per
-    sign pattern instead of per frame — at the PIECE_GRAPH_LIMIT depth
-    that is ~35 ms/frame of host time removed.  Field-value updates
-    (update_data) don't move boxes, so the cache survives them.
+    An eye within the builders' tolerance of a face plane gates to None
+    (that plane's edges are degenerate — rays cross it both ways), as do
+    non-tiling unions, cycle-broken builds, and flag-less (pre-v2
+    native) builds.  Persistent renderers (fast_scene,
+    parallel/persistent) hold one cache per scene: an animation orbit
+    pays the graph build at most once per crossed eye cell instead of
+    per frame — at the PIECE_GRAPH_LIMIT depth that is ~35 ms/frame of
+    host time removed.  Field-value updates (update_data) don't move
+    boxes, so the cache survives them.
     """
 
     def __init__(
@@ -664,21 +659,36 @@ class OrderKeyCache:
         self.parent_sound = parent_min is not None and _is_cuboid_tiling(
             parent_min, parent_max
         )
-        lo = np.asarray(box_min, np.float64)
-        hi = np.asarray(box_max, np.float64)
-        self.domain_lo = lo.min(axis=0) if len(lo) else np.zeros(3)
-        self.domain_hi = hi.max(axis=0) if len(hi) else np.zeros(3)
+        # the plane arrangement of the FINEST partition keys both memos:
+        # parent faces are a subset of piece faces in an AMR hierarchy,
+        # so piece cells refine parent cells (a coarser parent-only key
+        # could only add hits, never correctness, but sharing one key
+        # keeps the two memos aligned)
+        self._planes, self._window = _face_planes(box_min, box_max)
         self._flat: dict = {}
         self._parent: dict = {}
         self.hits = 0
         self.misses = 0
 
     def gate(self, camera: CameraParameters, aspect: float):
-        """The memo key for this camera, or None when caching is unsound
-        for this frame: see frustum_safe_axes."""
-        return frustum_safe_axes(
-            camera, aspect, self.domain_lo, self.domain_hi
-        )
+        """The memo key for this camera — the eye's per-axis cell in the
+        face-plane arrangement — or None when the eye lies within the
+        builders' tolerance of a face plane (degenerate edge
+        orientation; the per-frame build is used, exactly as without a
+        cache).  ``aspect`` is unused (kept for call-site stability):
+        the cell key is frustum-independent."""
+        del aspect
+        eye = np.asarray(camera.eye, np.float64)
+        key = []
+        for k in range(3):
+            p = self._planes[k]
+            j = int(np.searchsorted(p, eye[k]))
+            if j > 0 and eye[k] - p[j - 1] <= self._window:
+                return None
+            if j < len(p) and p[j] - eye[k] <= self._window:
+                return None
+            key.append(j)
+        return tuple(key)
 
 
 def order_keys_or_hints(

@@ -389,8 +389,15 @@ constexpr double kDirTol = 1e-6;
 // view_dir[axis] > 0 means Y occludes X (edge Y -> X composites X
 // first... the edge ordering contract is locked by the polarity canary in
 // tests/test_piece_order.py).
+// ``eye`` (nullable) switches edge orientation from the reference's
+// sign(view_dir) predicate to eye-side-of-plane: the box on the eye's
+// side of the shared face composites in front — exact for every
+// perspective ray (any ray from the eye crosses the plane from the
+// eye's side), where the direction predicate is exact only
+// orthographically and emits NO edges on view-perpendicular axes
+// (round-4 ordering upgrade; mirrored in visibility._rebuild_adjacency).
 void rebuild_adjacency(const std::vector<BoxInfo>& boxes,
-                       const double view_dir[3],
+                       const double view_dir[3], const double* eye,
                        std::vector<std::vector<int>>& adjacency,
                        std::vector<int>& indegree) {
   const int n = static_cast<int>(boxes.size());
@@ -422,7 +429,8 @@ void rebuild_adjacency(const std::vector<BoxInfo>& boxes,
   std::vector<int> starts, ends;
   for (int axis = 0; axis < 3; ++axis) {
     const double d = view_dir[axis];
-    if (d <= kDirTol && d >= -kDirTol) continue;  // no edges on this axis
+    if (eye == nullptr && d <= kDirTol && d >= -kDirTol)
+      continue;  // direction predicate: no edges on this axis
     const int a1 = (axis + 1) % 3, a2 = (axis + 2) % 3;
     for (int i = 0; i < n; ++i) {
       events[2 * i] = {boxes[i].mn[axis], i, false};
@@ -477,10 +485,20 @@ void rebuild_adjacency(const std::vector<BoxInfo>& boxes,
           if (x > y && nearly_equal(b.mx[axis], a.mn[axis])) continue;
           if (!overlaps(a.mn[a1], a.mx[a1], b.mn[a1], b.mx[a1])) continue;
           if (!overlaps(a.mn[a2], a.mx[a2], b.mn[a2], b.mx[a2])) continue;
-          if (d > kDirTol)
+          // a = x is the LOWER box (a.mx touches b.mn); "lower in
+          // front" paints the upper (far) box first: edge y -> x
+          if (eye != nullptr) {
+            const double plane = a.mx[axis];
+            if (nearly_equal(eye[axis], plane)) continue;  // degenerate
+            if (eye[axis] < plane)
+              add_edge(y, x);
+            else
+              add_edge(x, y);
+          } else if (d > kDirTol) {
             add_edge(y, x);
-          else
+          } else {
             add_edge(x, y);
+          }
         }
       }
     }
@@ -517,6 +535,7 @@ static int visibility_order_impl(const double* box_min,  // [n][3]
                                  const float* modelview,   // row-major 4x4
                                  const float* projection,  // row-major 4x4
                                  const double* view_dir,   // [3]
+                                 const double* eye,        // [3] nullable
                                  int* order_out, int* cycles_out) {
   if (cycles_out) *cycles_out = 0;
   VisContext ctx{modelview, projection,
@@ -537,7 +556,7 @@ static int visibility_order_impl(const double* box_min,  // [n][3]
   std::vector<int> indegree;
 
   for (int iteration = 0; iteration < max_iterations; ++iteration) {
-    rebuild_adjacency(boxes, ctx.view_dir, adjacency, indegree);
+    rebuild_adjacency(boxes, ctx.view_dir, eye, adjacency, indegree);
 
     // Kahn with depth-priority pops.  compare_boxes is a TOTAL order
     // (final tie-break is the index), so popping the min of a heap is
@@ -681,7 +700,7 @@ int avr_visibility_order(const double* box_min, const double* box_max,
                          const double* view_dir, int* order_out) {
   return visibility_order_impl(box_min, box_max, owners, num_boxes,
                                num_ranks, modelview, projection, view_dir,
-                               order_out, nullptr);
+                               nullptr, order_out, nullptr);
 }
 
 // v2: adds the cycles-broken flag (see visibility_order_impl).  New
@@ -694,7 +713,21 @@ int avr_visibility_order_v2(const double* box_min, const double* box_max,
                             int* cycles_out) {
   return visibility_order_impl(box_min, box_max, owners, num_boxes,
                                num_ranks, modelview, projection, view_dir,
-                               order_out, cycles_out);
+                               nullptr, order_out, cycles_out);
+}
+
+// v3: adds the eye position, switching edge orientation to the
+// eye-side-of-plane predicate (exact for perspective cameras — see
+// rebuild_adjacency).  New symbol so a prebuilt v2 .so keeps loading;
+// the Python wrapper falls back to the directional v2 predicate.
+int avr_visibility_order_v3(const double* box_min, const double* box_max,
+                            const int* owners, int num_boxes, int num_ranks,
+                            const float* modelview, const float* projection,
+                            const double* view_dir, const double* eye,
+                            int* order_out, int* cycles_out) {
+  return visibility_order_impl(box_min, box_max, owners, num_boxes,
+                               num_ranks, modelview, projection, view_dir,
+                               eye, order_out, cycles_out);
 }
 
 // ---------------------------------------------------------------------------

@@ -1,18 +1,17 @@
 """Ordering-key cache (visibility.OrderKeyCache).
 
-The adjacency DAG depends on the camera only through sign(view_dir) per
-axis; a clean (cycle-free) build over a cuboid-tiling partition is a
-valid compositing order for every camera whose domain-reaching rays are
-per-axis sign-consistent with the DAG (frustum_safe_axes: eye outside
-the domain on the entry side per axis, or frustum sign-strict) — each
-occlusion then travels a gap-free face chain = a directed DAG path, so
-depth tie-breaks only order pairs no ray sees together.  Cameras that
-fail the gate (the code-review counterexample: eye between face planes
-with the frustum straddling that axis) bypass the cache entirely.
-These tests lock the gates (tiling check, frustum gate, clean flag from
-both the native v2 symbol and the Python builder), the memo behavior,
-and — the part that matters — pixel-exact renders from cache-warmed
-keys at a DIFFERENT camera sharing the gate key.
+Under eye-side-of-plane edge orientation (round 4) the adjacency DAG
+depends on the camera only through the eye's CELL of the face-plane
+arrangement; a clean (cycle-free) build over a cuboid-tiling partition
+is a valid compositing order for every camera whose eye shares the cell
+— each occlusion travels a gap-free face chain = a directed DAG path
+oriented consistently for every eye in the cell, independent of view
+direction or frustum.  An eye ON a face plane (degenerate orientation)
+bypasses the cache entirely.  These tests lock the gates (tiling check,
+eye-cell gate, clean flag from both the native symbol and the Python
+builder), the memo behavior, and — the part that matters — pixel-exact
+renders from cache-warmed keys at a DIFFERENT camera sharing the gate
+key.
 """
 
 import numpy as np
@@ -58,13 +57,13 @@ def test_cuboid_tiling_gate():
     assert not _is_cuboid_tiling(np.zeros((0, 3)), np.zeros((0, 3)))
 
 
-def test_frustum_gate():
-    """Axis k of the memo gate passes when the eye is outside the domain
-    on the entry side (rays opposing the sign can't reach the domain) or
-    when all 4 corner rays share the strict sign; a camera failing an
-    axis gates to None — caching would freeze tie-breaks that ARE
-    load-bearing for it."""
-    lo, hi = _grid(2)  # domain [0, 1]^3
+def test_eye_cell_gate():
+    """The memo key is the eye's per-axis cell of the face-plane
+    arrangement (under eye-side edge orientation the DAG depends on the
+    camera only through that cell); an eye ON a face plane gates to None
+    (degenerate orientation), while view direction / frustum no longer
+    matter at all."""
+    lo, hi = _grid(2)  # domain [0, 1]^3, face planes at 0, 0.5, 1 per axis
     cache = OrderKeyCache(lo, hi)
     assert cache.flat_sound
 
@@ -74,28 +73,22 @@ def test_frustum_gate():
             fov_y_degrees=fov, near_plane=0.1, far_plane=20.0,
         )
 
-    # eye outside the domain on every axis: safe regardless of FOV width
-    assert cache.gate(cam((3.0, 2.0, -1.0)), 1.0) == (-1, -1, 1)
-    assert cache.gate(cam((2.0, 1.5, 3.0)), 1.0) == (-1, -1, -1)
-    assert cache.gate(cam((3.0, 2.0, -1.5), fov=150.0), 1.0) is not None
-    # axis-aligned view: view_dir is zero on two axes -> no DAG edges
-    # there, tie-breaks order those faces -> never cache
-    assert cache.gate(cam((3.0, 0.5, 0.5)), 1.0) is None
-    # the code-review counterexample (2x2x1 domain): eye BETWEEN the
-    # x face planes with the frustum straddling x — rays oppose
-    # sign(view_dir) and connect DAG-unconstrained pieces
-    big_lo = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], float)
-    big_hi = big_lo + np.array([1.0, 1.0, 1.0])
-    wide = OrderKeyCache(big_lo, big_hi)
-    assert wide.flat_sound
-    assert wide.gate(
-        cam((1.6, -2.0, -0.3), look=(0.5, 0.5, 0.5)), 1.0
-    ) is None
-    # same eye x inside, but looking steeply enough that the frustum is
-    # x-sign-strict: safe again
-    assert wide.gate(
-        cam((1.6, -2.0, -0.3), look=(0.2, 2.0, 0.8), fov=20.0), 1.0
-    ) is not None
+    # eye outside the domain: cell index 3 (past all planes) / 0 (before)
+    assert cache.gate(cam((3.0, 2.0, -1.0)), 1.0) == (3, 3, 0)
+    # axis-aligned view (view_dir zero on two axes): CACHEABLE now —
+    # eye-side orientation has no direction degeneracy
+    assert cache.gate(cam((3.0, 0.7, 0.7)), 1.0) == (3, 2, 2)
+    # same cell, wildly different look/fov: same key
+    assert cache.gate(
+        cam((3.0, 0.7, 0.7), look=(0.1, 2.0, -1.0), fov=150.0), 1.0
+    ) == (3, 2, 2)
+    # different cell on y: different key
+    assert cache.gate(cam((3.0, 0.2, 0.7)), 1.0) == (3, 1, 2)
+    # eye exactly on a face plane: degenerate, never cache
+    assert cache.gate(cam((0.5, 0.7, 0.7)), 1.0) is None
+    assert cache.gate(cam((3.0, 1.0, 0.7)), 1.0) is None
+    # eye INSIDE the domain: still a well-defined cell
+    assert cache.gate(cam((0.2, 0.7, 0.2)), 1.0) == (1, 2, 1)
 
 
 def _cyclic_scene():
@@ -218,30 +211,45 @@ def test_cached_keys_render_pixel_exact(geometry):
     np.testing.assert_array_equal(frame_b_cached, frame_b_cold)
 
 
-def test_mixed_sign_frustum_bypasses_cache(geometry):
-    """The code-review counterexample, end-to-end: a camera whose eye
-    sits between the scene's face planes (mixed-sign frustum) must NOT
-    read or write the cache — its render is bit-exact with a cold
-    renderer even after warming the same view-dir octant from outside."""
+def test_on_plane_eye_bypasses_cache(geometry):
+    """The remaining degenerate case, end-to-end: a camera whose eye
+    lies ON a face plane (rays cross that plane in both directions, so
+    edge orientation is undefined there) must NOT read or write the
+    cache — its render is bit-exact with a cold renderer even after
+    warming a neighboring cell."""
     params = RenderParameters(width=48, height=48)
-    # outside camera (gates to a key) shares sign(view_dir) with the
-    # inside camera (gates to None)
+    # the r2 scene tiles [0, 1]^3 with face planes at 0, 0.5, 1
     cam_out = CameraParameters(
         eye=(-4.0, -3.0, -2.5), look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
         fov_y_degrees=45.0, near_plane=0.1, far_plane=30.0,
     )
-    cam_in = CameraParameters(
-        eye=(0.2, -0.6, -0.4), look_at=(1.2, 0.7, 0.6), up=(0, 1, 0),
+    cam_on = CameraParameters(
+        eye=(0.5, -0.6, -0.4), look_at=(1.2, 0.7, 0.6), up=(0, 1, 0),
         fov_y_degrees=60.0, near_plane=0.05, far_plane=30.0,
     )
     warmed = FastSceneRenderer(geometry, params)
     assert warmed._order_cache.gate(cam_out, 1.0) is not None
-    assert warmed._order_cache.gate(cam_in, 1.0) is None
+    assert warmed._order_cache.gate(cam_on, 1.0) is None
     warmed.render(cam_out)
     stored = dict(warmed._order_cache._flat)
-    frame_in_warm = warmed.render(cam_in)
-    # no read and no write happened for the inside camera
+    frame_on_warm = warmed.render(cam_on)
+    # no read and no write happened for the on-plane camera
     assert dict(warmed._order_cache._flat) == stored
     cold = FastSceneRenderer(geometry, params)
-    frame_in_cold = cold.render(cam_in)
-    np.testing.assert_array_equal(frame_in_warm, frame_in_cold)
+    frame_on_cold = cold.render(cam_on)
+    np.testing.assert_array_equal(frame_on_warm, frame_on_cold)
+    # an eye INSIDE the domain (between planes) is now cacheable and
+    # pixel-exact across the warm/cold boundary — the old frustum gate
+    # refused these
+    cam_in = CameraParameters(
+        eye=(0.2, 0.7, 0.3), look_at=(0.8, 0.2, 0.6), up=(0, 1, 0),
+        fov_y_degrees=60.0, near_plane=0.05, far_plane=30.0,
+    )
+    assert warmed._order_cache.gate(cam_in, 1.0) is not None
+    frame_in_warm = warmed.render(cam_in)
+    frame_in_again = warmed.render(cam_in)  # second render hits the memo
+    np.testing.assert_array_equal(frame_in_warm, frame_in_again)
+    cold2 = FastSceneRenderer(geometry, params)
+    np.testing.assert_array_equal(
+        frame_in_warm, cold2.render(cam_in)
+    )

@@ -205,3 +205,75 @@ def test_one_shot_paths_agree_with_fast_scene():
         64, 64, None, interpret=True,
     )
     np.testing.assert_allclose(ft[:, :3], one[:, :3], atol=2e-5)
+
+
+class TestPerRayConsistency:
+    """Round-4 upgrade: eye-side-of-plane edge orientation makes the
+    piece order EXACT for perspective cameras — for every sampled ray,
+    the pieces it crosses must appear in the global order by increasing
+    entry distance.  The reference's sign(view_dir) predicate fails this
+    for cameras level with the scene (view_dir zero on an axis emits no
+    edges there; observed 0.18 RGB divergence between fold structures)."""
+
+    @staticmethod
+    def _ray_entries(eye, dirs, lo, hi):
+        """Entry/exit t of each ray (row) against each box (col), slab
+        method; t_in > t_out (or t_out < 0) means miss."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / dirs  # [R, 3]
+            t0 = (lo[None, :, :] - eye) * inv[:, None, :]
+            t1 = (hi[None, :, :] - eye) * inv[:, None, :]
+        t_in = np.minimum(t0, t1).max(axis=2)
+        t_out = np.maximum(t0, t1).min(axis=2)
+        return t_in, t_out
+
+    @pytest.mark.parametrize("eye", [
+        (3.1, 0.5, 0.4),      # view_dir.y == 0: the old failure class
+        (2.5, 2.5, 2.5),      # generic diagonal
+        (0.52, 0.48, 3.0),    # nearly axis-aligned
+        (0.31, 0.52, 0.47),   # eye INSIDE the domain
+        (-1.0, 0.5, 0.5),     # exactly level on two axes
+    ])
+    def test_keys_monotone_along_rays(self, eye):
+        g = 6
+        ax = np.arange(g) / g
+        lo = np.stack(
+            np.meshgrid(ax, ax, ax, indexing="ij"), -1
+        ).reshape(-1, 3)
+        hi = lo + 1.0 / g
+        cam = CameraParameters(
+            eye=eye, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+            fov_y_degrees=45.0, near_plane=0.01, far_plane=50.0,
+        )
+        keys = piece_order_keys(cam, 1.0, lo, hi)
+        assert keys is not None
+        forward, right, up = camera_basis(cam)
+        rng = np.random.default_rng(11)
+        px = rng.uniform(-1, 1, (1024, 2))
+        tan_half = np.tan(np.radians(cam.fov_y_degrees) * 0.5)
+        dirs = (
+            np.asarray(forward)[None]
+            + (px[:, :1] * tan_half) * np.asarray(right)[None]
+            + (px[:, 1:] * tan_half) * np.asarray(up)[None]
+        )
+        t_in, t_out = self._ray_entries(
+            np.asarray(eye, float), dirs, lo, hi
+        )
+        checked = 0
+        eps = 1e-9
+        for r in range(len(dirs)):
+            # interior crossings only: skip grazes (shared-edge contact)
+            hit = (t_out[r] - t_in[r] > 1e-7) & (t_out[r] > eps)
+            if hit.sum() < 2:
+                continue
+            entry = np.maximum(t_in[r][hit], 0.0)
+            k = keys[hit]
+            order = np.argsort(entry, kind="stable")
+            assert (np.diff(k[order]) > 0).all(), (
+                f"ray {r}: key order disagrees with entry order\n"
+                f"entries {entry[order]}\nkeys {k[order]}"
+            )
+            checked += 1
+        # distant eyes aim most rays past the unit domain; what matters
+        # is that every multi-piece ray checked out, over a solid sample
+        assert checked > 100
