@@ -61,6 +61,7 @@ from ..renderer_fast import _fetch_global, _grouped_cumcount
 from ..visibility import order_keys_or_hints
 from ..types import CameraParameters, ColorMap, RenderParameters, SceneGeometry
 from .directsend import (
+    _compose_shard,
     _compose_shard_preblend,
     _encode_ubyte,
     _exchange_and_fold_runs,
@@ -71,6 +72,26 @@ from .directsend import (
     preblend_plan,
     shard_leading,
 )
+
+
+def _morton_order(box_min: np.ndarray, box_max: np.ndarray) -> np.ndarray:
+    """Piece permutation along a Morton (Z-order) curve of piece centers.
+
+    Centers quantize to a 10-bit grid per axis over the scene bounds;
+    ties (coincident centers across refinement levels) break by original
+    index, keeping the order deterministic."""
+    centers = 0.5 * (np.asarray(box_min, float) + np.asarray(box_max, float))
+    lo = centers.min(axis=0)
+    span = centers.max(axis=0) - lo
+    span[span == 0.0] = 1.0
+    q = np.clip(
+        ((centers - lo) / span * 1023.0).astype(np.int64), 0, 1023
+    )
+    code = np.zeros(len(centers), np.int64)
+    for bit in range(10):
+        for a in range(3):
+            code |= ((q[:, a] >> bit) & 1) << (3 * bit + (2 - a))
+    return np.lexsort((np.arange(len(centers)), code))
 
 
 class MultiChipSceneRenderer(FastSceneRenderer):
@@ -117,8 +138,22 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         # renderer's lifetime.  slot_to_idx maps [D * Bmax] device slots
         # to canonical piece indices (padding slots repeat an arbitrary
         # piece and are masked by ``slot_valid``).
-        local = _grouped_cumcount(self.owners)
-        order = np.lexsort((local, self.owners))
+        #
+        # When every piece has the same owner (the common in-situ case:
+        # the renderer owns the distribution), pieces are ordered along a
+        # Morton space-filling curve first, so each device holds a
+        # spatially COMPACT region — the reference's AMReX default
+        # DistributionMapping is likewise SFC-based.  Compactness is what
+        # makes the run pre-blend pay: a compact region is depth-
+        # contiguous from most viewpoints, so a device's layers form few
+        # runs in the global order (scattered placement can make runs ~=
+        # layers, at which point the pre-blend ships MORE than the raw
+        # exchange and the per-frame plan falls back, _select_transport).
+        if len(np.unique(self.owners)) <= 1:
+            order = _morton_order(self.box_min, self.box_max)
+        else:
+            local = _grouped_cumcount(self.owners)
+            order = np.lexsort((local, self.owners))
         (slot_to_idx,), slot_valid, _ = pack_contiguous(
             num_devices, np.zeros(len(order), np.float32),
             order.astype(np.int32),
@@ -249,7 +284,63 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         self._step_progs[prog_key] = prog
         return prog
 
+    def _sharded_step_plain(self):
+        """The non-pre-blended step: exchange every layer, fold by
+        gathered hints (directsend._compose_shard).  Used when a frame's
+        run decomposition would ship at least as many pre-blended layers
+        as raw layers (_use_preblend), so pre-blending would only add
+        fold work and traffic."""
+        prog_key = (
+            self.parameters.sampling, self.parameters.classification,
+            "plain",
+        )
+        cached = self._step_progs.get(prog_key)
+        if cached is not None:
+            return cached
+        axes = mesh_axes(self.mesh)
+        transport = self.transport
+        kw = dict(
+            width=self.pad_w, height=self.pad_h, max_slices=self.cube,
+            logical_width=self.render_width,
+            logical_height=self.render_height,
+            interpret=self.interpret, sampling=self.parameters.sampling,
+            ghost=self.ghost, classification=self.parameters.classification,
+        )
+
+        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints, cam):
+            colors, depths = sm.slicemarch_render(
+                b_vol, b_meta, b_dims, b_lut, cam, **kw
+            )
+            layers = jnp.concatenate([colors, depths[..., None]], axis=-1)
+            mask = b_valid[:, None, None]
+            cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
+            layers = jnp.where(mask, layers, cleared)
+            hints = jnp.where(b_valid, b_hints, jnp.inf)
+            return _compose_shard(layers, hints, transport, axes)
+
+        prog = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P(axes),) * 6 + (P(),),
+                out_specs=P(axes),
+                check_vma=False,  # pallas_call out_shape carries no vma info
+            )
+        )
+        self._step_progs[prog_key] = prog
+        return prog
+
     # ---- rendering ------------------------------------------------------
+
+    def _use_preblend(self, rmax: int) -> bool:
+        """Per-frame transport choice: pre-blend pays when a device ships
+        fewer run layers than raw layers; the deep-AMR scan mode always
+        pre-folds (there the win is O(runs x pixels) memory, not just
+        traffic)."""
+        if self._scan_pieces():
+            return True
+        lmax = len(self._slot_to_idx) // self.num_devices
+        return rmax < lmax
 
     def _scan_pieces(self) -> bool:
         """Deep-AMR mode: fuse render into the pre-blend fold when the
@@ -345,14 +436,23 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             self._effective_hints(slot_hints, slot_valid)
         )
 
-        frame = self._sharded_step(rmax)(
-            self._placed_vol(axis),
-            meta_dev, dims_dev,
-            self._placed_luts(),
-            jnp.asarray(slot_valid), jnp.asarray(local_order),
-            jnp.asarray(run_slot), jnp.asarray(perm),
-            jnp.asarray(cam),
-        )
+        if self._use_preblend(rmax):
+            frame = self._sharded_step(rmax)(
+                self._placed_vol(axis),
+                meta_dev, dims_dev,
+                self._placed_luts(),
+                jnp.asarray(slot_valid), jnp.asarray(local_order),
+                jnp.asarray(run_slot), jnp.asarray(perm),
+                jnp.asarray(cam),
+            )
+        else:
+            frame = self._sharded_step_plain()(
+                self._placed_vol(axis),
+                meta_dev, dims_dev,
+                self._placed_luts(),
+                jnp.asarray(slot_valid), jnp.asarray(slot_hints),
+                jnp.asarray(cam),
+            )
         pixels = _fetch_global(frame)
         pixels = pixels.reshape(self.pad_h, self.pad_w, 5)
         pixels = pixels[: self.render_height, : self.render_width].reshape(
@@ -452,6 +552,60 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         self._step_progs[prog_key] = prog
         return prog
 
+    def _sharded_batch_step_plain(self, bytes_out):
+        """Batched twin of ``_sharded_step_plain`` (see _use_preblend)."""
+        prog_key = (
+            self.parameters.sampling, self.parameters.classification,
+            "batch-plain", bytes_out,
+        )
+        cached = self._step_progs.get(prog_key)
+        if cached is not None:
+            return cached
+        axes = mesh_axes(self.mesh)
+        transport = self.transport
+        kw = dict(
+            width=self.pad_w, height=self.pad_h, max_slices=self.cube,
+            logical_width=self.render_width,
+            logical_height=self.render_height,
+            interpret=self.interpret, sampling=self.parameters.sampling,
+            ghost=self.ghost, classification=self.parameters.classification,
+        )
+
+        def step(b_vol, b_meta, b_dims, b_lut, b_valid, b_hints, cams):
+            # b_hints [F, T_shard]; cams [F, 20] replicated
+            def body(carry, xs):
+                cam, hints = xs
+                colors, depths = sm.slicemarch_render(
+                    b_vol, b_meta, b_dims, b_lut, cam, **kw
+                )
+                layers = jnp.concatenate(
+                    [colors, depths[..., None]], axis=-1
+                )
+                mask = b_valid[:, None, None]
+                cleared = jnp.zeros_like(layers).at[..., 4].set(jnp.inf)
+                layers = jnp.where(mask, layers, cleared)
+                h = jnp.where(b_valid, hints, jnp.inf)
+                frame = _compose_shard(layers, h, transport, axes)
+                if bytes_out:
+                    b = _encode_ubyte(frame[:, :4])
+                    frame = b[:, :3] if bytes_out == "rgb" else b
+                return carry, frame
+
+            _, frames = jax.lax.scan(body, 0, (cams, b_hints))
+            return frames  # [F, P_shard, C]
+
+        prog = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P(axes),) * 5 + (P(None, axes), P()),
+                out_specs=P(None, axes),
+                check_vma=False,  # pallas_call out_shape carries no vma info
+            )
+        )
+        self._step_progs[prog_key] = prog
+        return prog
+
     def render_batch(
         self,
         cameras,
@@ -503,10 +657,15 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             cams = np.stack([p[1] for p in part])
             valid = part[0][3]  # camera-independent within a batch
             # per-frame run plans under ONE chunk-wide rmax (the compiled
-            # scan shape is shared across the chunk's frames)
+            # scan shape is shared across the chunk's frames); chunks
+            # whose run depth defeats the pre-blend ship raw layers
+            # (_use_preblend)
             effs = [self._effective_hints(p[2], p[3]) for p in part]
             plans = [preblend_plan(e) for e in effs]
             rmax = max(pl[3] for pl in plans)
+            if not self._use_preblend(rmax):
+                hints = np.stack([p[2] for p in part])
+                return ("plain", cams, hints, valid)
             plans = [
                 pl if pl[3] == rmax else preblend_plan(e, rmax=rmax)
                 for pl, e in zip(plans, effs)
@@ -514,11 +673,19 @@ class MultiChipSceneRenderer(FastSceneRenderer):
             lorder = np.stack([pl[0] for pl in plans])
             rslot = np.stack([pl[1] for pl in plans])
             perms = np.stack([pl[2] for pl in plans])
-            return cams, lorder, rslot, perms, valid, rmax
+            return ("pre", cams, lorder, rslot, perms, valid, rmax)
 
         def dispatch(packed, ctx):
             vol, meta_dev, dims_dev, luts = ctx
-            cams, lorder, rslot, perms, valid, rmax = packed
+            if packed[0] == "plain":
+                _, cams, hints, valid = packed
+                prog = self._sharded_batch_step_plain(bytes_out)
+                return prog(
+                    vol, meta_dev, dims_dev, luts,
+                    jnp.asarray(valid), jnp.asarray(hints),
+                    jnp.asarray(cams),
+                )
+            _, cams, lorder, rslot, perms, valid, rmax = packed
             prog = self._sharded_batch_step(bytes_out, rmax)
             return prog(
                 vol, meta_dev, dims_dev, luts,

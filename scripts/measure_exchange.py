@@ -158,6 +158,105 @@ def main():
             per_dev * devices / 1e6, 2
         )
 
+    # pre-blended layered (round 4): the persistent mesh renderer ships
+    # O(runs) pre-blended layers instead of O(layers).  On the 36-piece
+    # bench scene the run depth ~= the layer depth (4.5 pieces/device)
+    # and the per-frame plan falls back to the raw exchange
+    # (_use_preblend) — record that decision; the traffic win appears on
+    # deep shards, so measure the pre-blend against a like-for-like raw
+    # exchange on a 216-piece scene (27 pieces/device, Morton placement)
+    # whose run structure comes from the real visibility order.
+    try:
+        from bench import build_three_level_scene
+        from amrvolumerenderer_tpu import api
+        from amrvolumerenderer_tpu.camera import auto_orbit_camera
+        from amrvolumerenderer_tpu.parallel.directsend import (
+            _layers_preblend_prog,
+            _layers_prog,
+            preblend_plan,
+        )
+        from amrvolumerenderer_tpu.parallel.persistent import (
+            MultiChipSceneRenderer,
+        )
+        from amrvolumerenderer_tpu.scene import LevelBox, LevelGeometry
+        from amrvolumerenderer_tpu.types import RenderParameters
+
+        def frame_plan(geometry):
+            r = MultiChipSceneRenderer(
+                geometry, RenderParameters(width=1024, height=1024),
+                num_devices=devices,
+            )
+            _axis, _cam, slot_hints, slot_valid = r._frame_state(
+                auto_orbit_camera(r.bounds)
+            )
+            eff = r._effective_hints(slot_hints, slot_valid)
+            return r, eff, preblend_plan(eff)
+
+        r, eff, (_lo, _rs, _pm, rmax) = frame_plan(build_three_level_scene())
+        out["bench_scene_rmax"] = rmax
+        out["bench_scene_lmax"] = eff.shape[1]
+        out["bench_scene_preblend_active"] = bool(r._use_preblend(rmax))
+
+        n, bs = 48, 8  # 216 pieces, 27/device
+        c = (np.arange(n) + 0.5) / n
+        rad = np.sqrt(((c[:, None, None] - 0.5) ** 2)
+                      + ((c[None, :, None] - 0.5) ** 2)
+                      + ((c[None, None, :] - 0.5) ** 2))
+        f = np.exp(-((rad - 0.35) / 0.1) ** 2)
+        boxes = [
+            LevelBox(f[i:i + bs, j:j + bs, k:k + bs],
+                     np.array([i, j, k], dtype=int))
+            for i in range(0, n, bs)
+            for j in range(0, n, bs)
+            for k in range(0, n, bs)
+        ]
+        deep = api.load_amr_geometry(
+            api.AmrData(
+                level_data=[boxes],
+                level_geometry=[
+                    LevelGeometry(np.zeros(3), np.full(3, 1.0 / n))
+                ],
+            ), 0, -1, 0, False, True, verbose=False,
+        )
+        r, eff, (local_order, run_slot, perm, rmax) = frame_plan(deep)
+        lmax_r = eff.shape[1]
+        deep_px = max(devices, (pixels // 4) - (pixels // 4) % devices)
+        out["deep_rmax"] = rmax
+        out["deep_lmax"] = lmax_r
+        out["deep_pixels"] = deep_px
+        lay_r = rng.random((devices * lmax_r, deep_px, 5)).astype(np.float32)
+        prog = _layers_preblend_prog(mesh, "float32", rmax)
+        args = (
+            jnp.asarray(lay_r), jnp.asarray(local_order),
+            jnp.asarray(run_slot), jnp.asarray(perm),
+        )
+        out["deep_preblend_ms"] = round(
+            time_compiled(prog, args, iters=2, reps=1), 3
+        )
+        hlo = prog.lower(*args).compile().as_text()
+        per_dev = cross_link_bytes(hlo, devices)
+        out["deep_preblend_link_mb_per_dev"] = round(per_dev / 1e6, 2)
+        out["deep_preblend_link_mb_total"] = round(
+            per_dev * devices / 1e6, 2
+        )
+        # like-for-like raw layered exchange at the same depth
+        hints_r = np.where(
+            np.isfinite(eff), eff, np.float32(np.inf)
+        ).reshape(-1)
+        plain = _layers_prog(mesh, "float32")
+        pargs = (jnp.asarray(lay_r), jnp.asarray(hints_r))
+        out["deep_layered_ms"] = round(
+            time_compiled(plain, pargs, iters=2, reps=1), 3
+        )
+        hlo = plain.lower(*pargs).compile().as_text()
+        per_dev = cross_link_bytes(hlo, devices)
+        out["deep_layered_link_mb_per_dev"] = round(per_dev / 1e6, 2)
+        out["deep_layered_link_mb_total"] = round(
+            per_dev * devices / 1e6, 2
+        )
+    except Exception as err:  # scene import is bench-environment only
+        out["layered_preblend_error"] = repr(err)[:120]
+
     print(json.dumps(out))
 
 

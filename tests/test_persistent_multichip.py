@@ -306,19 +306,13 @@ def test_deep_amr_scan_mode_parity():
         assert not r8_stack._scan_pieces()
         f_stack = r8_stack.render(cam, overlay=False)
         np.testing.assert_array_equal(f8, f_stack)
-        # vs the single-chip product path: the D-way mesh folds each
-        # device's run with blend_depth_sort and then folds runs — where
-        # a pixel's rendered depths contradict the frame-global piece
-        # order, the per-pixel depth test resolves locally inside a run,
-        # so the D-way association can differ from the serial fold by a
-        # bounded amount on a handful of pixels (the reference's
-        # composeLayered has the same property: pre-blended rank images
-        # meet in a depth-sorted blend, DirectSendBase.cpp:418-446)
+        # vs the single-chip product path: with the exact eye-side piece
+        # order (round 4) every ray's pieces are globally depth-sorted,
+        # so the D-way fold differs from the serial fold only by FP
+        # association at run boundaries
         ft = fsr.render(cam, overlay=False)
         assert np.abs(f8[np.isfinite(f8)]).sum() > 0
-        diff = np.abs(f8[:, :4] - ft[:, :4])
-        assert diff.max() < 0.01
-        assert (diff.max(axis=1) > 1e-5).mean() < 0.01
+        np.testing.assert_allclose(f8[:, :4], ft[:, :4], atol=1e-5)
 
 
 def test_deep_amr_batch_scan_matches_per_frame():
