@@ -421,11 +421,15 @@ def visibility_order(
     modelview: np.ndarray,
     projection: np.ndarray,
     view_dir: np.ndarray,
+    eye: Optional[np.ndarray] = None,
 ) -> Optional[np.ndarray]:
     """Native visibility ordering; None if unavailable or on graph failure
-    (caller falls back to the Python implementation / identity order)."""
+    (caller falls back to the Python implementation / identity order).
+    ``eye`` selects the exact perspective orientation (see
+    ``visibility_order_flags``)."""
     result = visibility_order_flags(
-        box_min, box_max, owners, num_ranks, modelview, projection, view_dir
+        box_min, box_max, owners, num_ranks, modelview, projection,
+        view_dir, eye=eye,
     )
     return None if result is None else result[0]
 
@@ -480,7 +484,14 @@ def visibility_order_flags(
             _ptr(view_dir, ctypes.c_double), _ptr(out, ctypes.c_int),
             ctypes.byref(cycles),
         )
-        return (out, cycles.value == 0) if ok else None
+        if not ok:
+            return None
+        # an eye was requested but only the directional (v2) predicate
+        # ran: its DAG depends on sign(view_dir), which the eye-cell
+        # OrderKeyCache key does NOT capture — report clean=None so the
+        # order is never cached (two opposite-looking cameras sharing an
+        # eye cell would otherwise serve each other reversed orders)
+        return (out, None if eye is not None else cycles.value == 0)
     ok = lib.avr_visibility_order(
         _ptr(box_min, ctypes.c_double), _ptr(box_max, ctypes.c_double),
         _ptr(owners, ctypes.c_int), n, num_ranks,

@@ -241,13 +241,19 @@ def preblend_plan(
     num_devices, lmax = slot_hints.shape
     owner = np.repeat(np.arange(num_devices), lmax)
     local = np.tile(np.arange(lmax), num_devices)
-    order = np.lexsort((local, owner, slot_hints.reshape(-1)))
-    seq_owner = owner[order]
-    total = len(order)
-    run_break = np.ones(total, bool)
-    run_break[1:] = seq_owner[1:] != seq_owner[:-1]
-    run_gid = np.cumsum(run_break) - 1  # global run id per sorted position
-    run_owner = seq_owner[run_break]  # [R] owner of each run, global order
+    flat = slot_hints.reshape(-1)
+    order = np.lexsort((local, owner, flat))
+    seq_owner = order // lmax
+    # invalid (+inf) slots sort to the global tail and blend as exact
+    # identities: they join their device's LAST valid run instead of
+    # forming an artificial trailing run each (which would inflate rmax
+    # and could spuriously defeat the pre-blend on padded scenes)
+    num_valid = int(np.isfinite(flat[order]).sum())
+    vo = seq_owner[:num_valid]
+    run_break = np.ones(num_valid, bool)
+    run_break[1:] = vo[1:] != vo[:-1]
+    run_gid = np.cumsum(run_break) - 1  # valid-run id per sorted position
+    run_owner = vo[run_break]  # [R] owner of each valid run, global order
     num_runs = len(run_owner)
     # device-local slot of each run = occurrence index within its owner
     by_owner = np.argsort(run_owner, kind="stable")
@@ -262,10 +268,22 @@ def preblend_plan(
     elif rmax < need:
         raise ValueError(f"forced rmax={rmax} < required run depth {need}")
     # per-device step tables: each device owns exactly lmax sorted
-    # positions, so a stable owner-sort groups them in sequence order
+    # positions (its valid ones first), so a stable owner-sort groups
+    # them in sequence order
+    slot_flat = np.full(len(order), -1, np.int64)
+    slot_flat[:num_valid] = slot_of_run[run_gid]
     grouped = np.argsort(seq_owner, kind="stable").reshape(num_devices, lmax)
     local_order = local[order][grouped].astype(np.int32)
-    run_slot = slot_of_run[run_gid[grouped]].astype(np.int32)
+    slot_mat = slot_flat[grouped]
+    n_valid_d = (slot_mat >= 0).sum(axis=1)
+    last_valid = np.where(
+        n_valid_d > 0,
+        slot_mat[np.arange(num_devices), np.maximum(n_valid_d - 1, 0)],
+        0,
+    )
+    run_slot = np.where(
+        slot_mat >= 0, slot_mat, last_valid[:, None]
+    ).astype(np.int32)
     # global run order -> flattened (device, slot); padding slots trail
     perm = np.empty(num_devices * rmax, np.int64)
     perm[:num_runs] = run_owner * rmax + slot_of_run
@@ -275,31 +293,42 @@ def preblend_plan(
     return local_order, run_slot, perm.astype(np.int32), int(rmax)
 
 
-def _preblend_runs(
-    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
+def _preblend_runs_scan(
+    render_one,  # j -> [P, 5] layer for local piece j (cleared if invalid)
+    lmax: int,
     local_order: jnp.ndarray,  # [Lmax] fold order (preblend_plan)
     run_slot: jnp.ndarray,  # [Lmax] run buffer per fold step
     rmax: int,
+    num_pixels: int,
+    channels: int = 5,
 ) -> jnp.ndarray:
-    """Fold local layers into [rmax, P, 5] pre-blended run layers.
+    """Fold local layers into [rmax, P, 5] pre-blended run buffers,
+    obtaining each layer through ``render_one`` inside the fold body.
 
-    The intra-run fold is ``blend_depth_sort(run_acc, layer)`` in global-
-    order restriction — the exact sub-tree ``_composite_sorted_runs``
-    would have computed for the same run.  Unused run buffers hold the
-    identity layer (zeros, depth +inf)."""
+    The intra-run fold is ``blend_depth_sort(run_acc, layer)`` in
+    global-order restriction — the exact sub-tree
+    ``_composite_sorted_runs`` would have computed for the same run.
+    Unused run buffers hold the identity layer (zeros, depth +inf).
+    Deep-AMR shards (many pieces per device) use this directly so the
+    O(pieces x pixels) layer stack never materializes — peak memory is
+    O(runs x pixels) + one in-flight layer; ``_preblend_runs`` wraps it
+    for pre-rendered stacks (ONE copy of the load-bearing fold tree)."""
     from ..image import blend_depth_sort
 
-    lmax, num_pixels, channels = layers.shape
-    # derive carries from the inputs so their varying-axis types match the
-    # body outputs under shard_map (see _composite_sorted_runs)
-    identity = jnp.zeros_like(layers[0]).at[:, 4].set(jnp.inf)
-    out0 = jnp.zeros((rmax, 1, 1), layers.dtype) + identity[None]
+    # derive the carry from a varying input so its axis types match the
+    # body outputs under shard_map; the empty-sum form also covers
+    # lmax == 0 (indexing run_slot[0] would raise there)
+    vary0 = (run_slot.sum() * 0).astype(jnp.float32)
+    identity = (
+        jnp.zeros((num_pixels, channels), jnp.float32) + vary0
+    ).at[:, 4].set(jnp.inf)
+    out0 = jnp.zeros((rmax, 1, 1), jnp.float32) + identity[None]
     if lmax == 0:
         return out0
 
     def body(i, carry):
         out, run_acc, prev_slot = carry
-        layer = layers[local_order[i]]
+        layer = render_one(local_order[i])
         slot = run_slot[i]
         same = jnp.logical_and(i > 0, slot == prev_slot)
         # close the previous run buffer when the slot changes (the write
@@ -315,48 +344,18 @@ def _preblend_runs(
     return out.at[prev_slot].set(run_acc)
 
 
-def _preblend_runs_scan(
-    render_one,  # j -> [P, 5] layer for local piece j (cleared if invalid)
-    lmax: int,
+def _preblend_runs(
+    layers: jnp.ndarray,  # [Lmax, P, 5] this device's layers (cleared if invalid)
     local_order: jnp.ndarray,  # [Lmax] fold order (preblend_plan)
     run_slot: jnp.ndarray,  # [Lmax] run buffer per fold step
     rmax: int,
-    num_pixels: int,
-    channels: int = 5,
 ) -> jnp.ndarray:
-    """``_preblend_runs`` with the render fused into the fold loop.
-
-    Deep-AMR shards (many pieces per device) would otherwise materialize
-    an O(pieces x pixels) layer stack in HBM before pre-blending; here
-    each piece renders inside the fold body and blends straight into its
-    run buffer — peak memory O(runs x pixels) + one in-flight layer.
-    Same fold tree as ``_preblend_runs`` (bitwise-identical runs)."""
-    from ..image import blend_depth_sort
-
-    # derive the carry from a varying input so its axis types match the
-    # body outputs under shard_map
-    vary0 = (run_slot[0] * 0).astype(jnp.float32)
-    identity = (
-        jnp.zeros((num_pixels, channels), jnp.float32) + vary0
-    ).at[:, 4].set(jnp.inf)
-    out0 = jnp.zeros((rmax, 1, 1), jnp.float32) + identity[None]
-    if lmax == 0:
-        return out0
-
-    def body(i, carry):
-        out, run_acc, prev_slot = carry
-        layer = render_one(local_order[i])
-        slot = run_slot[i]
-        same = jnp.logical_and(i > 0, slot == prev_slot)
-        closed = jnp.where(same, out[prev_slot], run_acc)
-        out = out.at[prev_slot].set(closed)
-        run_acc = jnp.where(same, blend_depth_sort(run_acc, layer), layer)
-        return out, run_acc, slot
-
-    out, run_acc, prev_slot = jax.lax.fori_loop(
-        0, lmax, body, (out0, identity, run_slot[0] * 0)
+    """``_preblend_runs_scan`` over a pre-rendered layer stack."""
+    lmax, num_pixels, channels = layers.shape
+    return _preblend_runs_scan(
+        lambda j: layers[j], lmax, local_order, run_slot, rmax,
+        num_pixels, channels,
     )
-    return out.at[prev_slot].set(run_acc)
 
 
 def _exchange_and_fold_runs(
@@ -441,10 +440,15 @@ def composite_layers_sharded_preblend(
     transport: str = "float32",
 ) -> jnp.ndarray:
     """``composite_layers_sharded`` with the reference's local run
-    pre-blend (DirectSendBase.cpp:418-425): same pixels, bitwise, with
-    exchange traffic O(runs x pixels).  ``hints`` must be host-resident
-    (the run decomposition is per-frame host prep, like the reference's
-    order computation on rank 0)."""
+    pre-blend (DirectSendBase.cpp:418-425): exchange traffic
+    O(runs x pixels).  ``transport="float32"`` is bitwise-identical to
+    the non-pre-blended exchange (same fold tree); ``"ubyte"`` quantizes
+    each pre-blended RUN on the wire — the reference's quantization
+    point (pre-blend first, byte send after) — where the non-pre-blended
+    path quantizes every raw layer, so the two byte modes agree only
+    within codec tolerance.  ``hints`` must be host-resident (the run
+    decomposition is per-frame host prep, like the reference's order
+    computation on rank 0)."""
     num_devices = mesh.devices.size
     assert layers.shape[1] % num_devices == 0
     slot_hints = np.asarray(hints).reshape(num_devices, -1)

@@ -336,8 +336,18 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         """Per-frame transport choice: pre-blend pays when a device ships
         fewer run layers than raw layers; the deep-AMR scan mode always
         pre-folds (there the win is O(runs x pixels) memory, not just
-        traffic)."""
-        if self._scan_pieces():
+        traffic).
+
+        ``transport="ubyte"`` also always pre-folds: the two paths
+        quantize at different points (per pre-blended run vs per raw
+        layer), so flipping between them per frame would make a static
+        scene's colors shift between orbit frames — byte transport pins
+        ONE quantization semantics (the reference's: pre-blend first,
+        byte send after, DirectSendBase.cpp:418-446) at the cost of
+        shipping bucketed run layers even when runs >= layers.  The
+        float32 paths are bitwise-identical, so adaptivity is free
+        there."""
+        if self._scan_pieces() or self.transport == "ubyte":
             return True
         lmax = len(self._slot_to_idx) // self.num_devices
         return rmax < lmax

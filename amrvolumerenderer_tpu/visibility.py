@@ -229,11 +229,52 @@ def _find_cycle(adjacency, residual_indegree):
     return cycle
 
 
-def _break_cycle(cycle_nodes, boxes: List[_BoxInfo], view_dir, update_depth, log):
+def _break_cycle(cycle_nodes, boxes: List[_BoxInfo], view_dir, update_depth,
+                 log, eye: Optional[np.ndarray] = None):
     """Split the widest cycle box along the dominant view axis
-    (VisibilityOrdering.cpp:445-563).  Returns True on success."""
+    (VisibilityOrdering.cpp:445-563).  Returns True on success.
+
+    With ``eye`` (eye-side orientation), an EYE-PLANE split runs first:
+    a cycle whose boxes wrap around the eye's axis (the pinwheel class —
+    a genuine visibility cycle the eye predicate correctly detects) is
+    broken by splitting a box AT the eye's coordinate plane, producing
+    pieces no ray from the eye can see through each other; the
+    face-coordinate split below cannot separate that class.  Mirrored in
+    avr_native.cpp (split parity is the native/python contract)."""
     if len(cycle_nodes) < 2:
         return False
+
+    if eye is not None:
+        e_target, e_axis, e_len = -1, 0, -1.0
+        for idx in cycle_nodes:
+            b = boxes[idx]
+            for axis in range(3):
+                lo = b.min_corner[axis]
+                hi = b.max_corner[axis]
+                eps = max(1e-5 * (hi - lo), 1e-6)
+                if lo + eps < eye[axis] < hi - eps and hi - lo > e_len:
+                    e_len = hi - lo
+                    e_target, e_axis = idx, axis
+        if e_target >= 0:
+            tb = boxes[e_target]
+            low = _BoxInfo(
+                tb.min_corner.copy(), tb.max_corner.copy(), tb.owner
+            )
+            high = _BoxInfo(
+                tb.min_corner.copy(), tb.max_corner.copy(), tb.owner
+            )
+            low.max_corner[e_axis] = eye[e_axis]
+            high.min_corner[e_axis] = eye[e_axis]
+            update_depth(low)
+            update_depth(high)
+            boxes[e_target] = low
+            boxes.append(high)
+            if log:
+                print(
+                    f"Cycle split: box {e_target} at eye plane "
+                    f"axis {e_axis}"
+                )
+            return True
 
     chosen_axis = int(np.argmax(np.abs(view_dir)))
     best_alignment = abs(view_dir[chosen_axis])
@@ -434,7 +475,9 @@ def build_visibility_order(
         cycle = _find_cycle(adjacency, residual)
         if not cycle:
             break
-        if not _break_cycle(cycle, boxes, view_dir, update_depth, log):
+        if not _break_cycle(
+            cycle, boxes, view_dir, update_depth, log, eye=eye
+        ):
             break
 
     if log:
@@ -597,27 +640,31 @@ _DIR_TOL = 1e-6  # the builders' kDirTol (avr_native.cpp / _rebuild_adjacency)
 
 
 def _face_planes(box_min: np.ndarray, box_max: np.ndarray):
-    """Per-axis sorted face-plane coordinates, tolerance-clustered.
+    """Per-axis face-plane CLUSTER INTERVALS ``(lo[], hi[])``, sorted.
 
-    Clustering merges values within the builders' ``nearly_equal``
-    window; merging only coarsens the eye-cell partition (two planes
-    closer than the tolerance bound a sliver no cacheable eye can sit in
-    — ``OrderKeyCache.gate`` returns None within the window of any
-    plane)."""
+    Values within the builders' ``nearly_equal`` window chain into one
+    cluster; each cluster is kept as its [min, max] extent (NOT just a
+    leader) so ``OrderKeyCache.gate`` can refuse any eye within the
+    window of ANY member plane — a leader-only list left a hole where an
+    eye near a merged-away plane (which ``_rebuild_adjacency`` treats as
+    degenerate, emitting no edges) still got a cacheable cell key."""
     lo = np.asarray(box_min, np.float64)
     hi = np.asarray(box_max, np.float64)
     if len(lo) == 0:
-        return [np.zeros(0)] * 3, 1.0
+        return [(np.zeros(0), np.zeros(0))] * 3, 1.0
     scale = max(1.0, float(np.abs(lo).max()), float(np.abs(hi).max()))
     window = 1e-5 * scale
     planes = []
     for k in range(3):
         vals = np.unique(np.concatenate([lo[:, k], hi[:, k]]))
-        keep = [vals[0]] if len(vals) else []
-        for v in vals[1:]:
-            if v - keep[-1] > window:
-                keep.append(v)
-        planes.append(np.asarray(keep))
+        c_lo, c_hi = [], []
+        for v in vals:
+            if c_hi and v - c_hi[-1] <= window:
+                c_hi[-1] = v
+            else:
+                c_lo.append(v)
+                c_hi.append(v)
+        planes.append((np.asarray(c_lo), np.asarray(c_hi)))
     return planes, window
 
 
@@ -681,11 +728,13 @@ class OrderKeyCache:
         eye = np.asarray(camera.eye, np.float64)
         key = []
         for k in range(3):
-            p = self._planes[k]
-            j = int(np.searchsorted(p, eye[k]))
-            if j > 0 and eye[k] - p[j - 1] <= self._window:
+            c_lo, c_hi = self._planes[k]
+            j = int(np.searchsorted(c_lo, eye[k]))
+            # within the tolerance window of any member plane of the
+            # neighboring clusters -> degenerate orientation, never cache
+            if j > 0 and eye[k] - c_hi[j - 1] <= self._window:
                 return None
-            if j < len(p) and p[j] - eye[k] <= self._window:
+            if j < len(c_lo) and c_lo[j] - eye[k] <= self._window:
                 return None
             key.append(j)
         return tuple(key)

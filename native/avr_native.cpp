@@ -624,6 +624,42 @@ static int visibility_order_impl(const double* box_min,  // [n][3]
     }
     if (cycle.size() < 2) return 0;
 
+    // EYE-PLANE split first (eye-side orientation only): a cycle with
+    // the eye's coordinate strictly inside some cycle box's interval is
+    // the pinwheel class — boxes wrapping around the eye's axis — and
+    // splitting that box AT the eye plane separates it into pieces that
+    // can never occlude each other (no ray from an on-plane eye crosses
+    // the plane), which the face-coordinate split below cannot achieve.
+    // Mirrored in visibility._break_cycle (split parity is the
+    // native/python contract, tests/test_native.py).
+    if (eye != nullptr) {
+      int e_target = -1, e_axis = 0;
+      double e_len = -1.0;
+      for (int idx : cycle) {
+        for (int axis = 0; axis < 3; ++axis) {
+          const double lo = boxes[idx].mn[axis], hi = boxes[idx].mx[axis];
+          const double eps = std::max(1e-5 * (hi - lo), 1e-6);
+          if (eye[axis] > lo + eps && eye[axis] < hi - eps &&
+              hi - lo > e_len) {
+            e_len = hi - lo;
+            e_target = idx;
+            e_axis = axis;
+          }
+        }
+      }
+      if (e_target >= 0) {
+        BoxInfo tb = boxes[e_target];
+        BoxInfo low = tb, high = tb;
+        low.mx[e_axis] = eye[e_axis];
+        high.mn[e_axis] = eye[e_axis];
+        compute_depth_range(ctx, low);
+        compute_depth_range(ctx, high);
+        boxes[e_target] = low;
+        boxes.push_back(high);
+        continue;
+      }
+    }
+
     // break the cycle: split the widest box along the dominant view axis
     int chosen_axis = 0;
     double best = std::fabs(ctx.view_dir[0]);

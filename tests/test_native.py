@@ -100,6 +100,7 @@ def test_native_visibility_matches_python():
         got = native.visibility_order(
             box_min, box_max, owners, 6, modelview, projection,
             safe_normalize(cam.look_at - cam.eye),
+            eye=np.asarray(cam.eye, np.float64),
         )
         assert got is not None
         # python reference (force the pure-python path via DOT-less direct
@@ -150,6 +151,7 @@ def test_native_visibility_cycle_breaking_matches_python():
     got = native.visibility_order(
         box_min, box_max, owners, 4, modelview, projection,
         safe_normalize(cam.look_at - cam.eye),
+        eye=np.asarray(cam.eye, np.float64),
     )
     assert got is not None
 
@@ -224,6 +226,7 @@ def test_native_visibility_sweep_matches_python_mixed_levels():
             got = native.visibility_order(
                 box_min, box_max, owners, n, modelview, projection,
                 safe_normalize(np.asarray(look) - np.asarray(eye)),
+                eye=np.asarray(eye, np.float64),
             )
             lib = native_mod._lib
             native_mod._lib = None

@@ -253,3 +253,27 @@ def test_on_plane_eye_bypasses_cache(geometry):
     np.testing.assert_array_equal(
         frame_in_warm, cold2.render(cam_in)
     )
+
+
+def test_gate_refuses_eyes_near_merged_planes():
+    """Review finding: face planes within the tolerance window cluster;
+    the gate must refuse an eye near ANY member plane of a cluster, not
+    just its leader — the builders treat such an eye as degenerate (no
+    edges for that plane) and the resulting order must never be cached."""
+    w = 1e-5  # window for coordinates <= 1
+    lo = np.array([[0.0, 0.0, 0.0], [0.5 + 0.8 * w, 0.0, 0.0]])
+    hi = np.array([[0.5, 1.0, 1.0], [1.0, 1.0, 1.0]])
+    cache = OrderKeyCache(lo, hi)
+
+    def cam(eye):
+        return CameraParameters(
+            eye=eye, look_at=(0.5, 0.5, 0.5), up=(0, 1, 0),
+            fov_y_degrees=45.0, near_plane=0.1, far_plane=20.0,
+        )
+
+    # eye within tolerance of the merged-away plane (0.5 + 0.8w): the
+    # leader-only gate used to hand this a cacheable key
+    assert cache.gate(cam((0.5 + 1.3 * w, 0.7, 0.7)), 1.0) is None
+    # eye clearly past the whole cluster: cacheable
+    assert cache.gate(cam((0.6, 0.7, 0.7)), 1.0) is not None
+    assert cache.gate(cam((0.3, 0.7, 0.7)), 1.0) is not None

@@ -94,12 +94,13 @@ def test_preblend_plan_structure():
         [1.0, 3.0, np.inf],  # device 1 (one invalid slot)
     ], dtype=np.float32)
     local_order, run_slot, perm, rmax = preblend_plan(hints, rmax_bucket=1)
-    # global order: (0,0) (1,0) (0,1) (1,1) (0,2) (1,2-inf)
-    # device 0 runs: [l0], [l1], [l2] -> slots 0,1,2; device 1: [l0], [l1], [l2]
+    # global order: (0,0) (1,0) (0,1) (1,1) (0,2) (1,2-invalid)
+    # device 0 runs: [l0], [l1], [l2] -> slots 0,1,2; device 1: [l0],
+    # [l1], with its invalid slot folding into run 1 as an identity
     np.testing.assert_array_equal(local_order, [[0, 1, 2], [0, 1, 2]])
-    np.testing.assert_array_equal(run_slot, [[0, 1, 2], [0, 1, 2]])
+    np.testing.assert_array_equal(run_slot, [[0, 1, 2], [0, 1, 1]])
     assert rmax == 3
-    # run sequence: d0s0 d1s0 d0s1 d1s1 d0s2 d1s2
+    # valid run sequence: d0s0 d1s0 d0s1 d1s1 d0s2; padding slot trails
     np.testing.assert_array_equal(perm, [0, 3, 1, 4, 2, 5])
     # contiguous same-device layers merge into ONE run
     hints2 = np.array([
@@ -110,6 +111,44 @@ def test_preblend_plan_structure():
     np.testing.assert_array_equal(rs2, [[0, 0, 1], [0, 0, 0]])
     assert rmax2 == 2
     np.testing.assert_array_equal(perm2, [0, 2, 1, 3])
+
+
+def test_preblend_padding_slots_join_last_run():
+    """Invalid (+inf) slots are identity layers: they must fold into
+    their device's last valid run instead of inflating the run depth
+    (review finding: per-device padding added an artificial trailing run
+    each, spuriously defeating the pre-blend on padded scenes)."""
+    hints = np.array([
+        [0.0, 2.0, 4.0, np.inf],
+        [1.0, 3.0, np.inf, np.inf],
+    ], dtype=np.float32)
+    local_order, run_slot, perm, rmax = preblend_plan(hints, rmax_bucket=1)
+    # valid runs: d0 has 3 ([0],[2],[4]), d1 has 2 ([1],[3])
+    assert rmax == 3
+    np.testing.assert_array_equal(run_slot[0], [0, 1, 2, 2])
+    np.testing.assert_array_equal(run_slot[1], [0, 1, 1, 1])
+    # a device with NO valid layers folds everything into slot 0
+    hints2 = np.array(
+        [[0.0, 1.0], [np.inf, np.inf]], dtype=np.float32
+    )
+    _, rs2, _, rmax2 = preblend_plan(hints2, rmax_bucket=1)
+    assert rmax2 == 1
+    np.testing.assert_array_equal(rs2[1], [0, 0])
+
+
+def test_preblend_empty_layer_stack():
+    """Lmax == 0 must return identity run buffers, not crash (review
+    finding: the guard sat below an indexing of layers[0])."""
+    import jax.numpy as jnp
+
+    from amrvolumerenderer_tpu.parallel.directsend import _preblend_runs
+
+    out = np.asarray(_preblend_runs(
+        jnp.zeros((0, 16, 5), jnp.float32),
+        jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32), 4,
+    ))
+    assert out.shape == (4, 16, 5)
+    assert (out[:, :, :4] == 0).all() and np.isinf(out[:, :, 4]).all()
 
 
 def test_preblend_forced_rmax():
