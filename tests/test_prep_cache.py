@@ -224,3 +224,34 @@ class TestBatchedGeometryPack:
             [0, 1, 2], 1, 8,
         )
         assert out is None
+
+
+def test_pretransform_f32_shortcut_is_exact():
+    """The f32 identity-transform fast path must equal the f64 round-trip
+    bitwise (f32 -> f64 -> f32 is exact; the shortcut only skips it),
+    including non-finite washing and the soft-tail clip."""
+    from amrvolumerenderer_tpu.renderer_fast import _pretransform
+    from amrvolumerenderer_tpu.types import ScalarTransform
+
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((17, 9, 5)).astype(np.float32)
+    data[0, 0, 0] = np.nan
+    data[1, 2, 3] = np.inf
+    data[2, 2, 2] = -np.inf
+    ident = ScalarTransform(
+        log_scale_input=False, positive_floor=1e-30,
+        normalize_to_unit_range=False, normalization_min=0.0,
+        inverse_normalization_span=1.0,
+    )
+    for clip, apply_clip in ((0.0, False), (0.6, True)):
+        via_f64 = _pretransform(
+            data.astype(np.float64).astype(np.float32), ident, clip,
+            apply_clip,
+        )
+        # the f64 oracle, forced by handing it a f64 array
+        oracle = _pretransform(
+            data.astype(np.float64), ident, clip, apply_clip
+        )
+        got = _pretransform(data, ident, clip, apply_clip)
+        np.testing.assert_array_equal(got, oracle)
+        np.testing.assert_array_equal(got, via_f64)
