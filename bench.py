@@ -549,9 +549,12 @@ def main() -> None:
 
     # ---- rgb readback (after the shell sections: this one is the first
     # to sacrifice when the soft budget runs out) -------------------------
-    # the batched path is readback-bound on this link (e2e_batch8_split),
-    # so dropping the alpha byte on device is a direct cut of the per-frame
-    # e2e (measured 204 -> 106 ms/frame through the relay)
+    # the batched path is readback-bound on this link (e2e_batch8_split);
+    # dropping the alpha byte shrinks the wire 25%, but single-session
+    # numbers have disagreed in both directions (r3: README 204 -> 106
+    # vs BENCH 160 -> 191) — scripts/rgb_ab.py is the interleaved
+    # median-of-5 arbiter; this one-shot sample is recorded for trend
+    # only
     frame_ms_e2e_batch_rgb = None
     try:
         if frame_ms_e2e_batch is not None and budget_left():
