@@ -247,8 +247,12 @@ def preblend_plan(
     # invalid (+inf) slots sort to the global tail and blend as exact
     # identities: they join their device's LAST valid run instead of
     # forming an artificial trailing run each (which would inflate rmax
-    # and could spuriously defeat the pre-blend on padded scenes)
-    num_valid = int(np.isfinite(flat[order]).sum())
+    # and could spuriously defeat the pre-blend on padded scenes).
+    # "valid" = sorts before the +inf tail: -inf is a legitimate
+    # front-most hint at the HEAD of the order (isfinite would misfile
+    # it into the tail partition and misalign the runs); NaN lexsorts
+    # last and compares false, matching the tail either way
+    num_valid = int((flat[order] < np.inf).sum())
     vo = seq_owner[:num_valid]
     run_break = np.ones(num_valid, bool)
     run_break[1:] = vo[1:] != vo[:-1]

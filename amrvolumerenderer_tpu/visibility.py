@@ -448,7 +448,13 @@ def build_visibility_order(
 
     view_dir = safe_normalize(camera.look_at - camera.eye)
     eye = np.asarray(camera.eye, np.float64)
-    max_iterations = max(len(boxes), 1) * 8 + 32
+    # the eye-plane cycle split (_break_cycle) can fire before the
+    # reference face-coordinate split and each box lineage supports at
+    # most 7 eye splits (one per straddled axis per child, extinguished
+    # because children only touch the eye plane at their boundary) — the
+    # doubled budget guarantees those splits can never starve the
+    # reference's 8N+32 face-split allowance (review finding r4)
+    max_iterations = max(len(boxes), 1) * 16 + 32
 
     for iteration in range(max_iterations):
         adjacency, indegree = _rebuild_adjacency(boxes, view_dir, eye=eye)

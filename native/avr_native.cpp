@@ -551,7 +551,11 @@ static int visibility_order_impl(const double* box_min,  // [n][3]
     compute_depth_range(ctx, boxes[i]);
   }
 
-  const int max_iterations = std::max(num_boxes, 1) * 8 + 32;
+  // eye-plane cycle splits (below) are budget-bounded at <=7 per box
+  // lineage; the doubled allowance keeps the reference face-split budget
+  // (8N+32) intact beneath them (mirrors visibility.py)
+  const int max_iterations =
+      std::max(num_boxes, 1) * (eye != nullptr ? 16 : 8) + 32;
   std::vector<std::vector<int>> adjacency;
   std::vector<int> indegree;
 

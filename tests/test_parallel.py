@@ -757,3 +757,20 @@ def test_subset_devices_multi_host_validation():
     lop = [_FakeDev(0)] * 6 + [_FakeDev(1)] * 2
     with pytest.raises(ValueError, match="has only"):
         _subset_devices(lop, 6, 2)
+
+
+def test_preblend_negative_inf_hints_stay_valid():
+    """-inf is a legitimate front-most hint that lexsorts to the HEAD of
+    the global order; the valid/invalid partition must not misfile it
+    into the +inf tail (review finding r4: isfinite() did, misaligning
+    the run decomposition)."""
+    hints = np.array([
+        [-np.inf, 5.0],
+        [1.0, 2.0],
+    ], dtype=np.float32)
+    local_order, run_slot, perm, rmax = preblend_plan(hints, rmax_bucket=1)
+    # order: (d0,-inf) (d1,1) (d1,2) (d0,5) -> d0 runs [l0],[l1]; d1 [l0,l1]
+    np.testing.assert_array_equal(local_order, [[0, 1], [0, 1]])
+    np.testing.assert_array_equal(run_slot, [[0, 1], [0, 0]])
+    assert rmax == 2
+    np.testing.assert_array_equal(perm, [0, 2, 1, 3])
