@@ -233,7 +233,14 @@ def measure_device_frame_single_launch(fsr, camera, F=None, unroll=None):
                 inputs["meta"].shape[0],
                 narrow=inputs.get("row_chords") is not None,
             )
-            f2 = min(16, cap)
+            # f2=32 (not 16): the slope's signal is (f2-f1) x frame_ms
+            # against relay jitter of +-2-3 ms per wall sample; at
+            # f2=16 a sub-ms frame (the shell scenes) has a ~10 ms
+            # signal and the slope scatters +-0.5 ms — the r4 shell
+            # discrepancy.  Interleaved A/B (scripts/shell_ab_r05.py):
+            # F=(8,32) cuts the spread 3x (0.21 vs 0.67 ms) with the
+            # same median.
+            f2 = min(32, cap)
             if f2 < 2:
                 return measure_device_frame(
                     fsr, camera, fsr.render_width, fsr.render_height
