@@ -130,6 +130,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_u8_p,                          # out forward
         ]
         lib.avr_item_bands_v2.restype = ctypes.c_int
+    if hasattr(lib, "avr_pack_slice_volumes"):
+        lib.avr_pack_slice_volumes.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),  # brick data pointers [n]
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # elem strides
+            ctypes.c_int, ctypes.c_int,      # is_f64, normalize
+            ctypes.c_double, ctypes.c_double,  # norm_min, inv_span
+            ctypes.c_int, ctypes.c_int64,    # nq, slice_cells
+            c_float_p, c_float_p, c_float_p, c_float_p, c_float_p,
+        ]
+        lib.avr_pack_slice_volumes.restype = ctypes.c_int
     if hasattr(lib, "avr_row_chords"):
         lib.avr_row_chords.argtypes = [
             c_float_p,                       # meta [L,12]
@@ -411,6 +422,66 @@ def row_chords(
     if not ok:
         return None
     return out
+
+
+def pack_slice_volumes(
+    arrays,            # list of [d0, d1, d2] ndarrays, uniform shape/dtype
+    axes,              # [march, u, v] axis permutation
+    transform,         # types.ScalarTransform
+    nq: int,
+    slice_cells: int,
+) -> Optional[tuple]:
+    """Single-pass batched slice-volume pack + block extrema
+    (renderer_fast._geometry_pack_batched's NumPy pipeline fused into one
+    native pass, byte-identical; reference cold-prep twin:
+    SceneBuilder.cpp:148-189).  Returns (vol [n, ns, slice_cells], quad_min,
+    quad_max [n, ns, nq, nq], slice_min, slice_max [n, ns]) or None when the
+    library is unavailable or the transform needs libm (log scale — NumPy's
+    SIMD log is not bit-stable against std::log, so those route to NumPy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "avr_pack_slice_volumes"):
+        return None
+    if transform.log_scale_input:
+        return None
+    n = len(arrays)
+    if n == 0:
+        return None
+    first = arrays[0]
+    dtype = first.dtype
+    if dtype not in (np.float32, np.float64):
+        return None
+    item = dtype.itemsize
+    strides = first.strides
+    if any(s % item for s in strides):
+        return None
+    for a in arrays:
+        if a.strides != strides or a.dtype != dtype or a.shape != first.shape:
+            return None
+    st = [s // item for s in strides]
+    ns, nu, nv = (first.shape[a] for a in axes)
+    if nu * nv > slice_cells:
+        return None
+    vol = np.empty((n, ns, slice_cells), np.float32)
+    quad_min = np.empty((n, ns, nq, nq), np.float32)
+    quad_max = np.empty((n, ns, nq, nq), np.float32)
+    slice_min = np.empty((n, ns), np.float32)
+    slice_max = np.empty((n, ns), np.float32)
+    ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in arrays])
+    ok = lib.avr_pack_slice_volumes(
+        ptrs, n, ns, nu, nv,
+        st[axes[0]], st[axes[1]], st[axes[2]],
+        1 if dtype == np.float64 else 0,
+        1 if transform.normalize_to_unit_range else 0,
+        float(transform.normalization_min),
+        float(transform.inverse_normalization_span),
+        int(nq), int(slice_cells),
+        _ptr(vol, ctypes.c_float),
+        _ptr(quad_min, ctypes.c_float), _ptr(quad_max, ctypes.c_float),
+        _ptr(slice_min, ctypes.c_float), _ptr(slice_max, ctypes.c_float),
+    )
+    if not ok:
+        return None
+    return vol, quad_min, quad_max, slice_min, slice_max
 
 
 def visibility_order(

@@ -1209,6 +1209,131 @@ int avr_row_chords(const float* meta, const int32_t* dims, const int64_t* wt,
   return 1;
 }
 
+// ---------------------------------------------------------------------------
+// Batched slice-volume pack: the cold-prep hot path of the one-shot CLI
+// render (reference SceneBuilder.cpp:148-189 runs the equivalent MFIter
+// copy loop once per process launch).  One pass per brick reads the
+// (possibly strided) source field, applies the scalar transform, writes the
+// [ns, 8*128] packed slice layout, and folds the per-slice nq x nq block
+// extrema plus the packed-slice min/max — replacing four full-table NumPy
+// passes (stack, f64 pretransform, transpose/reshape, reduceat pair) and
+// their ~500 MB of temporaries with ~130 MB of single-touch traffic
+// (renderer_fast._geometry_pack_batched twin; byte-identical, pinned by
+// tests/test_prep_cache.py).
+//
+// Transform support deliberately excludes log_scale and the soft tail clip:
+// both route through libm (np.log / np.power) whose NumPy SIMD kernels are
+// not bit-stable against C++ calls, and byte-parity with the NumPy path is
+// the contract.  The caller falls back to NumPy for those.
+// ---------------------------------------------------------------------------
+
+static void pack_bricks_range(
+    const void* const* bricks, int64_t lo, int64_t hi, int64_t ns, int64_t nu,
+    int64_t nv, int64_t ss, int64_t su, int64_t sv, int is_f64, int normalize,
+    double norm_min, double inv_span, int nq, int64_t slice_cells, float* vol,
+    float* quad_min, float* quad_max, float* slice_min, float* slice_max) {
+  const float kInf = std::numeric_limits<float>::infinity();
+  const int64_t bu = (nu + nq - 1) / nq;  // _quad_extrema block strides
+  const int64_t bv = (nv + nq - 1) / nq;
+  const int64_t used = nu * nv;
+  std::vector<float> qmn(static_cast<size_t>(nq) * nq);
+  std::vector<float> qmx(static_cast<size_t>(nq) * nq);
+  for (int64_t b = lo; b < hi; ++b) {
+    const char* base = static_cast<const char*>(bricks[b]);
+    for (int64_t s = 0; s < ns; ++s) {
+      float* out = vol + (b * ns + s) * slice_cells;
+      std::fill(qmn.begin(), qmn.end(), kInf);
+      std::fill(qmx.begin(), qmx.end(), -kInf);
+      float smin = kInf, smax = -kInf;
+      for (int64_t u = 0; u < nu; ++u) {
+        const int64_t p = u / bu;
+        float* qrow_mn = qmn.data() + p * nq;
+        float* qrow_mx = qmx.data() + p * nq;
+        float* orow = out + u * nv;
+        const int64_t off = s * ss + u * su;
+        for (int64_t v = 0; v < nv; ++v) {
+          float f;
+          if (normalize) {
+            // exact twin of _pretransform's f64 branch (no log): widen,
+            // zero non-finite, (v - min) * inv_span clamped to [0, 1],
+            // round once to f32 — *, -, clamp are IEEE-exact vs NumPy
+            double d = is_f64
+                           ? reinterpret_cast<const double*>(base)[off + v * sv]
+                           : static_cast<double>(
+                                 reinterpret_cast<const float*>(base)[off + v * sv]);
+            if (!std::isfinite(d)) d = 0.0;
+            d = (d - norm_min) * inv_span;
+            d = d < 0.0 ? 0.0 : (d > 1.0 ? 1.0 : d);
+            f = static_cast<float>(d);
+          } else if (is_f64) {
+            double d = reinterpret_cast<const double*>(base)[off + v * sv];
+            f = std::isfinite(d) ? static_cast<float>(d) : 0.0f;
+          } else {
+            // identity f32 fast path: stay in f32 (byte-identical — the
+            // f64 round trip is exact, renderer_fast.py:36-46)
+            float x = reinterpret_cast<const float*>(base)[off + v * sv];
+            f = std::isfinite(x) ? x : 0.0f;
+          }
+          orow[v] = f;
+          const int64_t q = v / bv;
+          if (f < qrow_mn[q]) qrow_mn[q] = f;
+          if (f > qrow_mx[q]) qrow_mx[q] = f;
+          if (f < smin) smin = f;
+          if (f > smax) smax = f;
+        }
+      }
+      if (used < slice_cells) {
+        std::fill(out + used, out + slice_cells, 0.0f);
+        // packed-slice extrema include the zero padding (the same
+        // conservative widening compute_slice_bounds applies)
+        if (smin > 0.0f) smin = 0.0f;
+        if (smax < 0.0f) smax = 0.0f;
+      }
+      float* qmn_out = quad_min + (b * ns + s) * nq * nq;
+      float* qmx_out = quad_max + (b * ns + s) * nq * nq;
+      std::copy(qmn.begin(), qmn.end(), qmn_out);
+      std::copy(qmx.begin(), qmx.end(), qmx_out);
+      slice_min[b * ns + s] = smin;
+      slice_max[b * ns + s] = smax;
+    }
+  }
+}
+
+int avr_pack_slice_volumes(const void* const* bricks, int64_t n, int64_t ns,
+                           int64_t nu, int64_t nv, int64_t ss, int64_t su,
+                           int64_t sv, int is_f64, int normalize,
+                           double norm_min, double inv_span, int nq,
+                           int64_t slice_cells, float* vol, float* quad_min,
+                           float* quad_max, float* slice_min,
+                           float* slice_max) {
+  if (n <= 0 || ns <= 0 || nu <= 0 || nv <= 0 || nq <= 0) return 0;
+  if (nu * nv > slice_cells) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  // ~128 KB of single-touch work per 32^3 brick: threads only pay off
+  // with a few bricks each
+  int64_t n_threads =
+      std::min<int64_t>(std::max<unsigned>(hw, 1), (n + 7) / 8);
+  if (n_threads <= 1) {
+    pack_bricks_range(bricks, 0, n, ns, nu, nv, ss, su, sv, is_f64, normalize,
+                      norm_min, inv_span, nq, slice_cells, vol, quad_min,
+                      quad_max, slice_min, slice_max);
+    return 1;
+  }
+  std::vector<std::thread> pool;
+  const int64_t step = (n + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * step;
+    const int64_t hi2 = std::min(n, lo + step);
+    if (lo >= hi2) break;
+    pool.emplace_back(pack_bricks_range, bricks, lo, hi2, ns, nu, nv, ss, su,
+                      sv, is_f64, normalize, norm_min, inv_span, nq,
+                      slice_cells, vol, quad_min, quad_max, slice_min,
+                      slice_max);
+  }
+  for (auto& th : pool) th.join();
+  return 1;
+}
+
 int avr_item_bands(const float* meta, const int32_t* brick_bounds,
                    const int64_t* wt, const int64_t* wb, int64_t num_items,
                    const double* eye_p, const double* fwd_p,

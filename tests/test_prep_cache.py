@@ -255,3 +255,116 @@ def test_pretransform_f32_shortcut_is_exact():
         got = _pretransform(data, ident, clip, apply_clip)
         np.testing.assert_array_equal(got, oracle)
         np.testing.assert_array_equal(got, via_f64)
+
+
+class TestNativePackSliceVolumes:
+    """The native single-pass pack (avr_pack_slice_volumes, VERDICT r4 #2)
+    must be byte-identical to the NumPy batched pipeline it replaces —
+    including strided (non-contiguous view) inputs, both dtypes, non-finite
+    cells, and nu*nv < SLICE_CELLS zero padding — and must decline the
+    transforms it cannot reproduce bit-stably (log scale)."""
+
+    def _numpy_batched(self, rf, bricks, t, axis, axes, nq):
+        """Force the pure-NumPy batched pipeline as the oracle."""
+        import unittest.mock as mock
+
+        from amrvolumerenderer_tpu import native
+
+        with mock.patch.object(
+            native, "pack_slice_volumes", lambda *a, **k: None
+        ):
+            return rf._geometry_pack_batched(
+                bricks, t, 0.0, False, axis, axes, 0, nq
+            )
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    @pytest.mark.parametrize("axis", [0, 1, 2])
+    @pytest.mark.parametrize("normalize", [False, True])
+    def test_native_matches_numpy_bytewise(self, dtype, axis, normalize):
+        from amrvolumerenderer_tpu import native
+        from amrvolumerenderer_tpu import renderer_fast as rf
+        from amrvolumerenderer_tpu.types import Brick, ScalarTransform
+
+        if native.get_lib() is None or not hasattr(
+            native.get_lib(), "avr_pack_slice_volumes"
+        ):
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(11)
+        # 24x20x12 bricks: nu*nv < 1024 on every axis -> padding exercised;
+        # sliced views of one parent field -> strided, non-contiguous input
+        field = (rng.standard_normal((48, 20, 12)) * 3).astype(dtype)
+        field[0, 0, 0] = np.nan
+        field[1, 2, 3] = np.inf
+        field[30, 7, 7] = -np.inf
+        bricks = [
+            Brick(field[0:24], np.zeros(3), np.array([1.0, 0.8, 0.5])),
+            Brick(field[24:48], np.array([1.0, 0.0, 0.0]),
+                  np.array([2.0, 0.8, 0.5])),
+        ]
+        t = ScalarTransform(
+            log_scale_input=False, positive_floor=1e-30,
+            normalize_to_unit_range=normalize,
+            normalization_min=-2.75,
+            inverse_normalization_span=1.0 / 7.3,
+        )
+        axes = [axis] + [a for a in range(3) if a != axis]
+        got = rf._geometry_pack_batched(bricks, t, 0.0, False, axis, axes, 0, 8)
+        oracle = self._numpy_batched(rf, bricks, t, axis, axes, 8)
+        assert got is not None and oracle is not None
+        names = (
+            "vol", "meta", "dims", "box_min", "box_max", "parents",
+            "quad_min", "quad_max", "split_u", "split_v",
+        )
+        for name, g, o in zip(names, got, oracle):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(o), err_msg=name
+            )
+        assert got[10] == oracle[10]
+        # the native pass also folds the packed-slice extrema; the NumPy
+        # batched path defers them (None) to _geometry_pack — compare
+        # against that recompute
+        n, s_max = got[0].shape[0], got[10]
+        slice_min, slice_max = got[11], got[12]
+        assert slice_min is not None
+        core = np.asarray(got[0])
+        np.testing.assert_array_equal(
+            slice_min, core.reshape(n, s_max, -1).min(axis=2)
+        )
+        np.testing.assert_array_equal(
+            slice_max, core.reshape(n, s_max, -1).max(axis=2)
+        )
+
+    def test_log_transform_declines_native(self):
+        """np.log's SIMD kernel is not bit-stable against std::log; the
+        native wrapper must return None so the NumPy path runs."""
+        from amrvolumerenderer_tpu import native
+        from amrvolumerenderer_tpu.types import ScalarTransform
+
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        t = ScalarTransform(
+            log_scale_input=True, positive_floor=1e-30,
+            normalize_to_unit_range=True, normalization_min=0.0,
+            inverse_normalization_span=1.0,
+        )
+        arr = np.ones((4, 4, 4), np.float32)
+        assert native.pack_slice_volumes([arr], [0, 1, 2], t, 8, 1024) is None
+
+    def test_mixed_strides_decline_native(self):
+        """Bricks with differing strides must fall back (the C entry takes
+        one stride triple for the whole table)."""
+        from amrvolumerenderer_tpu import native
+        from amrvolumerenderer_tpu.types import ScalarTransform
+
+        if native.get_lib() is None or not hasattr(
+            native.get_lib(), "avr_pack_slice_volumes"
+        ):
+            pytest.skip("native library unavailable")
+        t = ScalarTransform(
+            log_scale_input=False, positive_floor=1e-30,
+            normalize_to_unit_range=False, normalization_min=0.0,
+            inverse_normalization_span=1.0,
+        )
+        a = np.zeros((8, 8, 8), np.float32)
+        b = np.zeros((8, 8, 16), np.float32)[:, :, ::2]  # same shape, strided
+        assert native.pack_slice_volumes([a, b], [0, 1, 2], t, 8, 1024) is None
