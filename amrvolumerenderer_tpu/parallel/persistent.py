@@ -174,6 +174,13 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         # instead of materializing the full O(pieces x pixels) layer
         # stack first (VERDICT r3 Weak #7)
         self.scan_piece_threshold = 16
+        # pre-blend cost model (VERDICT r4 #7): ratio of local memory
+        # bandwidth to per-link ICI bandwidth.  v5e: ~820 GB/s HBM vs
+        # ~45 GB/s/link ICI -> ~18.  Set to ~1 for a mesh whose "links"
+        # are the local memory system (the virtual CPU mesh), where
+        # pre-blending never pays (measured: 2.8 -> 4.0 s even at 87%
+        # byte savings, ROADMAP r5).
+        self.preblend_link_ratio = 18.0
         self._place_canonical()
 
     # ---- placement ------------------------------------------------------
@@ -333,10 +340,25 @@ class MultiChipSceneRenderer(FastSceneRenderer):
     # ---- rendering ------------------------------------------------------
 
     def _use_preblend(self, rmax: int) -> bool:
-        """Per-frame transport choice: pre-blend pays when a device ships
-        fewer run layers than raw layers; the deep-AMR scan mode always
-        pre-folds (there the win is O(runs x pixels) memory, not just
-        traffic).
+        """Per-frame transport choice by COST MODEL (VERDICT r4 #7), not
+        the bare run-count proxy: pre-blending saves
+        ``(lmax - rmax) * pixels * B`` link bytes per device but spends an
+        extra local fold whose traffic is ``~(lmax + rmax) * pixels * B``
+        of HBM (read every raw layer, scatter into run slots).  With
+        ``R = hbm_rate / link_rate`` (``preblend_link_ratio``) the
+        saved link time exceeds the fold time iff
+
+            (lmax - rmax) * R > (lmax + rmax)
+
+        At the v5e default R~18 this activates whenever the byte saving
+        exceeds ~10% — nearly the old ``rmax < lmax`` proxy, but it now
+        correctly refuses marginal savings (e.g. rmax 34 vs lmax 36)
+        that cannot pay for the fold.  At R~1 (a mesh whose links ARE
+        the local memory system — the virtual CPU mesh) it never
+        activates, matching the measured CPU-mesh wall clocks (pre-blend
+        2.8 -> 4.0 s even at 87% byte savings; ROADMAP r5 crossover
+        table).  The deep-AMR scan mode always pre-folds (there the win
+        is O(runs x pixels) memory, not traffic).
 
         ``transport="ubyte"`` also always pre-folds: the two paths
         quantize at different points (per pre-blended run vs per raw
@@ -350,7 +372,7 @@ class MultiChipSceneRenderer(FastSceneRenderer):
         if self._scan_pieces() or self.transport == "ubyte":
             return True
         lmax = len(self._slot_to_idx) // self.num_devices
-        return rmax < lmax
+        return (lmax - rmax) * self.preblend_link_ratio > (lmax + rmax)
 
     def _scan_pieces(self) -> bool:
         """Deep-AMR mode: fuse render into the pre-blend fold when the

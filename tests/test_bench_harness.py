@@ -65,3 +65,27 @@ def test_radial_field_structure(bench):
     assert f.max() > 0.5 and f.min() >= 0.0
     # the two shells exist: a meaningful fraction of cells is non-tiny
     assert 0.01 < (f > 0.05).mean() < 0.9
+
+
+def test_link_calibration_runs(bench):
+    """measure_link's no-kernel controls execute on any backend and
+    return positive numbers (VERDICT r4 #5)."""
+    dispatch_ms, readback_mbps = bench.measure_link()
+    assert dispatch_ms > 0.0
+    assert readback_mbps > 0.0
+
+
+def test_config5_entry(bench):
+    """The BASELINE config-5 measurement entry (2048^2 AA=4) exists and
+    its supersampled-buffer math holds on a CPU-scale stand-in: AA=4
+    doubles each render-buffer dimension (VolumeRenderer.cpp:1116-1119)."""
+    from amrvolumerenderer_tpu.fast_scene import FastSceneRenderer
+    from amrvolumerenderer_tpu.types import RenderParameters
+
+    assert callable(bench.measure_config5)
+    fsr = FastSceneRenderer(
+        bench.build_three_level_scene(),
+        RenderParameters(width=32, height=32, antialiasing=4),
+    )
+    assert fsr.render_width == 64 and fsr.render_height == 64
+    assert fsr.sqrt_aa == 2

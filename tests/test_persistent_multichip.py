@@ -324,3 +324,29 @@ def test_deep_amr_batch_scan_matches_per_frame():
     batch = r.render_batch(cams, overlay=False)
     for i, cam in enumerate(cams):
         np.testing.assert_array_equal(batch[i], r.render(cam, overlay=False))
+
+
+def test_preblend_cost_model_gate(geometry):
+    """_use_preblend is a bytes-saved vs fold-cost model (VERDICT r4 #7):
+    (lmax - rmax) * R > (lmax + rmax) with R = hbm_rate / link_rate.
+    At the v5e default (R=18) it activates for real savings, refuses
+    marginal ones; at R=1 (virtual CPU mesh regime) it never activates."""
+    r = MultiChipSceneRenderer(
+        geometry, RenderParameters(width=32, height=32), num_devices=2
+    )
+    lmax = len(r._slot_to_idx) // r.num_devices
+    assert lmax >= 2
+    # real saving: one run per device
+    assert r._use_preblend(1)
+    # no saving at all: as many runs as layers
+    assert not r._use_preblend(lmax)
+    # marginal saving refused: needs (lmax - rmax) * R > lmax + rmax
+    marginal = lmax - 1
+    if (lmax - marginal) * r.preblend_link_ratio <= lmax + marginal:
+        assert not r._use_preblend(marginal)
+    # R ~ 1: the fold traffic always exceeds the saving -> never
+    r.preblend_link_ratio = 1.0
+    assert not r._use_preblend(1)
+    # ubyte transport still pins pre-blend (quantization semantics)
+    r.transport = "ubyte"
+    assert r._use_preblend(lmax)
