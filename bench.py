@@ -369,11 +369,16 @@ def measure_link():
 
     mb = 16.0
     big = jax.device_put(np.zeros((int(mb * 1e6 / 4),), np.float32))
-    np.asarray(big)  # warm any transfer setup
+    add = jax.jit(lambda a, t: a + t)
+    np.asarray(add(big, jnp.float32(0.0)))  # warm/compile
     times = []
-    for _ in range(3):
+    for i in range(3):
+        # a FRESH result buffer per rep: jax.Array caches its host copy
+        # after the first np.asarray, so re-reading the same buffer times
+        # a no-op, not the link
+        out = add(big, jnp.float32(i + 1))
         t0 = time.perf_counter()
-        np.asarray(big)
+        np.asarray(out)
         times.append(time.perf_counter() - t0)
     readback_mbps = mb / min(times)
     return round(dispatch_ms, 2), round(readback_mbps, 2)
