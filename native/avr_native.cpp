@@ -1275,6 +1275,12 @@ static void pack_bricks_range(
             f = std::isfinite(x) ? x : 0.0f;
           }
           orow[v] = f;
+          // extrema accumulation; NaN-free by the wash above.  Caveat:
+          // when a block holds BOTH -0.0 and +0.0 the surviving zero's
+          // SIGN bit can differ from NumPy's two-stage reduceat order —
+          // harmless by construction (every consumer compares the
+          // value; -0.0 == +0.0 in all comparisons), noted for the
+          // byte-parity tests, which use sign-definite data
           const int64_t q = v / bv;
           if (f < qrow_mn[q]) qrow_mn[q] = f;
           if (f > qrow_mx[q]) qrow_mx[q] = f;
@@ -1285,9 +1291,12 @@ static void pack_bricks_range(
       if (used < slice_cells) {
         std::fill(out + used, out + slice_cells, 0.0f);
         // packed-slice extrema include the zero padding (the same
-        // conservative widening compute_slice_bounds applies)
-        if (smin > 0.0f) smin = 0.0f;
-        if (smax < 0.0f) smax = 0.0f;
+        // conservative widening compute_slice_bounds applies); the
+        // !(...) forms reproduce NumPy's fold against +0.0 exactly,
+        // including a -0.0 data extremum (min(-0., +0.) -> +0. under
+        // acc<next?acc:next)
+        if (!(smin < 0.0f)) smin = 0.0f;
+        if (!(smax > 0.0f)) smax = 0.0f;
       }
       float* qmn_out = quad_min + (b * ns + s) * nq * nq;
       float* qmx_out = quad_max + (b * ns + s) * nq * nq;
