@@ -1246,47 +1246,78 @@ static void pack_bricks_range(
       std::fill(qmx.begin(), qmx.end(), -kInf);
       float smin = kInf, smax = -kInf;
       for (int64_t u = 0; u < nu; ++u) {
+        float* orow = out + u * nv;
+        const int64_t off = s * ss + u * su;
+        // pass 1: transform + store — branch hoisted out of the row so
+        // each variant is a straight-line loop the compiler vectorizes
+        // (the fused per-element q = v / bv of the first version
+        // serialized the whole pack at ~1.2 GB/s on one core)
+        if (normalize) {
+          // exact twin of _pretransform's f64 branch (no log): widen,
+          // zero non-finite, (v - min) * inv_span clamped to [0, 1],
+          // round once to f32 — *, -, clamp are IEEE-exact vs NumPy
+          if (is_f64) {
+            const double* row = reinterpret_cast<const double*>(base) + off;
+            for (int64_t v = 0; v < nv; ++v) {
+              double d = row[v * sv];
+              if (!std::isfinite(d)) d = 0.0;
+              d = (d - norm_min) * inv_span;
+              d = d < 0.0 ? 0.0 : (d > 1.0 ? 1.0 : d);
+              orow[v] = static_cast<float>(d);
+            }
+          } else {
+            const float* row = reinterpret_cast<const float*>(base) + off;
+            for (int64_t v = 0; v < nv; ++v) {
+              double d = static_cast<double>(row[v * sv]);
+              if (!std::isfinite(d)) d = 0.0;
+              d = (d - norm_min) * inv_span;
+              d = d < 0.0 ? 0.0 : (d > 1.0 ? 1.0 : d);
+              orow[v] = static_cast<float>(d);
+            }
+          }
+        } else if (is_f64) {
+          const double* row = reinterpret_cast<const double*>(base) + off;
+          for (int64_t v = 0; v < nv; ++v) {
+            double d = row[v * sv];
+            orow[v] = std::isfinite(d) ? static_cast<float>(d) : 0.0f;
+          }
+        } else {
+          // identity f32 fast path: stay in f32 (byte-identical — the
+          // f64 round trip is exact, renderer_fast.py:36-46)
+          const float* row = reinterpret_cast<const float*>(base) + off;
+          for (int64_t v = 0; v < nv; ++v) {
+            float x = row[v * sv];
+            orow[v] = std::isfinite(x) ? x : 0.0f;
+          }
+        }
+        // pass 2: block extrema over the just-stored row (L1-hot),
+        // chunked per block so there is no per-element division and the
+        // min/max reduce vectorizes.  NaN-free by the wash above.
+        // Caveat: when a block holds BOTH -0.0 and +0.0 the surviving
+        // zero's SIGN bit can differ from NumPy's two-stage reduceat
+        // order — harmless by construction (every consumer compares the
+        // value; -0.0 == +0.0 in all comparisons), noted for the
+        // byte-parity tests, which use sign-definite data
         const int64_t p = u / bu;
         float* qrow_mn = qmn.data() + p * nq;
         float* qrow_mx = qmx.data() + p * nq;
-        float* orow = out + u * nv;
-        const int64_t off = s * ss + u * su;
-        for (int64_t v = 0; v < nv; ++v) {
-          float f;
-          if (normalize) {
-            // exact twin of _pretransform's f64 branch (no log): widen,
-            // zero non-finite, (v - min) * inv_span clamped to [0, 1],
-            // round once to f32 — *, -, clamp are IEEE-exact vs NumPy
-            double d = is_f64
-                           ? reinterpret_cast<const double*>(base)[off + v * sv]
-                           : static_cast<double>(
-                                 reinterpret_cast<const float*>(base)[off + v * sv]);
-            if (!std::isfinite(d)) d = 0.0;
-            d = (d - norm_min) * inv_span;
-            d = d < 0.0 ? 0.0 : (d > 1.0 ? 1.0 : d);
-            f = static_cast<float>(d);
-          } else if (is_f64) {
-            double d = reinterpret_cast<const double*>(base)[off + v * sv];
-            f = std::isfinite(d) ? static_cast<float>(d) : 0.0f;
-          } else {
-            // identity f32 fast path: stay in f32 (byte-identical — the
-            // f64 round trip is exact, renderer_fast.py:36-46)
-            float x = reinterpret_cast<const float*>(base)[off + v * sv];
-            f = std::isfinite(x) ? x : 0.0f;
+        for (int64_t q = 0, v0 = 0; v0 < nv; ++q, v0 += bv) {
+          const int64_t v1 = std::min(nv, v0 + bv);
+          float m = qrow_mn[q], M = qrow_mx[q];
+          for (int64_t v = v0; v < v1; ++v) {
+            const float f = orow[v];
+            m = f < m ? f : m;
+            M = f > M ? f : M;
           }
-          orow[v] = f;
-          // extrema accumulation; NaN-free by the wash above.  Caveat:
-          // when a block holds BOTH -0.0 and +0.0 the surviving zero's
-          // SIGN bit can differ from NumPy's two-stage reduceat order —
-          // harmless by construction (every consumer compares the
-          // value; -0.0 == +0.0 in all comparisons), noted for the
-          // byte-parity tests, which use sign-definite data
-          const int64_t q = v / bv;
-          if (f < qrow_mn[q]) qrow_mn[q] = f;
-          if (f > qrow_mx[q]) qrow_mx[q] = f;
-          if (f < smin) smin = f;
-          if (f > smax) smax = f;
+          qrow_mn[q] = m;
+          qrow_mx[q] = M;
         }
+      }
+      // slice extrema fold from the block extrema for free (untouched
+      // blocks stay +-inf and cannot win)
+      for (int64_t i = 0; i < nq * nq; ++i) {
+        if (qmn[i] < smin) smin = qmn[i];
+        if (qmx[i] > smax) smax = qmx[i];
       }
       if (used < slice_cells) {
         std::fill(out + used, out + slice_cells, 0.0f);
