@@ -141,6 +141,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c_float_p, c_float_p, c_float_p, c_float_p, c_float_p,
         ]
         lib.avr_pack_slice_volumes.restype = ctypes.c_int
+    if hasattr(lib, "avr_block_occupancy_bits"):
+        lib.avr_block_occupancy_bits.argtypes = [
+            c_float_p, c_float_p,            # quad_min/max [N, Q, Q]
+            ctypes.POINTER(ctypes.c_int64),  # nz prefix [size + 1]
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,  # N, Q, table_max
+            ctypes.c_double, ctypes.c_double,  # range_min, inverse_range
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.avr_block_occupancy_bits.restype = ctypes.c_int
     if hasattr(lib, "avr_row_chords"):
         lib.avr_row_chords.argtypes = [
             c_float_p,                       # meta [L,12]
@@ -482,6 +491,39 @@ def pack_slice_volumes(
     if not ok:
         return None
     return vol, quad_min, quad_max, slice_min, slice_max
+
+
+def block_occupancy_bits(
+    quad_min: np.ndarray,  # [L, S, Q, Q] f32
+    quad_max: np.ndarray,
+    lut_alpha: np.ndarray,  # [size]
+    range_min: float,
+    inverse_range: float,
+) -> Optional[np.ndarray]:
+    """Native [L, S] uint64 block-occupancy masks
+    (ops/tilemarch.block_occupancy_bits twin, bit-identical); None if the
+    library is unavailable (caller falls back to NumPy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "avr_block_occupancy_bits"):
+        return None
+    L, S, Q, Q2 = quad_min.shape
+    if Q != Q2 or Q > 8:
+        return None
+    qmin = np.ascontiguousarray(quad_min, dtype=np.float32)
+    qmax = np.ascontiguousarray(quad_max, dtype=np.float32)
+    nz = (np.asarray(lut_alpha) > 0.0)
+    prefix = np.concatenate([[0], np.cumsum(nz)]).astype(np.int64)
+    out = np.empty(L * S, dtype=np.uint64)
+    ok = lib.avr_block_occupancy_bits(
+        _ptr(qmin, ctypes.c_float), _ptr(qmax, ctypes.c_float),
+        _ptr(prefix, ctypes.c_int64),
+        L * S, int(Q), int(len(nz) - 1),
+        float(range_min), float(inverse_range),
+        _ptr(out, ctypes.c_uint64),
+    )
+    if not ok:
+        return None
+    return out.reshape(L, S)
 
 
 def visibility_order(

@@ -978,6 +978,13 @@ def block_occupancy_bits(
         # the packed masks are uint64: nq > 8 would silently drop high
         # bits and non-conservatively skip occupied slices
         raise ValueError("block occupancy masks support at most 8x8 blocks")
+    from .. import native as _native
+
+    native_out = _native.block_occupancy_bits(
+        quad_min, quad_max, lut_alpha, range_min, inverse_range
+    )
+    if native_out is not None:
+        return native_out
     nz = np.asarray(lut_alpha) > 0.0
     table_max = len(nz) - 1  # table size follows the LUT argument
     prefix = np.concatenate([[0], np.cumsum(nz)])

@@ -1339,6 +1339,43 @@ static void pack_bricks_range(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Block-occupancy bitmasks: the (piece table, LUT) -> [L, S] uint64 mask
+// pass of ops/tilemarch.block_occupancy_bits, one fused loop instead of
+// NumPy's six [L, S, Q, Q] temporaries + a 64-lane shift/sum.  Exact twin:
+// f32 affine + clip (NEP50 weak-scalar semantics: the Python floats are
+// cast to f32 first), truncating int cast, LUT prefix-count difference.
+// ---------------------------------------------------------------------------
+
+int avr_block_occupancy_bits(const float* qmin, const float* qmax,
+                             const int64_t* prefix, int64_t num_slices,
+                             int q, int table_max, double range_min,
+                             double inverse_range, uint64_t* out) {
+  if (num_slices < 0 || q <= 0 || q > 8 || table_max < 0) return 0;
+  const float rm = static_cast<float>(range_min);
+  const float ir = static_cast<float>(inverse_range);
+  const float tm = static_cast<float>(table_max);
+  const int qq = q * q;
+  for (int64_t sidx = 0; sidx < num_slices; ++sidx) {
+    const float* bmin = qmin + sidx * qq;
+    const float* bmax = qmax + sidx * qq;
+    uint64_t mask = 0;
+    for (int b = 0; b < qq; ++b) {
+      float n0 = (bmin[b] - rm) * ir;
+      n0 = n0 < 0.0f ? 0.0f : (n0 > 1.0f ? 1.0f : n0);
+      float n1 = (bmax[b] - rm) * ir;
+      n1 = n1 < 0.0f ? 0.0f : (n1 > 1.0f ? 1.0f : n1);
+      int64_t i0 = static_cast<int64_t>(n0 * tm);
+      int64_t i1 = static_cast<int64_t>(n1 * tm);
+      i0 = i0 < 0 ? 0 : (i0 > table_max ? table_max : i0);
+      i1 = i1 < 0 ? 0 : (i1 > table_max ? table_max : i1);
+      if (prefix[i1 + 1] - prefix[i0] > 0) mask |= uint64_t{1} << b;
+    }
+    out[sidx] = mask;
+  }
+  return 1;
+}
+
 int avr_pack_slice_volumes(const void* const* bricks, int64_t n, int64_t ns,
                            int64_t nu, int64_t nv, int64_t ss, int64_t su,
                            int64_t sv, int is_f64, int normalize,

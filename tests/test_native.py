@@ -300,3 +300,48 @@ def test_ordering_engages_beyond_old_limit():
         near = np.moveaxis(key3, axis, 0)[1:]
         far = np.moveaxis(key3, axis, 0)[:-1]
         assert (near < far).all()
+
+
+def test_native_block_occupancy_matches_numpy():
+    """avr_block_occupancy_bits must be bit-identical to the NumPy
+    pipeline in ops/tilemarch.block_occupancy_bits — including +-inf
+    padding blocks, clipped index edges, and all-transparent /
+    all-opaque LUT rows."""
+    import unittest.mock as mock
+
+    from amrvolumerenderer_tpu.ops import tilemarch as tm
+
+    if native.get_lib() is None or not hasattr(
+        native.get_lib(), "avr_block_occupancy_bits"
+    ):
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    L, S, Q = 7, 9, 8
+    qmin = rng.random((L, S, Q, Q)).astype(np.float32) * 1.4 - 0.2
+    qmax = qmin + rng.random((L, S, Q, Q)).astype(np.float32) * 0.3
+    # padding blocks: (+inf, -inf) like the packer emits
+    qmin[:, -2:] = np.inf
+    qmax[:, -2:] = -np.inf
+    qmin[2, 3, 4:, :] = np.inf
+    qmax[2, 3, 4:, :] = -np.inf
+    for alpha in (
+        (rng.random(256) < 0.25).astype(np.float64) * 0.5,  # sparse
+        np.zeros(17),                                       # all transparent
+        np.ones(256),                                       # all opaque
+    ):
+        for rmin, inv in ((0.0, 1.0), (0.1, 1.0 / 0.7), (-0.5, 0.33)):
+            got = tm.block_occupancy_bits(qmin, qmax, alpha, rmin, inv)
+            with mock.patch.object(
+                native, "block_occupancy_bits", lambda *a, **k: None
+            ):
+                ref = tm.block_occupancy_bits(qmin, qmax, alpha, rmin, inv)
+            np.testing.assert_array_equal(got, ref)
+            assert got.dtype == np.uint64
+
+
+def test_native_block_occupancy_q_gt8_still_raises():
+    from amrvolumerenderer_tpu.ops import tilemarch as tm
+
+    bad = np.zeros((1, 1, 9, 9), np.float32)
+    with pytest.raises(ValueError):
+        tm.block_occupancy_bits(bad, bad, np.ones(4), 0.0, 1.0)
