@@ -14,6 +14,14 @@
 //                               (SceneBuilder.cpp:53-94 host twin)
 //   avr_visibility_order      : camera-dependent topological rank ordering
 //                               with cycle-breaking box splits
+//   avr_item_bands / _v2      : per-(tile, brick) occupied-slice bounds +
+//                               chord-gap band splits (NumPy-oracle twin)
+//   avr_row_chords            : narrowed-gather row-chord certification
+//   avr_pack_slice_volumes    : cold batched slice-volume pack (fused
+//                               pretransform + pack + extrema, byte-
+//                               identical; SceneBuilder.cpp:148-189 twin)
+//   avr_block_occupancy_bits  : [L, S] uint64 per-slice block-occupancy
+//                               masks under a transfer function
 //
 // Build: make -C native   (produces libavr_native.so)
 
